@@ -1,0 +1,49 @@
+"""Table loaders for the driver testdata.
+
+The driver generates a TPC-H-ish star schema plus ``events`` (stream),
+``documents`` and ``embeddings`` (pipeline tables) at
+``/root/testdata/sf{0.001,0.01,0.1}`` (see TESTDATA.md). All declared
+queries take an ``sf_dir`` and read parquet from it — filters and column
+pruning are pushed to the scan by Catalyst, so loaders never pre-select.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # The events table stores TIMESTAMP(NANOS) which Spark's parquet
+        # reader rejects; read nanos as LONG (runtime-settable legacy conf)
+        # and convert to a µs timestamp (exact: the generator's values are
+        # µs-grained, and DuckDB's TIMESTAMP is µs too).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        from pyspark.sql import functions as F
+
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+        )
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

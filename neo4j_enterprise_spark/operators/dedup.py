@@ -1,0 +1,185 @@
+"""Deduplication operators for the training-data pipeline.
+
+Scale ladder (each step trades recall for cost at 100 TB):
+1. ``exact_dup_groups`` — digest groupBy; one shuffle on a 16-byte key.
+2. ``minhash_lsh_pairs`` — shingle → minhash → band-bucket join; candidate
+   pairs only, never the O(n²) cross join.
+3. ``simhash64`` — 64-bit near-dup signature; hamming-ball lookup.
+4. n-gram Jaccard verify — exact similarity on LSH candidates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# deterministic 64-bit mixing constants for the minhash permutation family
+_MERSENNE = (1 << 61) - 1
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content digest per document (md5 — portable across engines)."""
+    return docs.withColumn("fingerprint", F.md5(F.col(text_col)))
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: groups of byte-identical documents.
+
+    Returns (content_hash, keep_doc_id = min id, n_copies) for groups with
+    more than one member. Partial aggregation makes this one narrow
+    shuffle regardless of corpus size.
+    """
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").cast("long").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def dedup_keep_first(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup materialized: keep the min-doc_id representative of
+    every content group (the actual 100 TB dedup job)."""
+    w_hash = docs.withColumn("content_hash", F.md5(F.col(text_col)))
+    keep = w_hash.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    return w_hash.join(keep, ["content_hash", "doc_id"], "left_semi").drop("content_hash")
+
+
+def shingles(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+    """Word k-shingles per doc: (doc_id, shingle). Tokenization is a pure
+    column expression; the explode is the only row-expansion."""
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)))
+    return docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 32, seed: int = 42
+) -> DataFrame:
+    """MinHash signature per doc: (doc_id, sig ARRAY<BIGINT>[num_hashes]).
+
+    Permutations h_i(x) = (a_i * x + b_i) mod M over xxhash64(shingle);
+    min per hash via groupBy — all JVM-side, no UDFs. One shuffle on
+    doc_id.
+    """
+    import random
+
+    rnd = random.Random(seed)
+    params = [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+    hashed = sh.select(
+        "doc_id", F.abs(F.xxhash64(F.col("shingle"))).alias("hx")
+    )
+    mins = [
+        F.min(
+            (F.col("hx") % F.lit(_MERSENNE) * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    bands × rows layout (rows = num_hashes // bands); docs sharing any
+    band hash become a candidate pair. The band-bucket self-join touches
+    only colliding buckets — this is the O(n·collisions) scale path, not
+    O(n²). Returns (doc_a, doc_b) with doc_a < doc_b, distinct.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(shingles(docs, text_col, k), num_hashes, seed)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(F.concat_ws(",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)])).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(
+    docs: DataFrame, pairs: DataFrame, text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Exact Jaccard similarity for candidate pairs (verify stage after
+    LSH): |A∩B| / |A∪B| over word k-shingles. Joins shingle sets only for
+    candidate docs — the expensive exact metric never runs on the full
+    cross product."""
+    sh = shingles(docs, text_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # intersection via join on (pair, shingle)
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return out
+
+
+def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc from word-level xxhash64 features.
+
+    Bit-vote accumulation is expressed as 64 conditional sums over the
+    exploded token set — heavy but fully JVM-side; at scale, prefer the
+    Pandas-UDF variant if the explode dominates. Returns (doc_id,
+    simhash BIGINT).
+    """
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    # bit 63 is the sign bit of the BIGINT hash: test h < 0 instead of a
+    # (1<<63) literal, which overflows LongType.
+    votes = [
+        F.sum(
+            F.when(
+                (F.col("h") < 0) if i == 63 else (F.col("h").bitwiseAND(F.lit(1 << i)) != 0),
+                1,
+            ).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = tokens.groupBy("doc_id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for i in range(63):
+        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    sim = sim + F.when(F.col("b63") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(0)
+    return agg.select("doc_id", sim.alias("simhash"))

@@ -1,0 +1,70 @@
+"""Text-analysis operators: token stats, quality scoring, language ID.
+
+All hot-path expressions are built-in column functions (whole-stage
+codegen); nothing here drops to Python per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword anchors for the n-gram/stopword language
+# heuristic (deterministic, dependency-free)
+_LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "la"],
+    "es": ["el", "y", "de"],
+}
+
+
+def _n_tokens(text_col) -> F.Column:
+    """Whitespace token count as a pure expression: #spaces-in-collapsed
+    text + 1 (matches the DuckDB oracle formula exactly)."""
+    t = F.trim(text_col)
+    return (F.length(t) - F.length(F.regexp_replace(t, " ", "")) + 1).cast("long")
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.length(F.col(text_col)).cast("long").alias("n_chars_actual"),
+        _n_tokens(F.col(text_col)).alias("n_tokens"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/token-shape quality gate (the cheap first-pass filter a
+    100 TB corpus pipeline runs before anything expensive)."""
+    t = F.col(text_col)
+    n_tok = _n_tokens(t)
+    nonspace = F.length(F.regexp_replace(t, " ", "")).cast("double")
+    return docs.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars_actual"),
+        n_tok.alias("n_tokens"),
+        (nonspace / n_tok.cast("double")).alias("avg_token_len"),
+        ((F.length(t) >= 100) & (n_tok >= 20)).alias("passes_quality"),
+    )
+
+
+def language_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language heuristic: per-language hit counts over the
+    token set, argmax as predicted language. Deterministic and
+    JVM-side; a real deployment swaps in a Pandas-UDF n-gram model with
+    identical plumbing."""
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    cols = []
+    for lang, markers in _LANG_MARKERS.items():
+        hits = sum(
+            (F.size(F.filter(tokens, lambda x, m=m: x == F.lit(m))) for m in markers),
+            F.lit(0),
+        )
+        cols.append(F.struct(hits.cast("long").alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*cols))
+    return docs.select(
+        "doc_id",
+        best["lang"].alias("predicted_lang"),
+        best["hits"].alias("marker_hits"),
+    )

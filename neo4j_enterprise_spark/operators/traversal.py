@@ -1,0 +1,166 @@
+"""Traversal: k-hop BFS, reachability, and Pregel-style iteration.
+
+Reference surface (SURVEY.md §2.9): the legacy ``Traverser``
+(`LockableNode.java:178-201` — BFS/DFS with stop/return evaluators) and the
+repair tool's fixed-depth chain exploration
+(`RelationshipChainExplorer.java:39-63`).
+
+Design: BFS = iterative frontier equi-joins with a visited-set anti-join.
+Each iteration is one shuffle on the frontier key; ``localCheckpoint()``
+every few rounds cuts lineage so plans don't grow unboundedly (the classic
+iterative-Spark pitfall at scale). Frontiers stay DataFrames end-to-end —
+no driver-side collection of node ids.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CHECKPOINT_EVERY = 3
+
+
+def _edges(rels: DataFrame, direction: str, types: Iterable[str] | None) -> DataFrame:
+    r = rels if types is None else rels.filter(F.col("type_name").isin(list(types)))
+    out = r.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    if direction == "out":
+        return out
+    inn = r.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    if direction == "in":
+        return inn
+    return out.unionByName(inn)
+
+
+def bfs_reachable(
+    rels: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    direction: str = "out",
+    types: Iterable[str] | None = None,
+) -> DataFrame:
+    """T2: nodes reachable from each seed within ≤ k hops.
+
+    ``seeds``: one column ``seed``. Returns (seed, node_id, hops) with the
+    minimal hop count ≤ k (seed itself at hops=0). Per-seed visited sets
+    are kept distributed; dedup per round is a groupBy-min on
+    (seed, node_id) — map-side combinable.
+    """
+    edges = _edges(rels, direction, types)
+    reached = seeds.select(
+        F.col("seed").cast("long").alias("seed"),
+        F.col("seed").cast("long").alias("node_id"),
+        F.lit(0).alias("hops"),
+    )
+    frontier = reached
+    for depth in range(1, k + 1):
+        nxt = (
+            frontier.join(edges, frontier["node_id"] == edges["a"])
+            .select("seed", F.col("b").alias("node_id"), F.lit(depth).alias("hops"))
+            .join(reached.select("seed", "node_id"), ["seed", "node_id"], "left_anti")
+            .groupBy("seed", "node_id")
+            .agg(F.min("hops").alias("hops"))
+        )
+        if depth % CHECKPOINT_EVERY == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        reached = reached.unionByName(nxt)
+        frontier = nxt
+    return reached
+
+
+def connected_components(rels: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Batch analytics: connected components via iterative label
+    propagation (small-star style: every node adopts the min component id
+    among itself and its neighbors until fixpoint).
+
+    Returns (node_id, component). Each round = one shuffle on node_id;
+    lineage cut by localCheckpoint. This is the DataFrame rendering of
+    GraphX's connectedComponents (the north-star analytics in SURVEY §7 M7).
+    """
+    edges = (
+        rels.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(rels.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node_id"))
+        .distinct()
+        .withColumn("component", F.col("node_id"))
+    ).localCheckpoint(eager=True)
+    for i in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["b"] == labels["node_id"])
+            .groupBy(F.col("a").alias("node_id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node_id", "left")
+            .select(
+                "node_id",
+                F.least(F.col("component"), F.col("nbr_component")).alias("component"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def pagerank(
+    rels: DataFrame, iterations: int = 10, damping: float = 0.85
+) -> DataFrame:
+    """Batch analytics: PageRank over the directed graph (dangling mass
+    redistributed uniformly). Returns (node_id, rank); ranks sum to ~N.
+
+    Pure DataFrame iteration: contributions = rank/out_degree joined to
+    edges, aggregated by destination — one shuffle per iteration, lineage
+    checkpointed.
+    """
+    nodes = (
+        rels.select(F.col("src").alias("node_id"))
+        .unionByName(rels.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_total = nodes.count()
+    out_deg = rels.groupBy(F.col("src").alias("node_id")).agg(
+        F.count("*").alias("out_degree")
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for i in range(iterations):
+        contribs = (
+            ranks.join(out_deg, "node_id")
+            .join(rels, ranks["node_id"] == rels["src"])
+            .select(
+                F.col("dst").alias("node_id"),
+                (F.col("rank") / F.col("out_degree")).alias("contrib"),
+            )
+            .groupBy("node_id")
+            .agg(F.sum("contrib").alias("in_contrib"))
+        )
+        dangling = (
+            ranks.join(out_deg, "node_id", "left_anti").agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        ranks = (
+            nodes.join(contribs, "node_id", "left")
+            .select(
+                "node_id",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("in_contrib"), F.lit(0.0)) + F.lit(dangling / n_total))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % CHECKPOINT_EVERY == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -1,0 +1,309 @@
+"""Graph-model declared queries (SURVEY.md §2) over the derived graph.
+
+Each query runs a real graph operator from ``operators/`` against the
+TPC-H→graph derivation (``graph.derive``); the oracle embeds the identical
+derivation as SQL CTEs, so the hash-match verifies the *operator*.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..graph.derive import derived_nodes, derived_rels, graph_cte
+from ..operators import reads, traversal, validation
+from ..operators.diff import snapshot_added
+from . import register
+from ..catalog import load_table
+
+
+@register(
+    "node_counts_by_kind",
+    f"""
+    {graph_cte(rels=False)}
+    SELECT kind, COUNT(*) AS n_nodes FROM nodes GROUP BY kind ORDER BY kind
+    """,
+    doc="S1 node store scan + A2 record counts (`FullCheck.java:97-99`; "
+    "`DataGenerator.java:206-211`).",
+)
+def node_counts_by_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        derived_nodes(spark, sf_dir)
+        .groupBy("kind")
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy("kind")
+    )
+
+
+@register(
+    "rel_counts_by_type",
+    f"""
+    {graph_cte(nodes=False)}
+    SELECT type_name, COUNT(*) AS n_rels FROM rels GROUP BY type_name ORDER BY type_name
+    """,
+    doc="S2 relationship store scan (`FullCheck.java:100-102`).",
+)
+def rel_counts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        derived_rels(spark, sf_dir)
+        .groupBy("type_name")
+        .agg(F.count("*").alias("n_rels"))
+        .orderBy("type_name")
+    )
+
+
+@register(
+    "node_point_lookup",
+    f"""
+    {graph_cte(rels=False)}
+    SELECT id, kind, in_use, name FROM nodes WHERE id = 42
+    """,
+    doc="S6 getNodeById (`LockableNode.java:46`): bucketed point lookup.",
+)
+def node_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return reads.point_lookup(derived_nodes(spark, sf_dir), 42).select(
+        "id", "kind", "in_use", "name"
+    )
+
+
+@register(
+    "index_lookup_by_kind",
+    f"""
+    {graph_cte(rels=False)}
+    SELECT id, name FROM nodes WHERE kind = 'nation' AND in_use ORDER BY id
+    """,
+    doc="S7 legacy index get(key,value) (`AbstractHaTest.java:285`): "
+    "equality lookup on an indexed property.",
+)
+def index_lookup_by_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = derived_nodes(spark, sf_dir)
+    return (
+        nodes.filter((F.col("kind") == "nation") & F.col("in_use"))
+        .select("id", "name")
+        .orderBy("id")
+    )
+
+
+@register(
+    "adjacency_out_typed",
+    f"""
+    {graph_cte(nodes=False)}
+    SELECT id AS rel_id, dst, type_name FROM rels
+    WHERE src = 3 AND type_name IN ('PLACED', 'IN_NATION')
+    ORDER BY rel_id
+    """,
+    doc="P4 getRelationships(OUTGOING, types...) (`LockableNode.java:121-176`).",
+)
+def adjacency_out_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rels = derived_rels(spark, sf_dir)
+    return (
+        reads.rels_of(rels, 3, "out", ["PLACED", "IN_NATION"])
+        .select(F.col("id").alias("rel_id"), "dst", "type_name")
+        .orderBy("rel_id")
+    )
+
+
+@register(
+    "neighborhood_1hop",
+    f"""
+    {graph_cte()}
+    SELECT e.src AS seed, n.id, n.kind, n.name
+    FROM rels e JOIN nodes n ON e.dst = n.id
+    WHERE e.src BETWEEN 1 AND 50
+    ORDER BY seed, n.id
+    """,
+    doc="T1 1-hop expand: frontier ⋈ rels ⋈ nodes "
+    "(`LockableRelationship.java:61` getOtherNode).",
+)
+def neighborhood_1hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = derived_nodes(spark, sf_dir)
+    rels = derived_rels(spark, sf_dir)
+    seeds = nodes.filter(F.col("id").between(1, 50)).select("id")
+    out = reads.expand_1hop(nodes, rels, seeds, "out")
+    return out.select("seed", "id", "kind", "name").orderBy("seed", "id")
+
+
+@register(
+    "degree_by_type",
+    f"""
+    {graph_cte(nodes=False)}
+    SELECT src AS node_id, type_name, COUNT(*) AS degree
+    FROM rels GROUP BY src, type_name ORDER BY node_id, type_name
+    """,
+    doc="A4 relationship count per node by type (`CommonJobs.java:115-140`).",
+    bench=True,
+)
+def degree_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        reads.degree_by_type(derived_rels(spark, sf_dir), "out")
+        .orderBy("node_id", "type_name")
+    )
+
+
+@register(
+    "degree_histogram",
+    f"""
+    {graph_cte(nodes=False)}
+    SELECT degree, COUNT(*) AS n_nodes
+    FROM (SELECT src, COUNT(*) AS degree FROM rels GROUP BY src)
+    GROUP BY degree ORDER BY degree
+    """,
+    doc="A3 properties-per-entity histogram analog "
+    "(`PropertyStats.java` via `DataGenerator.java:126-131`).",
+)
+def degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return reads.degree_histogram(derived_rels(spark, sf_dir)).orderBy("degree")
+
+
+@register(
+    "endpoints_not_in_use",
+    f"""
+    {graph_cte()}
+    SELECT 'RELATIONSHIP' AS record_type, 'sourceNodeNotInUse' AS rule,
+           r.id AS entity_id, CAST(r.src AS VARCHAR) AS detail
+    FROM rels r
+    WHERE NOT EXISTS (SELECT 1 FROM nodes n WHERE n.id = r.src AND n.in_use)
+    UNION ALL
+    SELECT 'RELATIONSHIP', 'targetNodeNotInUse', r.id, CAST(r.dst AS VARCHAR)
+    FROM rels r
+    WHERE NOT EXISTS (SELECT 1 FROM nodes n WHERE n.id = r.dst AND n.in_use)
+    ORDER BY rule, entity_id
+    """,
+    doc="J4 flagship: endpoint referential integrity as left-anti joins "
+    "(`RelationshipRecordCheck.java:35-37`, sourceNodeNotInUse).",
+    bench=True,
+)
+def endpoints_not_in_use(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = derived_nodes(spark, sf_dir)
+    rels = derived_rels(spark, sf_dir)
+    return validation.endpoints_not_in_use(rels, nodes).orderBy("rule", "entity_id")
+
+
+@register(
+    "violations_summary",
+    f"""
+    {graph_cte()}
+    SELECT record_type, rule, COUNT(*) AS n_violations FROM (
+      SELECT 'RELATIONSHIP' AS record_type, 'sourceNodeNotInUse' AS rule, r.id
+      FROM rels r
+      WHERE NOT EXISTS (SELECT 1 FROM nodes n WHERE n.id = r.src AND n.in_use)
+      UNION ALL
+      SELECT 'RELATIONSHIP', 'targetNodeNotInUse', r.id
+      FROM rels r
+      WHERE NOT EXISTS (SELECT 1 FROM nodes n WHERE n.id = r.dst AND n.in_use)
+    ) GROUP BY record_type, rule ORDER BY record_type, rule
+    """,
+    doc="A1 ConsistencySummaryStatistics: violations per record type "
+    "(`FullCheck.java:74-83`).",
+)
+def violations_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = derived_nodes(spark, sf_dir)
+    rels = derived_rels(spark, sf_dir)
+    v = validation.endpoints_not_in_use(rels, nodes)
+    return validation.violations_summary(v).orderBy("record_type", "rule")
+
+
+@register(
+    "first_in_chain",
+    f"""
+    {graph_cte(nodes=False)}
+    SELECT src AS node_id, id AS first_rel_id FROM (
+      SELECT src, id, ROW_NUMBER() OVER (PARTITION BY src ORDER BY id) AS pos
+      FROM rels)
+    WHERE pos = 1 ORDER BY node_id
+    """,
+    doc="W1 first-in-chain (`NodeRecordCheck.java:77-83`): chain order = "
+    "ascending rel id per src (FIXTURES.md §2).",
+)
+def first_in_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return validation.first_in_chain(derived_rels(spark, sf_dir)).orderBy("node_id")
+
+
+@register(
+    "chain_neighbors",
+    f"""
+    {graph_cte(nodes=False)}
+    SELECT id, src,
+           LAG(id)  OVER (PARTITION BY src ORDER BY id) AS prev_id,
+           LEAD(id) OVER (PARTITION BY src ORDER BY id) AS next_id
+    FROM rels
+    WHERE src BETWEEN 1000000 AND 1001000
+    ORDER BY src, id
+    """,
+    doc="W2 prev/next back-pointer symmetry via lag/lead "
+    "(`RelationshipRecordCheck.java:83-200`).",
+)
+def chain_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rels = derived_rels(spark, sf_dir).filter(F.col("src").between(1_000_000, 1_001_000))
+    return validation.chain_neighbors(rels).orderBy("src", "id")
+
+
+@register(
+    "bfs_2hop_reach",
+    f"""
+    {graph_cte(nodes=False)},
+    seeds AS (SELECT src AS seed FROM rels
+              WHERE src <= 20 GROUP BY src),
+    hop1 AS (SELECT s.seed, r.dst AS node_id FROM seeds s
+             JOIN rels r ON r.src = s.seed GROUP BY s.seed, r.dst),
+    hop2 AS (SELECT h.seed, r.dst AS node_id FROM hop1 h
+             JOIN rels r ON r.src = h.node_id GROUP BY h.seed, r.dst),
+    reach AS (
+      SELECT seed, seed AS node_id FROM seeds
+      UNION SELECT seed, node_id FROM hop1
+      UNION SELECT seed, node_id FROM hop2)
+    SELECT seed, COUNT(*) AS n_reachable FROM reach GROUP BY seed ORDER BY seed
+    """,
+    doc="T2 fixed-k BFS reachability (`LockableNode.java:178-201` "
+    "traverse; iterative frontier joins, SURVEY §2.9).",
+    bench=True,
+)
+def bfs_2hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rels = derived_rels(spark, sf_dir)
+    seeds = rels.filter(F.col("src") <= 20).select(F.col("src").alias("seed")).distinct()
+    reached = traversal.bfs_reachable(rels, seeds, k=2, direction="out")
+    return (
+        reached.groupBy("seed").agg(F.count("*").alias("n_reachable")).orderBy("seed")
+    )
+
+
+@register(
+    "snapshot_diff_added",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice
+    FROM orders WHERE o_orderdate < DATE '1997-01-01'
+    EXCEPT ALL
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE)
+    FROM orders WHERE o_orderdate < DATE '1996-01-01'
+    ORDER BY o_orderkey
+    """,
+    doc="U2 snapshot diff (`DiffRecordStore.java`, "
+    "`IncrementalDiffCheck.java:38-46`): rows added between two versions.",
+)
+def snapshot_diff_added(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("totalprice"), "o_orderdate"
+    )
+    old = o.filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("date")).drop("o_orderdate")
+    new = o.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("date")).drop("o_orderdate")
+    return snapshot_added(old, new).orderBy("o_orderkey")
+
+
+@register(
+    "row_checksums",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS id,
+           md5(CAST(n_nationkey AS VARCHAR) || '|' || n_name) AS checksum
+    FROM nation ORDER BY id
+    """,
+    doc="F5 per-tx checksum (`TxChecksumVerifier.java`): portable per-row "
+    "digest (md5 on both engines).",
+)
+def row_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        F.col("n_nationkey").cast("long").alias("id"),
+        F.md5(
+            F.concat(F.col("n_nationkey").cast("string"), F.lit("|"), F.col("n_name"))
+        ).alias("checksum"),
+    ).orderBy("id")
