@@ -1,0 +1,332 @@
+"""Full record-level validation suite: the reference's consistency checker
+(`consistency-check`, SURVEY.md §2.3/§3.3) as one declarative DAG.
+
+Every ``*RecordCheck`` becomes a join/anti-join plan over the
+``PropertyGraph`` tables; rule names match the reference's report methods
+(`report/ConsistencyReport.java`) so the test matrix mirrors
+`RelationshipRecordCheckTest` / `NodeRecordCheckTest` /
+`PropertyRecordCheckTest` case-for-case.
+
+Execution model: the reference scans each store once, deferring
+cross-store lookups as continuations (`PendingReferenceCheck.java`) and
+re-runs big stores in id-windowed passes when memory-bound
+(`MultiPassStore.java:40-170`). In Spark both disappear: deferred
+reference resolution IS a join, multi-pass IS a partitioned hash join;
+the dictionary sides are broadcast (the reference pre-caches them,
+`FullCheck.java:128-134`). All violation outputs share
+(record_type, rule, entity_id, detail).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph.model import NO_POINTER, PropertyGraph
+from .validation import _violation
+
+
+def _rel_pointer_checks(rels: DataFrame) -> DataFrame:
+    """J3: the four per-endpoint chain pointers — existence, endpoint
+    agreement, and back-reference symmetry
+    (`RelationshipRecordCheck.java:83-260`: SOURCE_PREV/SOURCE_NEXT/
+    TARGET_PREV/TARGET_NEXT).
+
+    One self-join per pointer field on rel id (4 equi-joins; at scale
+    these co-partition on id and AQE merges the exchanges).
+    """
+    out = []
+    live = rels.filter(F.col("in_use"))
+    target = live.select(
+        F.col("id").alias("t_id"),
+        F.col("src").alias("t_src"),
+        F.col("dst").alias("t_dst"),
+        F.col("src_prev").alias("t_src_prev"),
+        F.col("src_next").alias("t_src_next"),
+        F.col("dst_prev").alias("t_dst_prev"),
+        F.col("dst_next").alias("t_dst_next"),
+    )
+    # (pointer column, node column whose chain it belongs to, the pointer on
+    # the target that must reference back, reference rule names)
+    specs = [
+        ("src_prev", "src", "next", "sourcePrevNotInUse", "sourcePrevForOtherNode", "sourcePrevDoesNotReferenceBack"),
+        ("src_next", "src", "prev", "sourceNextNotInUse", "sourceNextForOtherNode", "sourceNextDoesNotReferenceBack"),
+        ("dst_prev", "dst", "next", "targetPrevNotInUse", "targetPrevForOtherNode", "targetPrevDoesNotReferenceBack"),
+        ("dst_next", "dst", "prev", "targetNextNotInUse", "targetNextForOtherNode", "targetNextDoesNotReferenceBack"),
+    ]
+    for ptr, node_col, back_dir, rule_niu, rule_other, rule_back in specs:
+        has_ptr = live.filter(F.col(ptr) != NO_POINTER)
+        joined = has_ptr.join(target, has_ptr[ptr] == target["t_id"], "left")
+        # 1. pointer target missing / not in use
+        out.append(
+            _violation(joined.filter(F.col("t_id").isNull()), "RELATIONSHIP", rule_niu, "id", F.col(ptr))
+        )
+        present = joined.filter(F.col("t_id").isNotNull())
+        node = F.col(node_col)
+        shares = (F.col("t_src") == node) | (F.col("t_dst") == node)
+        # 2. target does not involve this chain's node
+        out.append(
+            _violation(present.filter(~shares), "RELATIONSHIP", rule_other, "id", F.col(ptr))
+        )
+        # 3. target's opposite pointer on the shared node's chain must
+        #    reference this record back. Read the back-pointer from the
+        #    chain side being validated first (a rel incident to the node
+        #    on BOTH sides — e.g. a self-loop — participates in both
+        #    chains with independent pointers, exactly like the
+        #    reference's first/second chain distinction,
+        #    `RelationshipRecordCheck.java:35-37`).
+        if node_col == "src":
+            back_ptr = F.when(
+                F.col("t_src") == node, F.col(f"t_src_{back_dir}")
+            ).otherwise(F.col(f"t_dst_{back_dir}"))
+        else:
+            back_ptr = F.when(
+                F.col("t_dst") == node, F.col(f"t_dst_{back_dir}")
+            ).otherwise(F.col(f"t_src_{back_dir}"))
+        out.append(
+            _violation(
+                present.filter(shares & (back_ptr != F.col("id"))),
+                "RELATIONSHIP",
+                rule_back,
+                "id",
+                F.col(ptr),
+            )
+        )
+    return reduce(DataFrame.unionByName, out)
+
+
+def check_relationships(g: PropertyGraph) -> DataFrame:
+    """RELATIONSHIP store checks: label validity (J2/P6), endpoint
+    integrity (J4), chain pointer symmetry (J3)."""
+    rels = g.relationships
+    live = rels.filter(F.col("in_use"))
+    out = []
+    # illegalLabel (`RelationshipRecordCheck.java:48-51`)
+    out.append(
+        _violation(live.filter(F.col("type_id") < 0), "RELATIONSHIP", "illegalLabel", "id", F.col("type_id"))
+    )
+    # labelNotInUse — broadcast anti-join to the dictionary (J2)
+    live_types = g.relationship_types.filter(F.col("in_use")).select(
+        F.col("id").alias("type_id")
+    )
+    dangling = live.filter(F.col("type_id") >= 0).join(
+        F.broadcast(live_types), "type_id", "left_anti"
+    )
+    out.append(_violation(dangling, "RELATIONSHIP", "labelNotInUse", "id", F.col("type_id")))
+    # endpoint integrity (J4)
+    live_nodes = g.nodes.filter(F.col("in_use")).select("id")
+    for col, rule in (("src", "sourceNodeNotInUse"), ("dst", "targetNodeNotInUse")):
+        bad = live.join(live_nodes, live[col] == live_nodes["id"], "left_anti")
+        out.append(_violation(bad, "RELATIONSHIP", rule, "id", F.col(col)))
+    out.append(_rel_pointer_checks(rels))
+    return reduce(DataFrame.unionByName, out)
+
+
+def check_nodes(g: PropertyGraph) -> DataFrame:
+    """NODE store checks: J1 — ``next_rel`` must exist, be in use, involve
+    this node, and be first in its chain (`NodeRecordCheck.java:39-107`);
+    W1 first-in-chain = null prev pointer on the matching endpoint."""
+    nodes = g.nodes.filter(F.col("in_use"))
+    has_rel = nodes.filter(F.col("next_rel") != NO_POINTER)
+    rel = g.relationships.filter(F.col("in_use")).select(
+        F.col("id").alias("r_id"),
+        F.col("src").alias("r_src"),
+        F.col("dst").alias("r_dst"),
+        F.col("src_prev").alias("r_src_prev"),
+        F.col("dst_prev").alias("r_dst_prev"),
+    )
+    joined = has_rel.join(rel, has_rel["next_rel"] == rel["r_id"], "left")
+    out = [
+        _violation(
+            joined.filter(F.col("r_id").isNull()), "NODE", "relationshipNotInUse", "id", F.col("next_rel")
+        )
+    ]
+    present = joined.filter(F.col("r_id").isNotNull())
+    involves = (F.col("r_src") == F.col("id")) | (F.col("r_dst") == F.col("id"))
+    out.append(
+        _violation(present.filter(~involves), "NODE", "relationshipForOtherNode", "id", F.col("next_rel"))
+    )
+    # W1: first-in-chain — prev pointer on this node's side must be unset
+    prev_here = F.when(F.col("r_src") == F.col("id"), F.col("r_src_prev")).otherwise(
+        F.col("r_dst_prev")
+    )
+    out.append(
+        _violation(
+            present.filter(involves & (prev_here != NO_POINTER)),
+            "NODE",
+            "relationshipNotFirstInChain",
+            "id",
+            F.col("next_rel"),
+        )
+    )
+    return reduce(DataFrame.unionByName, out)
+
+
+def _owners(g: PropertyGraph) -> DataFrame:
+    """All primitives' first-property pointers: (owner_kind, owner_id,
+    next_prop) for nodes, relationships, and the graph singleton
+    (`PrimitiveRecordCheck.java:60-101`, `NeoStoreCheck.java:29-50`)."""
+    n = g.nodes.filter(F.col("in_use")).select(
+        F.lit("node").alias("o_kind"), F.col("id").alias("o_id"), F.col("next_prop")
+    )
+    r = g.relationships.filter(F.col("in_use")).select(
+        F.lit("rel").alias("o_kind"), F.col("id").alias("o_id"), F.col("next_prop")
+    )
+    return n.unionByName(r)
+
+
+def check_primitive_first_property(g: PropertyGraph) -> DataFrame:
+    """J5: owner.next_prop must exist, be in use, be first in chain
+    (prev == -1), and claim this owner (`PrimitiveRecordCheck.java:60-101`)."""
+    owners = _owners(g).filter(F.col("next_prop") != NO_POINTER)
+    props = g.properties.filter(F.col("in_use")).select(
+        F.col("id").alias("p_id"),
+        F.col("prev_prop").alias("p_prev"),
+        F.col("owner_id").alias("p_owner_id"),
+        F.col("owner_kind").alias("p_owner_kind"),
+    )
+    j = owners.join(props, owners["next_prop"] == props["p_id"], "left")
+    rt = F.upper(F.col("o_kind"))
+    out = [
+        j.filter(F.col("p_id").isNull()).select(
+            rt.alias("record_type"),
+            F.lit("propertyNotInUse").alias("rule"),
+            F.col("o_id").cast("long").alias("entity_id"),
+            F.col("next_prop").cast("string").alias("detail"),
+        ),
+        j.filter(F.col("p_id").isNotNull() & (F.col("p_prev") != NO_POINTER)).select(
+            rt.alias("record_type"),
+            F.lit("propertyNotFirstInChain").alias("rule"),
+            F.col("o_id").cast("long").alias("entity_id"),
+            F.col("next_prop").cast("string").alias("detail"),
+        ),
+        j.filter(
+            F.col("p_id").isNotNull()
+            & ((F.col("p_owner_id") != F.col("o_id")) | (F.col("p_owner_kind") != F.col("o_kind")))
+        ).select(
+            rt.alias("record_type"),
+            F.lit("propertyForOtherOwner").alias("rule"),
+            F.col("o_id").cast("long").alias("entity_id"),
+            F.col("next_prop").cast("string").alias("detail"),
+        ),
+    ]
+    return reduce(DataFrame.unionByName, out)
+
+
+def check_properties(g: PropertyGraph) -> DataFrame:
+    """PROPERTY store checks: chain symmetry (J6,
+    `PropertyRecordCheck.java:167-230`), key validity (J7, `:131-137`),
+    typed-value shape (our analog of the dynamic-store block checks
+    `:139-158`)."""
+    props = g.properties
+    live = props.filter(F.col("in_use"))
+    out = []
+    # J6 prev/next symmetry — self-joins on property id
+    target = live.select(
+        F.col("id").alias("t_id"),
+        F.col("prev_prop").alias("t_prev"),
+        F.col("next_prop").alias("t_next"),
+    )
+    for ptr, back, rule_niu, rule_back in (
+        ("prev_prop", "t_next", "prevNotInUse", "previousDoesNotReferenceBack"),
+        ("next_prop", "t_prev", "nextNotInUse", "nextDoesNotReferenceBack"),
+    ):
+        has = live.filter(F.col(ptr) != NO_POINTER)
+        j = has.join(target, has[ptr] == target["t_id"], "left")
+        out.append(_violation(j.filter(F.col("t_id").isNull()), "PROPERTY", rule_niu, "id", F.col(ptr)))
+        out.append(
+            _violation(
+                j.filter(F.col("t_id").isNotNull() & (F.col(back) != F.col("id"))),
+                "PROPERTY",
+                rule_back,
+                "id",
+                F.col(ptr),
+            )
+        )
+    # J7 key checks
+    out.append(
+        _violation(live.filter(F.col("key_id") < 0), "PROPERTY", "invalidPropertyKey", "id", F.col("key_id"))
+    )
+    live_keys = g.property_keys.filter(F.col("in_use")).select(F.col("id").alias("key_id"))
+    out.append(
+        _violation(
+            live.filter(F.col("key_id") >= 0).join(F.broadcast(live_keys), "key_id", "left_anti"),
+            "PROPERTY",
+            "keyNotInUse",
+            "id",
+            F.col("key_id"),
+        )
+    )
+    # typed-value shape: exactly the column matching vtype must be set
+    bad_value = (
+        (F.col("vtype") == "INT")
+        & (F.col("value_long").isNull() | F.col("value_string").isNotNull() | F.col("value_array").isNotNull())
+    ) | (
+        (F.col("vtype") == "STRING")
+        & (F.col("value_string").isNull() | F.col("value_long").isNotNull() | F.col("value_array").isNotNull())
+    ) | (
+        (F.col("vtype") == "ARRAY")
+        & (F.col("value_array").isNull() | F.col("value_long").isNotNull() | F.col("value_string").isNotNull())
+    )
+    out.append(_violation(live.filter(bad_value), "PROPERTY", "invalidPropertyValue", "id", F.col("vtype")))
+    return reduce(DataFrame.unionByName, out)
+
+
+def check_ownership(g: PropertyGraph) -> DataFrame:
+    """J10: every property chain head is owned by exactly one primitive
+    (`PrimitiveRecordCheck.java:39-57` ownerCheck; orphan sweep
+    `OwnerCheck.java:81-145`).
+
+    - multipleOwners: a head referenced by >1 primitives (group count).
+    - orphanChain: a live chain head no primitive references (anti-join).
+    """
+    owners = _owners(g).filter(F.col("next_prop") != NO_POINTER)
+    claims = owners.groupBy("next_prop").agg(F.count("*").alias("n_owners"))
+    multi = claims.filter(F.col("n_owners") > 1)
+    heads = g.properties.filter(F.col("in_use") & (F.col("prev_prop") == NO_POINTER))
+    orphan = heads.join(
+        owners.select(F.col("next_prop").alias("id")), "id", "left_anti"
+    )
+    return _violation(multi, "PROPERTY", "multipleOwners", "next_prop", F.col("n_owners")).unionByName(
+        _violation(orphan, "PROPERTY", "orphanChain", "id", F.col("owner_id"))
+    )
+
+
+def check_dictionaries(g: PropertyGraph) -> DataFrame:
+    """J9: dictionary names must be present and non-empty
+    (`NameRecordCheck.java:42-66` — emptyName / dangling nameId)."""
+    out = []
+    for df, rt in ((g.relationship_types, "RELATIONSHIP_LABEL"), (g.property_keys, "PROPERTY_KEY")):
+        live = df.filter(F.col("in_use"))
+        out.append(
+            _violation(
+                live.filter(F.col("name").isNull() | (F.col("name") == "")),
+                rt,
+                "emptyName",
+                "id",
+                F.col("name"),
+            )
+        )
+    return reduce(DataFrame.unionByName, out)
+
+
+def validate(g: PropertyGraph) -> DataFrame:
+    """FullCheck (`FullCheck.java:71-123`): the whole checker as one plan.
+
+    The reference runs 9 sequential store scans with MULTI_THREADED /
+    MULTI_PASS knobs (`TaskExecutionOrder.java:29-110`); here Catalyst
+    schedules the scans and AQE sizes the shuffles — both knobs dissolve.
+    """
+    return reduce(
+        DataFrame.unionByName,
+        [
+            check_nodes(g),
+            check_relationships(g),
+            check_primitive_first_property(g),
+            check_properties(g),
+            check_ownership(g),
+            check_dictionaries(g),
+        ],
+    )

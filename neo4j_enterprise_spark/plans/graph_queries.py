@@ -268,6 +268,37 @@ def bfs_2hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_full_validation",
+    None,  # non-SQL-expressible end-to-end (generator + 20+ rule suite) → rows-only check
+    doc="FullCheck end-to-end (`FullCheck.java:71-123`): generate the "
+    "reference-shaped fixture graph (S11, `DataGenerator.java:55-101`), "
+    "inject one corruption per family (FullCheckIntegrationTest style), "
+    "run the complete record-check suite, return the A1 summary.",
+)
+def graph_full_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.generator import generate_graph
+    from ..graph.model import PropertyGraph
+    from ..operators import record_checks as rc
+
+    g = generate_graph(spark, node_count=500)
+    corrupt = PropertyGraph(
+        nodes=g.nodes.withColumn(
+            "next_rel", F.when(F.col("id") == 5, F.lit(999_999)).otherwise(F.col("next_rel"))
+        ),
+        relationships=g.relationships.withColumn(
+            "type_id", F.when(F.col("id") == 7, F.lit(-1)).otherwise(F.col("type_id"))
+        ),
+        properties=g.properties.withColumn(
+            "key_id", F.when(F.col("id") == 21, F.lit(99)).otherwise(F.col("key_id"))
+        ),
+        relationship_types=g.relationship_types,
+        property_keys=g.property_keys,
+        graph_props=g.graph_props,
+    )
+    return validation.violations_summary(rc.validate(corrupt)).orderBy("record_type", "rule")
+
+
+@register(
     "snapshot_diff_added",
     """
     SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice
