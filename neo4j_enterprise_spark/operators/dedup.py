@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # deterministic 64-bit mixing constants for the minhash permutation family
-_MERSENNE = (1 << 61) - 1
+_MERSENNE = (1 << 31) - 1  # keeps a*x within int64 (no 128-bit mulmod needed)
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -88,7 +88,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     k: int = 5,
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int = 16,
     seed: int = 42,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.

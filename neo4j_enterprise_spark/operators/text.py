@@ -55,10 +55,16 @@ def language_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     JVM-side; a real deployment swaps in a Pandas-UDF n-gram model with
     identical plumbing."""
     tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    def _match(marker: str):
+        # single-arg lambda: a 2-arg lambda would receive the array INDEX
+        # as its second argument and shadow the captured marker
+        return lambda x: x == F.lit(marker)
+
     cols = []
     for lang, markers in _LANG_MARKERS.items():
         hits = sum(
-            (F.size(F.filter(tokens, lambda x, m=m: x == F.lit(m))) for m in markers),
+            (F.size(F.filter(tokens, _match(m))) for m in markers),
             F.lit(0),
         )
         cols.append(F.struct(hits.cast("long").alias("hits"), F.lit(lang).alias("lang")))

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators import dedup, text
+from ..operators import dedup, similarity, text
 from . import register
 
 
@@ -83,6 +83,81 @@ def docs_lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").cast("long").alias("total_chars"))
         .orderBy("lang", "source")
     )
+
+
+@register(
+    "ann_cosine_top5",
+    """
+    WITH q AS (SELECT vec_id AS seed,
+                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+               FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS neighbor,
+                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS cv
+               FROM embeddings),
+         s AS (SELECT seed, neighbor,
+                      list_dot_product(qv, cv)
+                      / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)) AS score
+               FROM q CROSS JOIN c WHERE neighbor <> seed)
+    SELECT seed, neighbor, score, rk FROM (
+      SELECT seed, neighbor, score,
+             ROW_NUMBER() OVER (PARTITION BY seed ORDER BY score DESC, neighbor) AS rk
+      FROM s)
+    WHERE rk <= 5 ORDER BY seed, rk
+    """,
+    doc="Similarity search baseline: exact top-5 cosine neighbors per "
+    "seed over quantized embeddings (integer dot products → "
+    "order-independent, engine-exact doubles).",
+    bench=True,
+)
+def ann_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 20)
+    return similarity.cosine_topk_bruteforce(emb, seeds, k=5).orderBy("seed", "rk")
+
+
+@register(
+    "ann_lsh_top5",
+    None,  # LSH candidate generation is not faithfully SQL-expressible → rows-only
+    doc="Similarity search scale path: random-hyperplane LSH bucket join "
+    "+ exact scoring of candidates only (recall vs brute force is "
+    "asserted in tests/test_pipeline.py).",
+)
+def ann_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 20)
+    return similarity.lsh_ann_topk(emb, seeds, k=5).orderBy("seed", "rk")
+
+
+@register(
+    "docs_minhash_lsh_candidates",
+    None,  # banded minhash not SQL-expressible → rows-only
+    doc="Near-dup candidate pairs via banded MinHash-LSH "
+    "(shingle→minhash→band-bucket join; O(collisions), never O(n²)).",
+)
+def docs_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "docs_simhash",
+    None,  # 64-bit vote accumulation → rows-only
+    doc="SimHash64 near-dup signatures (bit-vote aggregation, JVM-side).",
+)
+def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.simhash64(docs).orderBy("doc_id")
+
+
+@register(
+    "docs_lang_id",
+    None,  # marker-argmax heuristic → rows-only (lang label exists but the
+    # heuristic is the operator under test)
+    doc="Language-ID heuristic: marker-word hit argmax per doc.",
+)
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return text.language_scores(docs).orderBy("doc_id")
 
 
 @register(

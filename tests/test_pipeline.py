@@ -1,0 +1,67 @@
+"""Pipeline operators: dedup/similarity semantics beyond the oracle gate
+(recall of approximate methods vs exact baselines)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from neo4j_enterprise_spark.catalog import load_table
+from neo4j_enterprise_spark.operators import dedup, similarity
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["seed"], r["neighbor"])
+        for r in similarity.cosine_topk_bruteforce(emb, seeds, k=3).collect()
+    }
+    approx = {
+        (r["seed"], r["neighbor"])
+        for r in similarity.lsh_ann_topk(emb, seeds, k=3, bands=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"LSH recall too low: {recall}"
+
+
+def test_minhash_detects_near_duplicates(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    # append near-duplicates of 5 docs (append one token)
+    dups = (
+        docs.filter(F.col("doc_id") < 5)
+        .select(
+            (F.col("doc_id") + 100_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" end")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    corpus = docs.unionByName(dups)
+    pairs = dedup.minhash_lsh_pairs(corpus)
+    jac = dedup.ngram_jaccard(corpus, pairs)
+    near = jac.filter(F.col("jaccard") > 0.7)
+    found = {(r["doc_a"], r["doc_b"]) for r in near.collect()}
+    expected = {(i, i + 100_000) for i in range(5)}
+    assert expected <= found, f"missing near-dup pairs: {expected - found}"
+
+
+def test_exact_dedup_keep_first(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    dups = docs.filter(F.col("doc_id") < 3).withColumn(
+        "doc_id", F.col("doc_id") + 500_000
+    )
+    corpus = docs.unionByName(dups)
+    kept = dedup.dedup_keep_first(corpus)
+    assert kept.count() == 30  # duplicates dropped, originals (min id) kept
+    assert kept.filter(F.col("doc_id") >= 500_000).count() == 0
+
+
+def test_simhash_near_dup_small_hamming(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    dup = docs.filter(F.col("doc_id") == 0).withColumn(
+        "doc_id", F.lit(900_000).cast("long")
+    ).withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs.unionByName(dup)).collect()}
+    ham = bin((sigs[0] ^ sigs[900_000]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 8, f"near-dup hamming distance too large: {ham}"
