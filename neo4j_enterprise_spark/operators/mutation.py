@@ -1,0 +1,87 @@
+"""Mutation & versioning: batch writes, deterministic id assignment,
+snapshot lineage.
+
+Reference surface:
+- P2 ``setProperty``/``removeProperty`` batches (`LockableNode.java:81-89`).
+- Id allocation: the master hands out 1000-id ranges
+  (`MasterImpl.java:75,406-412`, `IdAllocation.java:25-57`,
+  `HaIdGeneratorFactory.java:129-200`) — here a window over the current
+  high-water mark assigns dense ids with no coordinator at all.
+- Tx ordering: strictly increasing tx ids, applied in order
+  (`MasterImpl.java:414-440`, O3).
+- Branched lineage: ``BranchedDataPolicy`` keep_all/keep_last/keep_none
+  (`ha/.../BranchedDataPolicy.java:30-66`) over snapshot versions.
+
+Writes never mutate in place: each batch produces snapshot version
+``v<txid>`` (snapshot isolation replaces the reference's distributed
+lock manager — SURVEY §3.1 translation).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def assign_ids(df: DataFrame, high_water: int, order_cols: list[str]) -> DataFrame:
+    """Deterministic dense id assignment above the high-water mark.
+
+    ``row_number() + hwm`` over a total order — the Spark-native
+    replacement for ALLOCATE_IDS RPC batches. The single global window is
+    intentional: id assignment is a once-per-batch metadata step, not a
+    hot path (and the reference serializes through one master anyway).
+    """
+    w = Window.orderBy(*order_cols)
+    return df.withColumn("id", (F.row_number().over(w) + F.lit(high_water)).cast("long"))
+
+
+def upsert_properties(props: DataFrame, updates: DataFrame) -> DataFrame:
+    """P2 batch setProperty: MERGE-style upsert keyed by
+    (owner_kind, owner_id, key_id) — replaces matching blocks, appends new
+    ones. One co-partitioned full-outer join."""
+    key = ["owner_kind", "owner_id", "key_id"]
+    merged = props.alias("old").join(updates.alias("new"), key, "full_outer")
+    pick = lambda c: F.coalesce(F.col(f"new.{c}"), F.col(f"old.{c}"))  # noqa: E731
+    cols = [c for c in props.columns if c not in key]
+    return merged.select(*key, *[pick(c).alias(c) for c in cols])
+
+
+def remove_properties(props: DataFrame, removals: DataFrame) -> DataFrame:
+    """P2 removeProperty: anti-join on the property key triple."""
+    return props.join(removals, ["owner_kind", "owner_id", "key_id"], "left_anti")
+
+
+# --- snapshot lineage (BranchedDataPolicy analog) -----------------------
+
+_VERSION_RE = re.compile(r"^v(\d+)$")
+
+
+def list_versions(root: str) -> list[int]:
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in os.listdir(root):
+        m = _VERSION_RE.match(name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def branched_data_policy(root: str, policy: str = "keep_all") -> list[int]:
+    """Apply the branch policy to snapshot lineage
+    (`BranchedDataPolicy.java:30-66`): keep_all archives everything,
+    keep_last keeps only the newest version, keep_none removes all local
+    versions (full re-copy expected). Returns surviving versions."""
+    versions = list_versions(root)
+    if policy == "keep_all" or not versions:
+        return versions
+    survivors = versions[-1:] if policy == "keep_last" else []
+    for v in versions:
+        if v not in survivors:
+            shutil.rmtree(os.path.join(root, f"v{v}"))
+    return survivors

@@ -299,6 +299,29 @@ def graph_full_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txlog_replay_roundtrip",
+    None,  # generator+replay pipeline → rows-only check
+    doc="S9/S10 tx-log export + replay (`RebuildFromLogs.java:61-100`): "
+    "synthesize a commit stream, apply it to a generated base graph in "
+    "two prefix/suffix slices, return per-table row counts of the result.",
+)
+def txlog_replay_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.generator import generate_graph
+    from ..sources.txlog import export_range, replay, synthesize_txlog
+
+    base = generate_graph(spark, node_count=200)
+    log = synthesize_txlog(spark, n_txs=50, base_nodes=200)
+    mid = replay(base, export_range(log, 0, 24))
+    out = replay(mid, export_range(log, 25, 49))
+    counts = [
+        ("nodes", out.nodes.count()),
+        ("relationships", out.relationships.count()),
+        ("properties", out.properties.count()),
+    ]
+    return spark.createDataFrame(counts, "table string, n_rows long")
+
+
+@register(
     "snapshot_diff_added",
     """
     SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice

@@ -1,0 +1,157 @@
+"""Tx-log replay, backup/restore, and streaming apply (M4/M5/M6)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from neo4j_enterprise_spark.graph.generator import generate_graph
+from neo4j_enterprise_spark.operators.mutation import (
+    assign_ids,
+    branched_data_policy,
+    list_versions,
+)
+from neo4j_enterprise_spark.operators.record_checks import validate
+from neo4j_enterprise_spark.sources import snapshot as bk
+from neo4j_enterprise_spark.sources.txlog import (
+    export_range,
+    replay,
+    synthesize_txlog,
+    verify_checksums,
+)
+from neo4j_enterprise_spark.streaming import feeds
+
+
+def test_assign_ids_dense_above_hwm(spark):
+    df = spark.range(5).select(F.col("id").alias("x"))
+    out = assign_ids(df, 100, ["x"])
+    ids = sorted(r["id"] for r in out.collect())
+    assert ids == [101, 102, 103, 104, 105]
+
+
+def test_txlog_checksums_roundtrip(spark):
+    log = synthesize_txlog(spark, n_txs=50)
+    assert verify_checksums(log).count() == 0
+    tampered = log.withColumn(
+        "payload", F.when(F.col("tx_id") == 7, F.lit('{"x":1}')).otherwise(F.col("payload"))
+    )
+    assert verify_checksums(tampered).count() == 1
+
+
+def test_export_range_inclusive(spark):
+    log = synthesize_txlog(spark, n_txs=50)
+    sl = export_range(log, 10, 19)
+    assert sl.count() == 10
+    assert sl.agg(F.min("tx_id"), F.max("tx_id")).collect()[0] == (10, 19)
+
+
+def test_replay_applies_creates_deletes_and_props(spark):
+    base = generate_graph(spark, node_count=100)
+    log = synthesize_txlog(spark, n_txs=60, base_nodes=100)
+    out = replay(base, log)
+    n_created = log.filter(F.col("op") == "create_node").count()
+    deleted = {
+        r["entity_id"]
+        for r in log.filter(F.col("op") == "delete_node").collect()
+    }
+    assert out.nodes.count() == 100 + n_created - len(
+        deleted & set(range(100))
+    )
+    # replayed graph still satisfies chain invariants for surviving rels
+    # (note: deleting nodes legitimately dangles their rels → only check
+    # chain symmetry rules, not endpoint rules)
+    v = validate(out)
+    chain_rules = v.filter(F.col("rule").contains("ReferenceBack"))
+    assert chain_rules.count() == 0
+
+
+def test_replay_is_idempotent_and_prefix_consistent(spark):
+    base = generate_graph(spark, node_count=80)
+    log = synthesize_txlog(spark, n_txs=40, base_nodes=80)
+    full = replay(base, log)
+    # applying a prefix then the remainder = applying everything at once
+    mid = replay(base, export_range(log, 0, 19))
+    resumed = replay(mid, export_range(log, 20, 39))
+    a = {tuple(r) for r in full.nodes.collect()}
+    b = {tuple(r) for r in resumed.nodes.collect()}
+    assert a == b
+
+
+def test_full_backup_restore_verified(spark, tmp_path):
+    g = generate_graph(spark, node_count=100)
+    d = str(tmp_path / "bk")
+    bk.full_backup(g, d, last_tx=0)
+    restored = bk.restore(spark, d, verify=True)
+    assert restored.nodes.count() == 100
+    assert restored.relationships.count() == g.relationships.count()
+
+
+def test_incremental_backup_restore(spark, tmp_path):
+    g = generate_graph(spark, node_count=100)
+    d = str(tmp_path / "bk2")
+    bk.full_backup(g, d, last_tx=-1)
+    log = synthesize_txlog(spark, n_txs=30, base_nodes=100)
+    bk.incremental_backup(d, log, up_to_tx=29)
+    restored = bk.restore(spark, d, verify=False)
+    expected = replay(g, log)
+    assert restored.nodes.count() == expected.nodes.count()
+    a = {tuple(r) for r in restored.nodes.collect()}
+    b = {tuple(r) for r in expected.nodes.collect()}
+    assert a == b
+
+
+def test_branched_data_policy(spark, tmp_path):
+    g = generate_graph(spark, node_count=20)
+    root = str(tmp_path / "lineage")
+    for v in (1, 2, 3):
+        g.save(root, version=v)
+    assert list_versions(root) == [1, 2, 3]
+    assert branched_data_policy(root, "keep_last") == [3]
+    assert list_versions(root) == [3]
+
+
+def test_streaming_pull_apply_exactly_once(spark, tmp_path):
+    log_dir = str(tmp_path / "stream_log")
+    os.makedirs(log_dir)
+    log = synthesize_txlog(spark, n_txs=30)
+    log.filter(F.col("tx_id") < 15).coalesce(1).write.mode("append").parquet(log_dir)
+    log.filter(F.col("tx_id") >= 10).coalesce(1).write.mode("append").parquet(log_dir)
+    # note the overlap 10-14: at-least-once delivery must not double-apply
+
+    applied = []
+
+    def apply_fn(batch, batch_id):
+        applied.extend(r["tx_id"] for r in batch.select("tx_id").collect())
+
+    q = feeds.pull_apply(
+        feeds.txlog_stream(spark, log_dir),
+        apply_fn,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        state_dir=str(tmp_path / "state"),
+    )
+    q.awaitTermination(120)
+    assert sorted(applied) == list(range(30)), f"applied: {sorted(applied)}"
+
+
+def test_streaming_push_fanout(spark, tmp_path):
+    log_dir = str(tmp_path / "push_log")
+    os.makedirs(log_dir)
+    synthesize_txlog(spark, n_txs=20).coalesce(1).write.mode("append").parquet(log_dir)
+    sinks = [str(tmp_path / f"sink{i}") for i in range(3)]
+    q = feeds.push_fanout(
+        feeds.txlog_stream(spark, log_dir), sinks, checkpoint_dir=str(tmp_path / "ckpt2")
+    )
+    q.awaitTermination(120)
+    for s in sinks:
+        assert spark.read.parquet(s).count() == 20
+
+
+def test_windowed_counts_batch_semantics(spark, sf_dir):
+    from neo4j_enterprise_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = feeds.windowed_counts(ev)  # works on batch DF too (same plan)
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == ev.count()
