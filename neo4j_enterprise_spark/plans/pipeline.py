@@ -161,6 +161,27 @@ def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_decode_pipeline",
+    None,  # mapInPandas decode/featurize stages → rows-only check
+    doc="Multimodal plumbing: binary payload + typed metadata → "
+    "Arrow-batched decode (deterministic fake codec) → feature join; "
+    "real codecs swap into the same mapInPandas stages.",
+)
+def media_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = mm.attach_media(docs)
+    decoded = mm.decode_image(media, deterministic_fake=True)
+    feats = mm.extract_features(media, dim=8)
+    return (
+        decoded.join(feats, "media_id")
+        .select("media_id", "width", "height", "n_channels", "vector_dim")
+        .orderBy("media_id")
+    )
+
+
+@register(
     "docs_quality_scores",
     """
     SELECT doc_id,

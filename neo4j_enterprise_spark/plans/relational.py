@@ -339,6 +339,185 @@ def election_winner_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "record_counts_per_table",
+    """
+    SELECT 'customer' AS tbl, COUNT(*) AS n FROM customer
+    UNION ALL SELECT 'documents', COUNT(*) FROM documents
+    UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings
+    UNION ALL SELECT 'events', COUNT(*) FROM events
+    UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+    UNION ALL SELECT 'nation', COUNT(*) FROM nation
+    UNION ALL SELECT 'orders', COUNT(*) FROM orders
+    UNION ALL SELECT 'part', COUNT(*) FROM part
+    UNION ALL SELECT 'region', COUNT(*) FROM region
+    UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+    ORDER BY tbl
+    """,
+    doc="A2 record counts per store (`DataGenerator.java:206-211` "
+    "printCount per store).",
+)
+def record_counts_per_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import TABLES
+
+    parts = [
+        load_table(spark, sf_dir, t).agg(
+            F.lit(t).alias("tbl"), F.count("*").alias("n")
+        )
+        for t in sorted(TABLES)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("tbl")
+
+
+@register(
+    "property_projection_default",
+    """
+    SELECT o.o_orderkey AS rel_id,
+           COALESCE(c_live.c_name, '<deleted>') AS owner_name
+    FROM orders o
+    LEFT JOIN (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 7 <> 0) c_live
+      ON o.o_custkey = c_live.c_custkey
+    WHERE o.o_orderkey < 500
+    ORDER BY rel_id
+    """,
+    doc="P1 getProperty(key, default) (`LockableNode.java:60-66`): "
+    "property projection with default for missing/deleted owners "
+    "(deleted = the derived graph's not-in-use customers).",
+)
+def property_projection_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 != 0)
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left")
+        .select(
+            F.col("o_orderkey").alias("rel_id"),
+            F.coalesce(F.col("c_name"), F.lit("<deleted>")).alias("owner_name"),
+        )
+        .orderBy("rel_id")
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 150
+    ORDER BY totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q18 shape: HAVING over a fact aggregation, top-20.",
+    bench=True,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(F.sum(_d("l_quantity")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 150)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS r
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, CAST(rev.r AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.r = (SELECT MAX(r) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+    doc="TPC-H Q15 shape: max-revenue supplier via agg + scalar subquery "
+    "(decimal-exact so the max comparison is unambiguous).",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_d("l_extendedprice") * (F.lit(1) - _d("l_discount"))).alias("r")
+    )
+    max_r = rev.agg(F.max("r").alias("m"))
+    return (
+        s.join(rev, s["s_suppkey"] == rev["l_suppkey"])
+        .join(F.broadcast(max_r), F.col("r") == F.col("m"))
+        .select("s_suppkey", "s_name", F.col("r").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    """
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+      JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE cn.n_nationkey <> sn.n_nationkey
+      AND l.l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+      AND cn.n_nationkey < 4 AND sn.n_nationkey < 4
+    GROUP BY cn.n_name, sn.n_name, EXTRACT(year FROM l.l_shipdate)
+    ORDER BY cust_nation, supp_nation, l_year
+    """,
+    doc="TPC-H Q7 shape: cross-nation trade volume by year (double "
+    "nation dim join, year extraction).",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 4)
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    rev = _d("l_extendedprice") * (F.lit(1) - _d("l_discount"))
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, F.col("l_orderkey") == o["o_orderkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .filter(F.col("c_nk") != F.col("s_nk"))
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy("cust_nation", "supp_nation", "l_year")
+    )
+
+
+@register(
     "events_hourly_rollup",
     """
     SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,

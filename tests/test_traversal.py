@@ -1,0 +1,54 @@
+"""Traversal operators: BFS, connected components, PageRank (M7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from neo4j_enterprise_spark.operators import traversal
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(i, s, d, "T") for i, (s, d) in enumerate(pairs)],
+        "id long, src long, dst long, type_name string",
+    )
+
+
+def test_bfs_hop_counts(spark):
+    # path 0→1→2→3 plus branch 1→4
+    rels = _edges_df(spark, [(0, 1), (1, 2), (2, 3), (1, 4)])
+    seeds = spark.createDataFrame([(0,)], "seed long")
+    out = {
+        (r["node_id"], r["hops"])
+        for r in traversal.bfs_reachable(rels, seeds, k=2).collect()
+    }
+    assert out == {(0, 0), (1, 1), (2, 2), (4, 2)}
+
+
+def test_bfs_takes_min_hops_on_diamond(spark):
+    # 0→1→3 and 0→3 direct: hops(3) must be 1
+    rels = _edges_df(spark, [(0, 1), (1, 3), (0, 3)])
+    seeds = spark.createDataFrame([(0,)], "seed long")
+    got = {
+        r["node_id"]: r["hops"]
+        for r in traversal.bfs_reachable(rels, seeds, k=2).collect()
+    }
+    assert got[3] == 1 and got[1] == 1
+
+
+def test_connected_components_two_islands(spark):
+    rels = _edges_df(spark, [(0, 1), (1, 2), (5, 6), (6, 7)])
+    out = {
+        r["node_id"]: r["component"]
+        for r in traversal.connected_components(rels).collect()
+    }
+    assert out[0] == out[1] == out[2] == 0
+    assert out[5] == out[6] == out[7] == 5
+
+
+def test_pagerank_sums_to_n_and_ranks_hub_highest(spark):
+    # star: everyone points at 0
+    rels = _edges_df(spark, [(1, 0), (2, 0), (3, 0), (4, 0)])
+    out = {r["node_id"]: r["rank"] for r in traversal.pagerank(rels, iterations=15).collect()}
+    assert abs(sum(out.values()) - 5.0) < 1e-6
+    assert out[0] == max(out.values())
