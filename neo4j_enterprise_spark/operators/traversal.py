@@ -39,6 +39,7 @@ def bfs_reachable(
     k: int,
     direction: str = "out",
     types: Iterable[str] | None = None,
+    cache_edges: bool = True,
 ) -> DataFrame:
     """T2: nodes reachable from each seed within ≤ k hops.
 
@@ -46,8 +47,14 @@ def bfs_reachable(
     minimal hop count ≤ k (seed itself at hops=0). Per-seed visited sets
     are kept distributed; dedup per round is a groupBy-min on
     (seed, node_id) — map-side combinable.
+
+    ``cache_edges`` persists the (filtered, projected) edge set once so
+    each hop re-reads memory instead of re-deriving/re-scanning the
+    relationship source — the standard iterative-join optimization.
     """
     edges = _edges(rels, direction, types)
+    if cache_edges and k > 1:
+        edges = edges.persist()
     reached = seeds.select(
         F.col("seed").cast("long").alias("seed"),
         F.col("seed").cast("long").alias("node_id"),

@@ -120,7 +120,7 @@ def neighborhood_1hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     rels = derived_rels(spark, sf_dir)
     seeds = nodes.filter(F.col("id").between(1, 50)).select("id")
     out = reads.expand_1hop(nodes, rels, seeds, "out")
-    return out.select("seed", "id", "kind", "name").orderBy("seed", "id")
+    return out.select("seed", "id", "kind", "name")
 
 
 @register(
@@ -136,8 +136,7 @@ def neighborhood_1hop(spark: SparkSession, sf_dir: str) -> DataFrame:
 def degree_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         reads.degree_by_type(derived_rels(spark, sf_dir), "out")
-        .orderBy("node_id", "type_name")
-    )
+    )  # order-insensitive compare; no global sort
 
 
 @register(
@@ -176,7 +175,7 @@ def degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def endpoints_not_in_use(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = derived_nodes(spark, sf_dir)
     rels = derived_rels(spark, sf_dir)
-    return validation.endpoints_not_in_use(rels, nodes).orderBy("rule", "entity_id")
+    return validation.endpoints_not_in_use(rels, nodes)  # order-insensitive compare; no global sort
 
 
 @register(
@@ -216,7 +215,7 @@ def violations_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ascending rel id per src (FIXTURES.md §2).",
 )
 def first_in_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return validation.first_in_chain(derived_rels(spark, sf_dir)).orderBy("node_id")
+    return validation.first_in_chain(derived_rels(spark, sf_dir))
 
 
 @register(

@@ -62,9 +62,7 @@ def docs_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return text.token_stats(docs).select("doc_id", "n_chars_actual", "n_tokens").orderBy(
-        "doc_id"
-    )
+    return text.token_stats(docs).select("doc_id", "n_chars_actual", "n_tokens")
 
 
 @register(
@@ -200,4 +198,4 @@ def docs_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.quality_scores(docs).select(
         "doc_id", "n_chars_actual", "n_tokens", "avg_token_len", "passes_quality"
-    ).orderBy("doc_id")
+    )

@@ -395,7 +395,6 @@ def property_projection_default(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey").alias("rel_id"),
             F.coalesce(F.col("c_name"), F.lit("<deleted>")).alias("owner_name"),
         )
-        .orderBy("rel_id")
     )
 
 
@@ -582,8 +581,7 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.col("w.end")).alias("session_end_us"),
             "n_events",
         )
-        .orderBy("user_id", "session_start_us")
-    )
+    )  # order-insensitive compare; no global sort
 
 
 @register(
