@@ -80,6 +80,25 @@ def expand_1hop(
     return hop.join(nodes, hop["nbr"] == nodes["id"]).drop("nbr")
 
 
+def single_relationship(
+    rels: DataFrame,
+    node_id: int,
+    rel_type: str,
+    direction: Direction = "out",
+) -> DataFrame:
+    """P5: ``getSingleRelationship(type, dir)`` — 0-or-1 semantics,
+    raises if the node has more than one matching relationship
+    (`LockableNode.java:147-151` — the kernel throws NotFoundException
+    on >1)."""
+    matches = rels_of(rels, node_id, direction, [rel_type])
+    found = matches.limit(2).collect()
+    if len(found) > 1:
+        raise ValueError(
+            f"node {node_id} has more than one {rel_type} relationship ({direction})"
+        )
+    return matches
+
+
 def degree_by_type(rels: DataFrame, direction: Direction = "out") -> DataFrame:
     """A4: relationship count per node per type (map-side combinable)."""
     if direction == "out":

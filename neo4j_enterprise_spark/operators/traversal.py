@@ -76,6 +76,93 @@ def bfs_reachable(
     return reached
 
 
+def traverse(
+    nodes: DataFrame,
+    rels: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    direction: str = "out",
+    types: Iterable[str] | None = None,
+    prune=None,
+    emit=None,
+) -> DataFrame:
+    """T2/X1: the legacy ``Traverser`` surface —
+    ``traverse(BFS, StopEvaluator, ReturnableEvaluator, types...)``
+    (`LockableNode.java:178-201`).
+
+    ``prune``: Column predicate over node columns; nodes satisfying it are
+    returned but NOT expanded (StopEvaluator.stopAt). ``emit``: Column
+    predicate selecting which visited nodes are returned
+    (ReturnableEvaluator). Column predicates keep evaluation JVM-side;
+    arbitrary Python evaluators can be wrapped as pandas_udf booleans and
+    passed the same way (the UDF is evaluated once per frontier batch).
+    """
+    edges = _edges(rels, direction, types)
+    if k > 1:
+        edges = edges.persist()
+    node_attrs = nodes
+    reached = seeds.select(
+        F.col("seed").cast("long").alias("seed"),
+        F.col("seed").cast("long").alias("node_id"),
+        F.lit(0).alias("hops"),
+    )
+    frontier = reached
+    for depth in range(1, k + 1):
+        if prune is not None:
+            expandable = (
+                frontier.join(node_attrs, frontier["node_id"] == node_attrs["id"])
+                .filter(~prune)
+                .select("seed", "node_id", "hops")
+            )
+        else:
+            expandable = frontier
+        nxt = (
+            expandable.join(edges, expandable["node_id"] == edges["a"])
+            .select("seed", F.col("b").alias("node_id"), F.lit(depth).alias("hops"))
+            .join(reached.select("seed", "node_id"), ["seed", "node_id"], "left_anti")
+            .groupBy("seed", "node_id")
+            .agg(F.min("hops").alias("hops"))
+        )
+        if depth % CHECKPOINT_EVERY == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        reached = reached.unionByName(nxt)
+        frontier = nxt
+    if emit is not None:
+        reached = (
+            reached.join(node_attrs, reached["node_id"] == node_attrs["id"])
+            .filter(emit)
+            .select("seed", "node_id", "hops")
+        )
+    return reached
+
+
+def chain_explorer(rels: DataFrame, broken_rel_ids: DataFrame) -> DataFrame:
+    """T3/J13: the repair tool's depth-2 chain exploration
+    (`RelationshipChainExplorer.java:39-90`, `OwningNodeRelationshipChain`):
+    from each suspect relationship, collect every relationship on both
+    endpoint nodes' chains, then the chains of those rels' other
+    endpoints — two fixed self-join rounds, unioned as a RecordSet (U1,
+    `RecordSet.java` union/addAll → distinct union)."""
+    suspect = broken_rel_ids.select(F.col("rel_id"))
+    r = rels.select("id", "src", "dst")
+    ends = (
+        suspect.join(r, suspect["rel_id"] == r["id"])
+        .select("rel_id", F.explode(F.array("src", "dst")).alias("node"))
+    )
+    round1 = ends.join(
+        r.select(F.col("id").alias("found_rel"), F.explode(F.array("src", "dst")).alias("node")),
+        "node",
+    ).select("rel_id", "found_rel")
+    ends2 = round1.join(r, round1["found_rel"] == r["id"]).select(
+        "rel_id", F.explode(F.array("src", "dst")).alias("node")
+    )
+    round2 = ends2.join(
+        r.select(F.col("id").alias("found_rel"), F.explode(F.array("src", "dst")).alias("node")),
+        "node",
+    ).select("rel_id", "found_rel")
+    return round1.unionByName(round2).distinct()
+
+
 def connected_components(rels: DataFrame, max_iter: int = 20) -> DataFrame:
     """Batch analytics: connected components via iterative label
     propagation (small-star style: every node adopts the min component id

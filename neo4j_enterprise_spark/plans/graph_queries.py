@@ -298,6 +298,93 @@ def graph_full_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pattern_2hop_paths",
+    f"""
+    {graph_cte(nodes=False)},
+    e1 AS (SELECT src AS n0, dst AS n1 FROM rels WHERE type_name = 'PLACED'),
+    e2 AS (SELECT src AS n1, dst AS n2 FROM rels WHERE type_name = 'CONTAINS')
+    SELECT n0, COUNT(*) AS n_paths
+    FROM e1 JOIN e2 USING (n1)
+    WHERE n0 <= 30
+    GROUP BY n0 ORDER BY n0
+    """,
+    doc="Cypher-ish pattern (c)-[:PLACED]->(o)-[:CONTAINS]->(p) compiled "
+    "to joins (`operators/pattern.py`; SURVEY §4: pattern DSL → joins, "
+    "no custom Catalyst rules).",
+)
+def pattern_2hop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pattern import match_path
+
+    nodes = derived_nodes(spark, sf_dir)
+    rels = derived_rels(spark, sf_dir)
+    paths = match_path(nodes, rels, [("PLACED", "out"), ("CONTAINS", "out")])
+    return (
+        paths.filter(F.col("n0") <= 30)
+        .groupBy("n0")
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy("n0")
+    )
+
+
+@register(
+    "traverse_pruned_2hop",
+    f"""
+    {graph_cte()},
+    seeds AS (SELECT id AS seed FROM nodes WHERE id BETWEEN 1 AND 10 AND kind = 'customer'),
+    hop1 AS (SELECT s.seed, r.dst AS node_id FROM seeds s
+             JOIN rels r ON r.src = s.seed GROUP BY s.seed, r.dst),
+    -- StopEvaluator: do not expand nation nodes
+    hop2 AS (SELECT h.seed, r.dst AS node_id
+             FROM hop1 h JOIN nodes n ON n.id = h.node_id AND n.kind <> 'nation'
+             JOIN rels r ON r.src = h.node_id
+             GROUP BY h.seed, r.dst),
+    reach AS (SELECT seed, seed AS node_id, 0 AS hops FROM seeds
+              UNION ALL
+              SELECT seed, node_id, 1 FROM hop1
+              UNION ALL
+              SELECT h2.seed, h2.node_id, 2 FROM hop2 h2
+              WHERE NOT EXISTS (SELECT 1 FROM hop1 h1
+                                WHERE h1.seed = h2.seed AND h1.node_id = h2.node_id))
+    SELECT seed, node_id, CAST(MIN(hops) AS INT) AS hops
+    FROM reach GROUP BY seed, node_id ORDER BY seed, node_id
+    """,
+    doc="X1 Traverser with StopEvaluator (`LockableNode.java:178-201`): "
+    "BFS that returns pruned nodes but does not expand them.",
+)
+def traverse_pruned_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = derived_nodes(spark, sf_dir)
+    rels = derived_rels(spark, sf_dir)
+    seeds = nodes.filter(
+        (F.col("id").between(1, 10)) & (F.col("kind") == "customer")
+    ).select(F.col("id").alias("seed"))
+    return traversal.traverse(
+        nodes, rels, seeds, k=2, direction="out", prune=(F.col("kind") == "nation")
+    ).orderBy("seed", "node_id")
+
+
+@register(
+    "round_robin_assignment",
+    """
+    SELECT s_suppkey,
+           CAST((ROW_NUMBER() OVER (ORDER BY s_suppkey) - 1) % 3 AS INT) AS slot
+    FROM supplier ORDER BY s_suppkey
+    """,
+    doc="W3 round-robin start index (`SlavePriorities.java:68-103`): "
+    "row_number % k slot assignment.",
+)
+def round_robin_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        ((F.row_number().over(Window.orderBy("s_suppkey")) - 1) % 3)
+        .cast("int")
+        .alias("slot"),
+    ).orderBy("s_suppkey")
+
+
+@register(
     "txlog_replay_roundtrip",
     None,  # generator+replay pipeline → rows-only check
     doc="S9/S10 tx-log export + replay (`RebuildFromLogs.java:61-100`): "

@@ -1,0 +1,80 @@
+"""Pattern matching, single-relationship assertion, chain explorer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_enterprise_spark.operators import reads, traversal
+from neo4j_enterprise_spark.operators.pattern import match_path
+
+
+def _graph(spark):
+    nodes = spark.createDataFrame(
+        [(i, "n", True, f"node{i}") for i in range(10)],
+        "id long, kind string, in_use boolean, name string",
+    )
+    rels = spark.createDataFrame(
+        [
+            (0, 0, 1, "A"),
+            (1, 1, 2, "B"),
+            (2, 1, 3, "B"),
+            (3, 4, 5, "A"),
+            (4, 0, 6, "C"),
+        ],
+        "id long, src long, dst long, type_name string",
+    )
+    return nodes, rels
+
+
+def test_match_path_two_steps(spark):
+    nodes, rels = _graph(spark)
+    out = match_path(nodes, rels, [("A", "out"), ("B", "out")])
+    got = {(r["n0"], r["n1"], r["n2"]) for r in out.collect()}
+    assert got == {(0, 1, 2), (0, 1, 3)}
+
+
+def test_match_path_direction_in(spark):
+    nodes, rels = _graph(spark)
+    out = match_path(nodes, rels, [("B", "in")])
+    got = {(r["n0"], r["n1"]) for r in out.collect()}
+    assert got == {(2, 1), (3, 1)}
+
+
+def test_single_relationship_ok_and_raises(spark):
+    nodes, rels = _graph(spark)
+    assert reads.single_relationship(rels, 0, "A", "out").count() == 1
+    assert reads.single_relationship(rels, 0, "B", "out").count() == 0
+    with pytest.raises(ValueError, match="more than one"):
+        reads.single_relationship(rels, 1, "B", "out")
+
+
+def test_chain_explorer_covers_neighborhood(spark):
+    nodes, rels = _graph(spark)
+    broken = spark.createDataFrame([(0,)], "rel_id long")
+    found = {r["found_rel"] for r in traversal.chain_explorer(rels, broken).collect()}
+    # rel 0 touches nodes 0,1 → rels 0,1,2,4 directly; their endpoints
+    # (2,3,6) pull nothing new; rel 3 (disconnected) must NOT appear
+    assert 3 not in found
+    assert {0, 1, 2, 4} <= found
+
+
+def test_traverse_prune_stops_expansion(spark):
+    nodes, rels = _graph(spark)
+    seeds = spark.createDataFrame([(0,)], "seed long")
+    # prune node 1: it is returned but 2/3 are never reached
+    out = traversal.traverse(
+        nodes, rels, seeds, k=2, prune=(F.col("id") == 1)
+    )
+    got = {r["node_id"] for r in out.collect()}
+    assert got == {0, 1, 6}
+
+
+def test_traverse_emit_filters_output(spark):
+    nodes, rels = _graph(spark)
+    seeds = spark.createDataFrame([(0,)], "seed long")
+    out = traversal.traverse(
+        nodes, rels, seeds, k=2, emit=(F.col("id") % 2 == 0)
+    )
+    got = {r["node_id"] for r in out.collect()}
+    assert got == {0, 2, 6}
