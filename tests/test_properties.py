@@ -1,0 +1,78 @@
+"""Property-based tests (hypothesis): chain-ordering and diff-check
+invariants hold for arbitrary generator shapes — the upgrade over the
+reference's example-based suite noted in SURVEY.md §5."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from neo4j_enterprise_spark.graph.generator import generate_graph
+from neo4j_enterprise_spark.graph.model import NO_POINTER
+from neo4j_enterprise_spark.operators.diff import snapshot_diff
+from neo4j_enterprise_spark.operators.record_checks import validate
+
+_slow = settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    n=st.integers(min_value=2, max_value=60),
+    rel_counts=st.tuples(st.integers(0, 3), st.integers(0, 2)),
+    seed=st.integers(0, 2**16),
+)
+@_slow
+def test_generated_graph_always_validates_clean(spark, n, rel_counts, seed):
+    g = generate_graph(
+        spark,
+        node_count=n,
+        rel_specs={"FOO": rel_counts[0], "BAR": rel_counts[1]},
+        prop_specs={"INTEGER": 1, "STRING": 1},
+        seed=seed,
+    )
+    assert validate(g).count() == 0
+
+
+@given(n=st.integers(min_value=2, max_value=60), seed=st.integers(0, 2**16))
+@_slow
+def test_chain_order_is_ascending_id_per_endpoint(spark, n, seed):
+    g = generate_graph(spark, node_count=n, seed=seed)
+    rels = g.relationships
+    # walking src_next from every chain head in link order must visit ids
+    # ascending: equivalently, src_next > id whenever set
+    bad_next = rels.filter(
+        (F.col("src_next") != NO_POINTER) & (F.col("src_next") <= F.col("id"))
+    ).count()
+    bad_prev = rels.filter(
+        (F.col("src_prev") != NO_POINTER) & (F.col("src_prev") >= F.col("id"))
+    ).count()
+    assert bad_next == 0 and bad_prev == 0
+
+
+@given(
+    n=st.integers(min_value=5, max_value=50),
+    drop_mod=st.integers(2, 7),
+    seed=st.integers(0, 2**10),
+)
+@_slow
+def test_snapshot_diff_partitions_changes(spark, n, drop_mod, seed):
+    g = generate_graph(spark, node_count=n, seed=seed)
+    old = g.nodes
+    new = (
+        old.filter(F.col("id") % drop_mod != 0)  # removals
+        .unionByName(
+            old.select(
+                (F.col("id") + 100_000).alias("id"), "in_use", "next_rel", "next_prop"
+            ).limit(3)  # additions
+        )
+    )
+    d = snapshot_diff(old, new, "id", ["in_use", "next_rel", "next_prop"])
+    by_change = {r["change"]: r["cnt"] for r in d.groupBy("change").agg(F.count("*").alias("cnt")).collect()}
+    n_removed = old.filter(F.col("id") % drop_mod == 0).count()
+    assert by_change.get("removed", 0) == n_removed
+    assert by_change.get("added", 0) == min(3, n)
+    assert "changed" not in by_change
