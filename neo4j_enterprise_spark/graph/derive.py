@@ -63,8 +63,27 @@ SUPP_NATION_OFF = 2_100_000_000
 IN_REGION_OFF = 2_200_000_000
 
 
+# Memoized persisted copies, keyed by (session, sf_dir). Many declared
+# queries share the derivation; persisting it once turns 5-6 parquet
+# unions per query into an in-memory scan (the tables are a few MB even
+# at sf0.1 — at real scale you'd materialize them with
+# write_graph_tables instead).
+_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _memo(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
+    key = (id(spark._jsparkSession), sf_dir, kind)
+    if key not in _CACHE:
+        _CACHE[key] = build().persist()
+    return _CACHE[key]
+
+
 def derived_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nodes(id BIGINT, kind STRING, in_use BOOLEAN, name STRING)."""
+    return _memo(spark, sf_dir, "nodes", lambda: _derived_nodes(spark, sf_dir))
+
+
+def _derived_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").cast("long").alias("id"),
         F.lit("customer").alias("kind"),
@@ -106,6 +125,10 @@ def derived_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def derived_rels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """relationships(id, src, dst BIGINT, type_id INT, type_name STRING)."""
+    return _memo(spark, sf_dir, "rels", lambda: _derived_rels(spark, sf_dir))
+
+
+def _derived_rels(spark: SparkSession, sf_dir: str) -> DataFrame:
     placed = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").cast("long").alias("id"),
         F.col("o_custkey").cast("long").alias("src"),

@@ -20,19 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-QUANT = 1000
-
-
-def quantize(col: Column) -> Column:
-    """array<float> → array<bigint>: round(x·1000) per element (exact and
-    engine-portable: double multiply, ties away from zero)."""
-    return F.transform(col, lambda x: F.round(x.cast("double") * QUANT, 0).cast("long"))
-
-
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
-    )
+from ..functions.vectors import QUANT, dot as _dot, quantize
 
 
 def cosine_topk_bruteforce(

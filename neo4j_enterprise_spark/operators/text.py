@@ -19,11 +19,7 @@ _LANG_MARKERS = {
 }
 
 
-def _n_tokens(text_col) -> F.Column:
-    """Whitespace token count as a pure expression: #spaces-in-collapsed
-    text + 1 (matches the DuckDB oracle formula exactly)."""
-    t = F.trim(text_col)
-    return (F.length(t) - F.length(F.regexp_replace(t, " ", "")) + 1).cast("long")
+from ..functions.text import n_tokens as _n_tokens
 
 
 def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -50,9 +50,7 @@ _PAYLOAD_SCHEMA = StructType(
 )
 
 
-def checksum_column(*cols) -> F.Column:
-    """F5: deterministic per-row checksum over the op payload."""
-    return F.xxhash64(*cols)
+from ..functions.hashing import checksum_column  # F5 per-row checksum
 
 
 def export_range(txlog: DataFrame, start_tx: int, end_tx: int) -> DataFrame:
