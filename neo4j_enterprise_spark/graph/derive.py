@@ -27,7 +27,9 @@ Relationship id spaces / types:
 
 =============== ==== ================================================
 PLACED          1    ``o_orderkey``; customer → order
-CONTAINS        2    ``1e9 + l_orderkey*8 + l_linenumber``; order → part
+CONTAINS        2    ``1e9 + (l_orderkey*8 + l_linenumber)*16 + dup_seq``;
+                     order → part (dup_seq disambiguates duplicate
+                     (orderkey, linenumber) pairs in the synthetic data)
 IN_NATION       3    ``2.0e9 + c_custkey``; customer → nation
 SUPP_NATION     4    ``2.1e9 + s_suppkey``; supplier → nation
 IN_REGION       5    ``2.2e9 + n_nationkey``; nation → region
@@ -136,14 +138,31 @@ def _derived_rels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("type_id"),
         F.lit("PLACED").alias("type_name"),
     )
-    contains = load_table(spark, sf_dir, "lineitem").select(
-        (F.col("l_orderkey") * 8 + F.col("l_linenumber") + CONTAINS_OFF)
-        .cast("long")
-        .alias("id"),
-        (F.col("l_orderkey") + ORDER_OFF).cast("long").alias("src"),
-        (F.col("l_partkey") + PART_OFF).cast("long").alias("dst"),
-        F.lit(2).alias("type_id"),
-        F.lit("CONTAINS").alias("type_name"),
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data (up
+    # to 6 duplicates per pair), so a windowed sequence disambiguates —
+    # partitioned by the pair (distributed; no global window), ordered by
+    # the remaining columns, which are unique within a pair.
+    from pyspark.sql.window import Window
+
+    w_dup = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    contains = (
+        load_table(spark, sf_dir, "lineitem")
+        .withColumn("seq", F.row_number().over(w_dup))
+        .select(
+            (
+                (F.col("l_orderkey") * 8 + F.col("l_linenumber")) * 16
+                + F.col("seq")
+                + CONTAINS_OFF
+            )
+            .cast("long")
+            .alias("id"),
+            (F.col("l_orderkey") + ORDER_OFF).cast("long").alias("src"),
+            (F.col("l_partkey") + PART_OFF).cast("long").alias("dst"),
+            F.lit(2).alias("type_id"),
+            F.lit("CONTAINS").alias("type_name"),
+        )
     )
     in_nation = load_table(spark, sf_dir, "customer").select(
         (F.col("c_custkey") + IN_NATION_OFF).cast("long").alias("id"),
@@ -198,7 +217,10 @@ SELECT CAST(o_orderkey AS BIGINT) AS id, CAST(o_custkey AS BIGINT) AS src,
        CAST(o_orderkey + 1000000 AS BIGINT) AS dst,
        1 AS type_id, 'PLACED' AS type_name FROM orders
 UNION ALL
-SELECT CAST(l_orderkey * 8 + l_linenumber + 1000000000 AS BIGINT),
+SELECT CAST((l_orderkey * 8 + l_linenumber) * 16
+            + ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linenumber
+                                 ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice)
+            + 1000000000 AS BIGINT),
        CAST(l_orderkey + 1000000 AS BIGINT),
        CAST(l_partkey + 2000000 AS BIGINT), 2, 'CONTAINS' FROM lineitem
 UNION ALL

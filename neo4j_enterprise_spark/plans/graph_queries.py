@@ -298,6 +298,94 @@ def graph_full_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "record_model_validation",
+    f"""
+    {graph_cte()},
+    rels_rm AS (
+      SELECT id, src, dst, type_id, type_name,
+             COALESCE(LAG(id)  OVER (PARTITION BY src ORDER BY id), -1) AS src_prev,
+             COALESCE(LEAD(id) OVER (PARTITION BY src ORDER BY id), -1) AS src_next,
+             COALESCE(LAG(id)  OVER (PARTITION BY dst ORDER BY id), -1) AS dst_prev,
+             COALESCE(LEAD(id) OVER (PARTITION BY dst ORDER BY id), -1) AS dst_next,
+             (id % 997 <> 3) AS in_use
+      FROM rels),
+    live AS (SELECT * FROM rels_rm WHERE in_use),
+    del AS (SELECT id FROM rels_rm WHERE NOT in_use),
+    live_nodes AS (SELECT id FROM nodes WHERE in_use)
+    SELECT 'RELATIONSHIP' AS record_type, 'sourceNodeNotInUse' AS rule,
+           id AS entity_id, CAST(src AS VARCHAR) AS detail
+    FROM live WHERE src NOT IN (SELECT id FROM live_nodes)
+    UNION ALL
+    SELECT 'RELATIONSHIP', 'targetNodeNotInUse', id, CAST(dst AS VARCHAR)
+    FROM live WHERE dst NOT IN (SELECT id FROM live_nodes)
+    UNION ALL
+    SELECT 'RELATIONSHIP', 'sourcePrevNotInUse', id, CAST(src_prev AS VARCHAR)
+    FROM live WHERE src_prev IN (SELECT id FROM del)
+    UNION ALL
+    SELECT 'RELATIONSHIP', 'sourceNextNotInUse', id, CAST(src_next AS VARCHAR)
+    FROM live WHERE src_next IN (SELECT id FROM del)
+    UNION ALL
+    SELECT 'RELATIONSHIP', 'targetPrevNotInUse', id, CAST(dst_prev AS VARCHAR)
+    FROM live WHERE dst_prev IN (SELECT id FROM del)
+    UNION ALL
+    SELECT 'RELATIONSHIP', 'targetNextNotInUse', id, CAST(dst_next AS VARCHAR)
+    FROM live WHERE dst_next IN (SELECT id FROM del)
+    ORDER BY rule, entity_id
+    """,
+    doc="J2/J3/J4 end-to-end on a record-model graph: derive chain "
+    "pointers with windows (the linked-list storage of SURVEY §1.2), "
+    "delete a sparse rel set (id % 997 = 3), run the FULL relationship "
+    "record-check suite (`RelationshipRecordCheck.java:35-260`) — "
+    "dangling chain pointers and endpoints must match the oracle "
+    "exactly; back-reference/other-node rules fire on neither side.",
+    bench=True,
+)
+def record_model_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..graph.model import NO_POINTER, PropertyGraph
+    from ..operators import record_checks as rc
+
+    rels = derived_rels(spark, sf_dir)
+    w_src = Window.partitionBy("src").orderBy("id")
+    w_dst = Window.partitionBy("dst").orderBy("id")
+    rels_rm = (
+        rels.withColumn("src_prev", F.coalesce(F.lag("id").over(w_src), F.lit(NO_POINTER)))
+        .withColumn("src_next", F.coalesce(F.lead("id").over(w_src), F.lit(NO_POINTER)))
+        .withColumn("dst_prev", F.coalesce(F.lag("id").over(w_dst), F.lit(NO_POINTER)))
+        .withColumn("dst_next", F.coalesce(F.lead("id").over(w_dst), F.lit(NO_POINTER)))
+        .withColumn("in_use", F.col("id") % 997 != 3)
+        .withColumn("next_prop", F.lit(NO_POINTER).cast("long"))
+    )
+    rel_types = spark.createDataFrame(
+        [(i, True, n) for i, n in enumerate(
+            ["PLACED", "CONTAINS", "IN_NATION", "SUPP_NATION", "IN_REGION"], start=1
+        )],
+        "id int, in_use boolean, name string",
+    )
+    nodes = derived_nodes(spark, sf_dir).select(
+        "id", "in_use",
+        F.lit(NO_POINTER).cast("long").alias("next_rel"),
+        F.lit(NO_POINTER).cast("long").alias("next_prop"),
+    )
+    empty_props = spark.createDataFrame(
+        [],
+        "id long, in_use boolean, owner_id long, owner_kind string, prev_prop long, "
+        "next_prop long, seq int, key_id int, vtype string, value_long long, "
+        "value_string string, value_array array<int>",
+    )
+    g = PropertyGraph(
+        nodes=nodes,
+        relationships=rels_rm,
+        properties=empty_props,
+        relationship_types=rel_types,
+        property_keys=rel_types.limit(0),
+        graph_props=empty_props,
+    )
+    return rc.check_relationships(g)
+
+
+@register(
     "pattern_2hop_paths",
     f"""
     {graph_cte(nodes=False)},
