@@ -138,6 +138,43 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4
     return media.select("media_id", "payload").mapInPandas(_frames, FRAMES_SCHEMA)
 
 
+RESIZED_SCHEMA = "media_id long, width int, height int, payload binary"
+
+
+def resize_image(
+    media: DataFrame, width: int = 224, height: int = 224, deterministic_fake: bool = False
+) -> DataFrame:
+    """Resize stage: payload → fixed-dims payload via mapInPandas.
+
+    STUB: no codec in this runtime — ``deterministic_fake`` emits a
+    truncated/padded byte payload of width*height bytes so the stage's
+    schema, fan-through shape, and batch flow are exercised; a real
+    implementation swaps in PIL/libvips with the identical signature.
+    """
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "no image codec in this runtime; call with deterministic_fake=True"
+        )
+    target = width * height
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                (bytes(b) * (target // max(1, len(bytes(b))) + 1))[:target]
+                for b in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": out,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(_resize, RESIZED_SCHEMA)
+
+
 def dedup_by_payload(media: DataFrame) -> DataFrame:
     """Exact media dedup: content-hash groupBy on the binary payload
     (md5 over bytes — JVM-side, no Python)."""

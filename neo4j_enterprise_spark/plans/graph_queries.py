@@ -473,6 +473,39 @@ def round_robin_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "priority_take_k",
+    """
+    SELECT s_suppkey, s_name FROM supplier
+    ORDER BY s_suppkey DESC LIMIT 3
+    """,
+    doc="W4/O1 fixed priority order (`SlavePriorities.java:105-125` "
+    "fixed(): slaves sorted by server id descending, take "
+    "tx_push_factor): orderBy desc + limit k.",
+)
+def priority_take_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select("s_suppkey", "s_name").orderBy(F.desc("s_suppkey")).limit(3)
+
+
+@register(
+    "cluster_member_rollup",
+    None,  # over the synthesized txlog → rows-only
+    doc="A6 cluster member state rollup (`HighAvailabilityBean.java:"
+    "86-113`, `ClusterDatabaseInfoProvider`): per-instance tx counts and "
+    "last-applied tx over the commit stream.",
+)
+def cluster_member_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.txlog import synthesize_txlog
+
+    log = synthesize_txlog(spark, n_txs=500)
+    return (
+        log.groupBy("master_id")
+        .agg(F.count("*").alias("n_txs"), F.max("tx_id").alias("last_tx"))
+        .orderBy("master_id")
+    )
+
+
+@register(
     "txlog_replay_roundtrip",
     None,  # generator+replay pipeline → rows-only check
     doc="S9/S10 tx-log export + replay (`RebuildFromLogs.java:61-100`): "

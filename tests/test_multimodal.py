@@ -56,6 +56,17 @@ def test_sample_frames_fans_out(spark, sf_dir):
     assert frames.count() >= media.count()
 
 
+def test_resize_stub_shapes(spark, sf_dir):
+    media = _media(spark, sf_dir)
+    with pytest.raises(NotImplementedError):
+        mm.resize_image(media)
+    out = mm.resize_image(media, width=16, height=16, deterministic_fake=True)
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(len(bytes(r["payload"])) == 256 for r in rows)
+    assert all(r["width"] == 16 and r["height"] == 16 for r in rows)
+
+
 def test_dedup_by_payload(spark, sf_dir):
     media = _media(spark, sf_dir)
     dup = media.withColumn("media_id", F.col("media_id") + 10_000)
