@@ -338,7 +338,6 @@ def graph_full_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "record-check suite (`RelationshipRecordCheck.java:35-260`) — "
     "dangling chain pointers and endpoints must match the oracle "
     "exactly; back-reference/other-node rules fire on neither side.",
-    bench=True,
 )
 def record_model_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window

@@ -234,13 +234,22 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load_table(spark, sf_dir, "nation")
     revenue = _d("l_extendedprice") * (F.lit(1) - _d("l_discount"))
+    # pre-aggregate returned-item revenue per order, then roll up to the
+    # customer over the (much smaller) per-order aggregate — one fact
+    # shuffle instead of carrying c_name/n_name through the big join
+    per_order = li.groupBy("l_orderkey").agg(F.sum(revenue).alias("rev_dec"))
     return (
-        c.join(o, c["c_custkey"] == o["o_custkey"])
-        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        per_order.join(o, per_order["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_dec").alias("rev_cust"))
+        .join(c, F.col("o_custkey") == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
-        .select("c_custkey", "c_name", "revenue", "n_name")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("rev_cust").cast("double").alias("revenue"),
+            "n_name",
+        )
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
@@ -418,12 +427,19 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        c.join(o, c["c_custkey"] == o["o_custkey"])
-        .join(li, li["l_orderkey"] == o["o_orderkey"])
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+    # pre-aggregate the fact table BEFORE joining dims: the HAVING filter
+    # runs on the grouped orderkey set (150k rows, not 600k join rows) and
+    # the surviving keys are tiny → both dim joins become broadcasts.
+    # At 100 TB this ordering is the difference between shuffling the fact
+    # table twice and shuffling it once.
+    big = (
+        li.groupBy("l_orderkey")
         .agg(F.sum(_d("l_quantity")).alias("qty_dec"))
         .filter(F.col("qty_dec") > 150)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .select(
             "c_custkey",
             "c_name",
@@ -513,6 +529,98 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").cast("long").alias("l_year"))
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy("cust_nation", "supp_nation", "l_year")
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    WITH vol AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS rev,
+             sn.n_name AS supp_nation
+      FROM customer c
+        JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+        JOIN region r   ON cn.n_regionkey = r.r_regionkey
+        JOIN orders o   ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+      WHERE r.r_regionkey = 0
+        AND o.o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31')
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = (SELECT n_name FROM nation WHERE n_nationkey = 1)
+                         THEN rev ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+    FROM vol GROUP BY o_year ORDER BY o_year
+    """,
+    doc="TPC-H Q8 shape: market share of one supplier nation within a "
+    "customer region, by year (exact-decimal numerator/denominator).",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    cn = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_regionkey") == 0)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    target_nation = cn.filter(F.col("n_nationkey") == 1).select("n_name").collect()[0][0]
+    rev = _d("l_extendedprice") * (F.lit(1) - _d("l_discount"))
+    vol = (
+        c.join(F.broadcast(cn), c["c_nationkey"] == cn["n_nationkey"])
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(o, o["o_custkey"] == c["c_custkey"])
+        .join(li, F.col("l_orderkey") == o["o_orderkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(cn.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("s_nk"),
+        )
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            rev.alias("rev"),
+            "supp_nation",
+        )
+    )
+    num = F.sum(F.when(F.col("supp_nation") == target_nation, F.col("rev")).otherwise(F.lit(0).cast(DEC)))
+    return (
+        vol.groupBy("o_year")
+        .agg((num.cast("double") / F.sum("rev").cast("double")).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    WITH pq AS (SELECT l_partkey,
+                       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                       COUNT(*) AS cnt
+                FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN pq ON pq.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13'
+      -- l_quantity < 0.2 * avg(part qty), division-free and exact:
+      AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * pq.cnt < pq.sum_qty
+    """,
+    doc="TPC-H Q17 shape: below-average-quantity revenue (correlated "
+    "average as a division-free decimal comparison).",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    pq = li.groupBy("l_partkey").agg(
+        F.sum(_d("l_quantity")).alias("sum_qty"), F.count("*").alias("cnt")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(pq.withColumnRenamed("l_partkey", "pq_partkey"), F.col("pq_partkey") == li["l_partkey"])
+        .filter(_d("l_quantity") * F.lit(5) * F.col("cnt") < F.col("sum_qty"))
+        .agg((F.sum(_d("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"))
     )
 
 

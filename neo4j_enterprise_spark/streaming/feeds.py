@@ -118,6 +118,39 @@ def push_fanout(
     )
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user event counters that survive across micro-batches.
+
+    This is the engine's extension point for stateful logic Spark's
+    built-in aggregates can't express (the streaming analog of the
+    reference's per-slave session state in ``MasterImpl``'s tx tracking,
+    `MasterImpl.java:102-156`). State is (n_events, total_value) per
+    user; each batch emits the updated running totals. Arrow-batched —
+    the Python hop happens once per group per batch, not per row.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id long, n_events long, total_value double",
+        "n_events long, total_value double",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 # --- Spark-native event-stream features --------------------------------
 
 

@@ -148,6 +148,37 @@ def test_streaming_push_fanout(spark, tmp_path):
         assert spark.read.parquet(s).count() == 20
 
 
+def test_stateful_user_totals(spark, sf_dir, tmp_path):
+    from neo4j_enterprise_spark.catalog import load_table
+
+    src_dir = str(tmp_path / "ev_stream")
+    full = load_table(spark, sf_dir, "events")
+    # two chunks → state must carry across micro-batches
+    full.filter(F.col("event_id") < 500).select("user_id", "ts", "value").coalesce(1).write.mode("append").parquet(src_dir)
+    full.filter(F.col("event_id") >= 500).select("user_id", "ts", "value").coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp, value double").parquet(src_dir)
+    q = (
+        feeds.stateful_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_totals")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = spark.sql(
+        "SELECT user_id, max(n_events) AS n FROM user_totals GROUP BY user_id"
+    ).collect()
+    got = {r["user_id"]: r["n"] for r in emitted}
+    expected = {
+        r["user_id"]: r["cnt"]
+        for r in full.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == expected
+
+
 def test_windowed_counts_batch_semantics(spark, sf_dir):
     from neo4j_enterprise_spark.catalog import load_table
 
