@@ -258,9 +258,9 @@ def chain_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def bfs_2hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rels = derived_rels(spark, sf_dir)
+    rels = derived_rels(spark, sf_dir)  # already memoized+persisted
     seeds = rels.filter(F.col("src") <= 20).select(F.col("src").alias("seed")).distinct()
-    reached = traversal.bfs_reachable(rels, seeds, k=2, direction="out")
+    reached = traversal.bfs_reachable(rels, seeds, k=2, direction="out", cache_edges=False)
     return (
         reached.groupBy("seed").agg(F.count("*").alias("n_reachable")).orderBy("seed")
     )
@@ -469,6 +469,85 @@ def round_robin_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("slot"),
     ).orderBy("s_suppkey")
+
+
+@register(
+    "connected_components",
+    None,  # iterative label propagation → rows-only check
+    doc="Batch graph analytics (SURVEY §7 M7 north star): connected "
+    "components via iterative min-label propagation with checkpointed "
+    "lineage — the DataFrame rendering of GraphX connectedComponents. "
+    "Returns component sizes (deterministic: labels are min node ids).",
+)
+def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rels = derived_rels(spark, sf_dir)
+    labels = traversal.connected_components(rels, max_iter=15)
+    return (
+        labels.groupBy("component")
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy(F.desc("n_nodes"), "component")
+        .limit(20)
+    )
+
+
+@register(
+    "degree_pivot_by_type",
+    """
+    SELECT src AS node_id,
+           SUM(CASE WHEN type_name = 'PLACED' THEN 1 ELSE 0 END) AS placed,
+           SUM(CASE WHEN type_name = 'IN_NATION' THEN 1 ELSE 0 END) AS in_nation
+    FROM (SELECT CAST(o_custkey AS BIGINT) AS src, 'PLACED' AS type_name FROM orders
+          UNION ALL
+          SELECT CAST(c_custkey AS BIGINT), 'IN_NATION' FROM customer)
+    WHERE src <= 200
+    GROUP BY src ORDER BY node_id
+    """,
+    doc="Pivot: per-node degree matrix (one column per relationship "
+    "type) — Spark pivot() vs conditional-aggregation oracle.",
+)
+def degree_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rels = derived_rels(spark, sf_dir).filter(
+        (F.col("src") <= 200) & F.col("type_name").isin("PLACED", "IN_NATION")
+    )
+    out = (
+        rels.groupBy(F.col("src").alias("node_id"))
+        .pivot("type_name", ["PLACED", "IN_NATION"])
+        .agg(F.count(F.lit(1)))  # count(*) is rejected inside pivot
+    )
+    return out.select(
+        "node_id",
+        F.coalesce(F.col("PLACED"), F.lit(0)).cast("long").alias("placed"),
+        F.coalesce(F.col("IN_NATION"), F.lit(0)).cast("long").alias("in_nation"),
+    ).orderBy("node_id")
+
+
+@register(
+    "customer_props_unpivot",
+    """
+    SELECT c_custkey AS owner_id, key, value FROM (
+      SELECT c_custkey, 'name' AS key, c_name AS value FROM customer
+      UNION ALL
+      SELECT c_custkey, 'mktsegment', c_mktsegment FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey', CAST(c_nationkey AS VARCHAR) FROM customer)
+    WHERE c_custkey < 100
+    ORDER BY owner_id, key
+    """,
+    doc="Unpivot: wide row → (owner_id, key, value) property rows — the "
+    "schemaless property-store encoding (SURVEY §1.6) via stack().",
+)
+def customer_props_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    return (
+        c.select(
+            F.col("c_custkey").alias("owner_id"),
+            F.expr(
+                "stack(3, 'name', c_name, 'mktsegment', c_mktsegment, "
+                "'nationkey', CAST(c_nationkey AS STRING)) AS (key, value)"
+            ),
+        )
+        .orderBy("owner_id", "key")
+    )
 
 
 @register(
