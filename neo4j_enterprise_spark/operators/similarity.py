@@ -59,6 +59,110 @@ def cosine_topk_bruteforce(
     )
 
 
+def ivf_assign(
+    embeddings: DataFrame, n_cells: int = 16
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: deterministic centroids (every (n/K)-th
+    vector by id — a seeded sample stand-in for k-means; swap in real
+    k-means offline without changing the flow), each vector assigned to
+    its nearest centroid by exact quantized cosine.
+
+    Returns (centroids(cell_id, cv, cn), assignments(vec_id, cell_id)).
+    The centroid side is K rows → broadcast; assignment is one pass over
+    the corpus. At 100 TB, cells partition the corpus so probes touch
+    1/K of the data per searched cell.
+    """
+    w = Window.orderBy("vec_id")
+    ranked = embeddings.withColumn("rn", F.row_number().over(w))
+    total = embeddings.count()
+    stride = max(1, total // n_cells)
+    centroids = (
+        ranked.filter((F.col("rn") - 1) % stride == 0)
+        .limit(n_cells)
+        .select(
+            ((F.col("rn") - 1) / stride).cast("int").alias("cell_id"),
+            quantize(F.col("embedding")).alias("ccv"),
+        )
+        .withColumn("ccn", _dot(F.col("ccv"), F.col("ccv")))
+    )
+    vecs = embeddings.select(
+        "vec_id", quantize(F.col("embedding")).alias("qv")
+    ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))
+    scored = vecs.join(F.broadcast(centroids)).select(
+        "vec_id",
+        "cell_id",
+        (
+            _dot(F.col("qv"), F.col("ccv")).cast("double")
+            / F.sqrt((F.col("qn") * F.col("ccn")).cast("double"))
+        ).alias("cscore"),
+    )
+    w_best = Window.partitionBy("vec_id").orderBy(F.desc("cscore"), F.asc("cell_id"))
+    assignments = (
+        scored.withColumn("rk", F.row_number().over(w_best))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cell_id")
+    )
+    return centroids, assignments
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    seeds: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF probe: score each seed only against vectors in its ``n_probe``
+    closest cells. Same output contract as the brute-force/LSH variants;
+    recall grows with n_probe (n_probe = n_cells degenerates to exact).
+    """
+    centroids, assignments = ivf_assign(embeddings, n_cells)
+    q = seeds.select(
+        F.col("vec_id").alias("seed"), quantize(F.col("embedding")).alias("qv")
+    ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))
+    probe_scores = F.broadcast(q).join(F.broadcast(centroids)).select(
+        "seed",
+        "cell_id",
+        (
+            _dot(F.col("qv"), F.col("ccv")).cast("double")
+            / F.sqrt((F.col("qn") * F.col("ccn")).cast("double"))
+        ).alias("cscore"),
+    )
+    w_probe = Window.partitionBy("seed").orderBy(F.desc("cscore"), F.asc("cell_id"))
+    probes = (
+        probe_scores.withColumn("rk", F.row_number().over(w_probe))
+        .filter(F.col("rk") <= n_probe)
+        .select("seed", "cell_id")
+    )
+    cand = (
+        probes.join(assignments, "cell_id")
+        .filter(F.col("vec_id") != F.col("seed"))
+        .select("seed", F.col("vec_id").alias("neighbor"))
+        .distinct()
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor"), quantize(F.col("embedding")).alias("cv")
+    ).withColumn("cn", _dot(F.col("cv"), F.col("cv")))
+    scored = (
+        cand.join(F.broadcast(q), "seed")
+        .join(c, "neighbor")
+        .select(
+            "seed",
+            "neighbor",
+            (
+                _dot(F.col("qv"), F.col("cv")).cast("double")
+                / F.sqrt((F.col("qn") * F.col("cn")).cast("double"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("seed").orderBy(F.desc("score"), F.asc("neighbor"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("seed", "neighbor", "score", "rk")
+    )
+
+
 def _hyperplane_sign(vec: Column, plane: int, dims: int, seed: int) -> Column:
     """Sign bit of <vec, h_plane> where h_plane[d] = ±1 derived from a
     seeded hash — deterministic projections with no stored model."""

@@ -127,6 +127,19 @@ def ann_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_top5",
+    None,  # IVF candidate generation → rows-only (recall asserted in tests)
+    doc="Similarity search scale path #2: IVF coarse quantizer — "
+    "assign vectors to cells, probe the n closest cells per seed, exact "
+    "scoring within probed cells only.",
+)
+def ann_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 20)
+    return similarity.ivf_ann_topk(emb, seeds, k=5).orderBy("seed", "rk")
+
+
+@register(
     "docs_minhash_lsh_candidates",
     None,  # banded minhash not SQL-expressible → rows-only
     doc="Near-dup candidate pairs via banded MinHash-LSH "

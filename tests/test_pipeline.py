@@ -24,6 +24,35 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.3, f"LSH recall too low: {recall}"
 
 
+def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["seed"], r["neighbor"])
+        for r in similarity.cosine_topk_bruteforce(emb, seeds, k=3).collect()
+    }
+    approx = {
+        (r["seed"], r["neighbor"])
+        for r in similarity.ivf_ann_topk(emb, seeds, k=3, n_cells=8, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
+    seeds = emb.filter(F.col("vec_id") < 5)
+    exact = sorted(
+        (r["seed"], r["rk"], r["neighbor"])
+        for r in similarity.cosine_topk_bruteforce(emb, seeds, k=3).collect()
+    )
+    full_probe = sorted(
+        (r["seed"], r["rk"], r["neighbor"])
+        for r in similarity.ivf_ann_topk(emb, seeds, k=3, n_cells=4, n_probe=4).collect()
+    )
+    assert exact == full_probe  # probing every cell degenerates to exact
+
+
 def test_minhash_detects_near_duplicates(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(50)
     # append near-duplicates of 5 docs (append one token)
