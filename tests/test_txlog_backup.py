@@ -102,6 +102,22 @@ def test_incremental_backup_restore(spark, tmp_path):
     assert a == b
 
 
+def test_write_graph_tables_roundtrip(spark, sf_dir, tmp_path):
+    from neo4j_enterprise_spark.graph.derive import (
+        derived_nodes,
+        derived_rels,
+        write_graph_tables,
+    )
+
+    out = str(tmp_path / "graph_out")
+    write_graph_tables(spark, sf_dir, out)
+    nodes = spark.read.parquet(f"{out}/nodes.parquet")
+    rels = spark.read.parquet(f"{out}/rels.parquet")
+    assert nodes.count() == derived_nodes(spark, sf_dir).count()
+    assert rels.count() == derived_rels(spark, sf_dir).count()
+    assert set(nodes.columns) == {"id", "kind", "in_use", "name"}
+
+
 def test_branched_data_policy(spark, tmp_path):
     g = generate_graph(spark, node_count=20)
     root = str(tmp_path / "lineage")
