@@ -30,6 +30,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Pin the session timezone: the driver's own SparkSession may default
+    # to the machine timezone, and timestamp<->date comparisons /
+    # date_trunc would then shift against the DuckDB oracle's UTC
+    # semantics. Runtime-settable, idempotent.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # The events table stores TIMESTAMP(NANOS) which Spark's parquet
         # reader rejects; read nanos as LONG (runtime-settable legacy conf)

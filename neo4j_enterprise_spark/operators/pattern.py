@@ -11,10 +11,15 @@ hop, each keyed on the node id — co-partitioned on a bucketed layout.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# "(var[:kind])" node, "-[:TYPE]->" / "<-[:TYPE]-" edge
+_NODE_RE = re.compile(r"\(\s*(\w+)?\s*(?::\s*(\w+))?\s*\)")
+_EDGE_RE = re.compile(r"(<?)-\[\s*:\s*(\w+)\s*\]-(>?)")
 
 
 def match_path(
@@ -43,4 +48,56 @@ def match_path(
         else:
             edge = e.select(F.col("dst").alias(f"n{i}"), F.col("src").alias(f"n{i + 1}"))
         out = out.join(edge, f"n{i}")
+    return out
+
+
+def cypher_match(nodes: DataFrame, rels: DataFrame, pattern: str) -> DataFrame:
+    """Cypher-ish MATCH for fixed-length patterns, compiled to joins.
+
+    Supported grammar (a deliberate subset — enough for the reference's
+    navigation workloads; SURVEY §4: a pattern DSL compiles to joins
+    with no custom Catalyst rules)::
+
+        (a:customer)-[:PLACED]->(o)-[:CONTAINS]->(p:part)
+        (n:nation)<-[:IN_NATION]-(c)
+
+    Each ``(var[:kind])`` binds a column ``var`` = node id in the output;
+    ``:kind`` adds an equality filter against ``nodes.kind``. Direction
+    follows the arrow. Returns one row per bound path.
+    """
+    pos = 0
+    m = _NODE_RE.match(pattern, pos)
+    if not m:
+        raise ValueError(f"pattern must start with a node: {pattern!r}")
+    vars_: list[tuple[str, str | None]] = [(m.group(1) or "n0", m.group(2))]
+    steps: list[tuple[str, str]] = []
+    pos = m.end()
+    while pos < len(pattern):
+        em = _EDGE_RE.match(pattern, pos)
+        if not em:
+            if pattern[pos:].strip() == "":
+                break
+            raise ValueError(f"expected edge at: {pattern[pos:]!r}")
+        left, type_name, right = em.groups()
+        if left == "<" and right != ">":
+            direction = "in"
+        elif right == ">" and left != "<":
+            direction = "out"
+        else:
+            raise ValueError(f"edge needs exactly one arrow: {em.group(0)!r}")
+        pos = em.end()
+        nm = _NODE_RE.match(pattern, pos)
+        if not nm:
+            raise ValueError(f"expected node at: {pattern[pos:]!r}")
+        vars_.append((nm.group(1) or f"n{len(vars_)}", nm.group(2)))
+        steps.append((type_name, direction))
+        pos = nm.end()
+
+    out = match_path(nodes, rels, steps)
+    for i, (var, _) in enumerate(vars_):
+        out = out.withColumnRenamed(f"n{i}", var)
+    for var, kind in vars_:
+        if kind is not None:
+            kinded = nodes.filter(F.col("kind") == kind).select(F.col("id").alias(var))
+            out = out.join(kinded, var, "left_semi")
     return out

@@ -414,6 +414,39 @@ def pattern_2hop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cypher_region_supply_paths",
+    f"""
+    {graph_cte()},
+    e1 AS (SELECT src AS s, dst AS n FROM rels WHERE type_name = 'SUPP_NATION'),
+    e2 AS (SELECT src AS n, dst AS r FROM rels WHERE type_name = 'IN_REGION'),
+    paths AS (SELECT s, e1.n, r FROM e1 JOIN e2 ON e1.n = e2.n)
+    SELECT p.r AS region_id, nd.name AS region_name, COUNT(*) AS n_paths
+    FROM paths p JOIN nodes nd ON nd.id = p.r
+    GROUP BY p.r, nd.name ORDER BY region_id
+    """,
+    doc="Cypher MATCH (s:supplier)-[:SUPP_NATION]->(n)-[:IN_REGION]->"
+    "(r:region): the string DSL compiled to joins "
+    "(`pattern.cypher_match`) — path count per region.",
+)
+def cypher_region_supply_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pattern import cypher_match
+
+    nodes = derived_nodes(spark, sf_dir)
+    rels = derived_rels(spark, sf_dir)
+    paths = cypher_match(
+        nodes, rels, "(s:supplier)-[:SUPP_NATION]->(n)-[:IN_REGION]->(r:region)"
+    )
+    named = paths.join(
+        nodes.select(F.col("id").alias("r"), F.col("name").alias("region_name")), "r"
+    )
+    return (
+        named.groupBy(F.col("r").alias("region_id"), "region_name")
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy("region_id")
+    )
+
+
+@register(
     "traverse_pruned_2hop",
     f"""
     {graph_cte()},

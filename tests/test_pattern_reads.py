@@ -41,6 +41,43 @@ def test_match_path_direction_in(spark):
     assert got == {(2, 1), (3, 1)}
 
 
+def test_cypher_match_parses_and_binds(spark):
+    from neo4j_enterprise_spark.operators.pattern import cypher_match
+
+    nodes = spark.createDataFrame(
+        [(0, "user", True, "u0"), (1, "post", True, "p1"), (2, "tag", True, "t2"),
+         (3, "post", True, "p3"), (4, "user", True, "u4")],
+        "id long, kind string, in_use boolean, name string",
+    )
+    rels = spark.createDataFrame(
+        [(0, 0, 1, "WROTE"), (1, 1, 2, "TAGGED"), (2, 4, 3, "WROTE"), (3, 3, 2, "TAGGED"),
+         (4, 0, 3, "LIKED")],
+        "id long, src long, dst long, type_name string",
+    )
+    out = cypher_match(nodes, rels, "(u:user)-[:WROTE]->(p:post)-[:TAGGED]->(t:tag)")
+    got = {(r["u"], r["p"], r["t"]) for r in out.collect()}
+    assert got == {(0, 1, 2), (4, 3, 2)}
+    # reverse arrow
+    rev = cypher_match(nodes, rels, "(t:tag)<-[:TAGGED]-(p:post)")
+    assert {(r["t"], r["p"]) for r in rev.collect()} == {(2, 1), (2, 3)}
+    # kind filter actually filters
+    none = cypher_match(nodes, rels, "(u:tag)-[:WROTE]->(p)")
+    assert none.count() == 0
+
+
+def test_cypher_match_rejects_bad_patterns(spark):
+    from neo4j_enterprise_spark.operators.pattern import cypher_match
+
+    nodes = spark.createDataFrame([(0, "n", True, "x")], "id long, kind string, in_use boolean, name string")
+    rels = spark.createDataFrame([(0, 0, 0, "T")], "id long, src long, dst long, type_name string")
+    with pytest.raises(ValueError):
+        cypher_match(nodes, rels, "-[:T]->(a)")
+    with pytest.raises(ValueError):
+        cypher_match(nodes, rels, "(a)<-[:T]->(b)")
+    with pytest.raises(ValueError):
+        cypher_match(nodes, rels, "(a)-[:T]->")
+
+
 def test_single_relationship_ok_and_raises(spark):
     nodes, rels = _graph(spark)
     assert reads.single_relationship(rels, 0, "A", "out").count() == 1
