@@ -44,6 +44,12 @@ def main() -> None:
 
     derived_nodes(spark, sf_dir).count()  # materialize the memoized graph
     derived_rels(spark, sf_dir).count()
+    # Build the B1 consistency-check fixture un-timed, like the reference
+    # (store generation is a separate step from the timed FullCheck —
+    # `ConsistencyPerformanceCheck.java:76-140`).
+    from neo4j_enterprise_spark.graph.generator import fixture_graph
+
+    fixture_graph(spark, node_count=100_000)
 
     queries = {n: q for n, q in all_queries().items() if q.bench}
     timings: dict[str, float] = {}

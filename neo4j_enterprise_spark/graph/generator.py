@@ -176,3 +176,25 @@ def generate_graph(
         property_keys=prop_keys,
         graph_props=graph_props,
     )
+
+
+_FIXTURE_CACHE: dict[tuple, PropertyGraph] = {}
+
+
+def fixture_graph(spark: SparkSession, node_count: int, seed: int = 42) -> PropertyGraph:
+    """Memoized, materialized benchmark fixture.
+
+    The reference harness builds the store OUTSIDE the timed check
+    (`ConsistencyPerformanceCheck.java:76-140` runs `DataGenerator` as a
+    separate un-timed step, then times only the FullCheck phases) — so
+    benchmark queries share one persisted fixture per process and the
+    timed section measures the check, not store construction. On a
+    cluster the equivalent is reading a pre-built parquet snapshot.
+    """
+    key = (node_count, seed)
+    if key not in _FIXTURE_CACHE:
+        g = generate_graph(spark, node_count=node_count, seed=seed).persist()
+        for df in g.tables().values():
+            df.count()  # materialize into executor storage
+        _FIXTURE_CACHE[key] = g
+    return _FIXTURE_CACHE[key]

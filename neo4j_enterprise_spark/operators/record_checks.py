@@ -34,11 +34,29 @@ def _rel_pointer_checks(rels: DataFrame) -> DataFrame:
     (`RelationshipRecordCheck.java:83-260`: SOURCE_PREV/SOURCE_NEXT/
     TARGET_PREV/TARGET_NEXT).
 
-    One self-join per pointer field on rel id (4 equi-joins; at scale
-    these co-partition on id and AQE merges the exchanges).
+    ONE join total: each live relationship unpivots to one row per set
+    pointer (≤4), and the stacked pointer set joins the target store
+    once. At scale that is a single shuffle of the pointer set + one of
+    the store, instead of four passes over the full relationship table
+    (the reference re-scans the store per reference field; `stack` is
+    the columnar analog of its deferred-reference queue).
     """
-    out = []
     live = rels.filter(F.col("in_use"))
+    # (side, dir) → unpivoted pointer rows; `node` is the endpoint whose
+    # chain the pointer belongs to, `rule_*` the reference report names.
+    ptrs = live.select(
+        "id",
+        "src",
+        "dst",
+        F.expr(
+            "stack(4, "
+            "'sourcePrev', src_prev, src, 'next', "
+            "'sourceNext', src_next, src, 'prev', "
+            "'targetPrev', dst_prev, dst, 'next', "
+            "'targetNext', dst_next, dst, 'prev') "
+            "AS (family, ptr, node, back_dir)"
+        ),
+    ).filter(F.col("ptr") != NO_POINTER)
     target = live.select(
         F.col("id").alias("t_id"),
         F.col("src").alias("t_src"),
@@ -48,51 +66,42 @@ def _rel_pointer_checks(rels: DataFrame) -> DataFrame:
         F.col("dst_prev").alias("t_dst_prev"),
         F.col("dst_next").alias("t_dst_next"),
     )
-    # (pointer column, node column whose chain it belongs to, the pointer on
-    # the target that must reference back, reference rule names)
-    specs = [
-        ("src_prev", "src", "next", "sourcePrevNotInUse", "sourcePrevForOtherNode", "sourcePrevDoesNotReferenceBack"),
-        ("src_next", "src", "prev", "sourceNextNotInUse", "sourceNextForOtherNode", "sourceNextDoesNotReferenceBack"),
-        ("dst_prev", "dst", "next", "targetPrevNotInUse", "targetPrevForOtherNode", "targetPrevDoesNotReferenceBack"),
-        ("dst_next", "dst", "prev", "targetNextNotInUse", "targetNextForOtherNode", "targetNextDoesNotReferenceBack"),
-    ]
-    for ptr, node_col, back_dir, rule_niu, rule_other, rule_back in specs:
-        has_ptr = live.filter(F.col(ptr) != NO_POINTER)
-        joined = has_ptr.join(target, has_ptr[ptr] == target["t_id"], "left")
-        node = F.col(node_col)
-        shares = (F.col("t_src") == node) | (F.col("t_dst") == node)
-        # The back-pointer is read from the chain side being validated
-        # first (a rel incident to the node on BOTH sides — e.g. a
-        # self-loop — participates in both chains with independent
-        # pointers, exactly like the reference's first/second chain
-        # distinction, `RelationshipRecordCheck.java:35-37`).
-        if node_col == "src":
-            back_ptr = F.when(
-                F.col("t_src") == node, F.col(f"t_src_{back_dir}")
-            ).otherwise(F.col(f"t_dst_{back_dir}"))
-        else:
-            back_ptr = F.when(
-                F.col("t_dst") == node, F.col(f"t_dst_{back_dir}")
-            ).otherwise(F.col(f"t_src_{back_dir}"))
-        # ONE join per pointer: classify missing-target / wrong-node /
-        # broken-back-reference in a single CASE so the whole family is
-        # one plan instead of three (3× fewer joins over the big table).
-        rule = (
-            F.when(F.col("t_id").isNull(), F.lit(rule_niu))
-            .when(~shares, F.lit(rule_other))
-            .when(back_ptr != F.col("id"), F.lit(rule_back))
+    joined = ptrs.join(target, ptrs["ptr"] == target["t_id"], "left")
+    shares = (F.col("t_src") == F.col("node")) | (F.col("t_dst") == F.col("node"))
+    # The back-pointer is read from the chain side being validated first
+    # (a rel incident to the node on BOTH sides — e.g. a self-loop —
+    # participates in both chains with independent pointers, exactly like
+    # the reference's first/second chain distinction,
+    # `RelationshipRecordCheck.java:35-37`). Source-chain pointers prefer
+    # the target's source side; target-chain pointers its target side.
+    src_side = F.col("family").startswith("source")
+    back_on_src = F.when(F.col("back_dir") == "next", F.col("t_src_next")).otherwise(
+        F.col("t_src_prev")
+    )
+    back_on_dst = F.when(F.col("back_dir") == "next", F.col("t_dst_next")).otherwise(
+        F.col("t_dst_prev")
+    )
+    back_ptr = (
+        F.when(src_side & (F.col("t_src") == F.col("node")), back_on_src)
+        .when(src_side, back_on_dst)
+        .when(F.col("t_dst") == F.col("node"), back_on_dst)
+        .otherwise(back_on_src)
+    )
+    rule = (
+        F.when(F.col("t_id").isNull(), F.concat(F.col("family"), F.lit("NotInUse")))
+        .when(~shares, F.concat(F.col("family"), F.lit("ForOtherNode")))
+        .when(back_ptr != F.col("id"), F.concat(F.col("family"), F.lit("DoesNotReferenceBack")))
+    )
+    return (
+        joined.withColumn("__rule", rule)
+        .filter(F.col("__rule").isNotNull())
+        .select(
+            F.lit("RELATIONSHIP").alias("record_type"),
+            F.col("__rule").alias("rule"),
+            F.col("id").cast("long").alias("entity_id"),
+            F.col("ptr").cast("string").alias("detail"),
         )
-        out.append(
-            joined.withColumn("__rule", rule)
-            .filter(F.col("__rule").isNotNull())
-            .select(
-                F.lit("RELATIONSHIP").alias("record_type"),
-                F.col("__rule").alias("rule"),
-                F.col("id").cast("long").alias("entity_id"),
-                F.col(ptr).cast("string").alias("detail"),
-            )
-        )
-    return reduce(DataFrame.unionByName, out)
+    )
 
 
 def check_relationships(g: PropertyGraph) -> DataFrame:
@@ -221,31 +230,38 @@ def check_properties(g: PropertyGraph) -> DataFrame:
     props = g.properties
     live = props.filter(F.col("in_use"))
     out = []
-    # J6 prev/next symmetry — self-joins on property id
+    # J6 prev/next symmetry — both pointer directions unpivot into ONE
+    # self-join on property id (same single-shuffle shape as
+    # `_rel_pointer_checks`).
     target = live.select(
         F.col("id").alias("t_id"),
         F.col("prev_prop").alias("t_prev"),
         F.col("next_prop").alias("t_next"),
     )
-    for ptr, back, rule_niu, rule_back in (
-        ("prev_prop", "t_next", "prevNotInUse", "previousDoesNotReferenceBack"),
-        ("next_prop", "t_prev", "nextNotInUse", "nextDoesNotReferenceBack"),
-    ):
-        has = live.filter(F.col(ptr) != NO_POINTER)
-        j = has.join(target, has[ptr] == target["t_id"], "left")
-        rule = F.when(F.col("t_id").isNull(), F.lit(rule_niu)).when(
-            F.col(back) != F.col("id"), F.lit(rule_back)
+    ptrs = live.select(
+        "id",
+        F.expr(
+            "stack(2, "
+            "'prevNotInUse', 'previousDoesNotReferenceBack', prev_prop, 'next', "
+            "'nextNotInUse', 'nextDoesNotReferenceBack', next_prop, 'prev') "
+            "AS (rule_niu, rule_back, ptr, back_dir)"
+        ),
+    ).filter(F.col("ptr") != NO_POINTER)
+    j = ptrs.join(target, ptrs["ptr"] == target["t_id"], "left")
+    back = F.when(F.col("back_dir") == "next", F.col("t_next")).otherwise(F.col("t_prev"))
+    rule = F.when(F.col("t_id").isNull(), F.col("rule_niu")).when(
+        back != F.col("id"), F.col("rule_back")
+    )
+    out.append(
+        j.withColumn("__rule", rule)
+        .filter(F.col("__rule").isNotNull())
+        .select(
+            F.lit("PROPERTY").alias("record_type"),
+            F.col("__rule").alias("rule"),
+            F.col("id").cast("long").alias("entity_id"),
+            F.col("ptr").cast("string").alias("detail"),
         )
-        out.append(
-            j.withColumn("__rule", rule)
-            .filter(F.col("__rule").isNotNull())
-            .select(
-                F.lit("PROPERTY").alias("record_type"),
-                F.col("__rule").alias("rule"),
-                F.col("id").cast("long").alias("entity_id"),
-                F.col(ptr).cast("string").alias("detail"),
-            )
-        )
+    )
     # J7 key checks
     out.append(
         _violation(live.filter(F.col("key_id") < 0), "PROPERTY", "invalidPropertyKey", "id", F.col("key_id"))
@@ -326,8 +342,12 @@ def validate(g: PropertyGraph, eager: bool = True) -> DataFrame:
     all-in-one union (~35 branches sharing deep window subtrees) chokes
     the optimizer at scale, while the per-family plans each run in
     seconds — the same bounded-lineage principle the iterative operators
-    follow. ``eager=False`` keeps the fully-lazy single plan (fine for
-    small fixtures, composes with further transformations).
+    follow. Families materialize CONCURRENTLY (one thread per family;
+    Spark schedules jobs from concurrent threads onto idle cores) — the
+    reference's MULTI_THREADED task-execution axis
+    (`TaskExecutionOrder.java:29-110`, pool = #cores). ``eager=False``
+    keeps the fully-lazy single plan (fine for small fixtures, composes
+    with further transformations).
     """
     families = [
         check_nodes(g),
@@ -338,5 +358,10 @@ def validate(g: PropertyGraph, eager: bool = True) -> DataFrame:
         check_dictionaries(g),
     ]
     if eager:
-        families = [f.localCheckpoint(eager=True) for f in families]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(families)) as pool:
+            families = list(
+                pool.map(lambda f: f.localCheckpoint(eager=True), families)
+            )
     return reduce(DataFrame.unionByName, families)

@@ -515,10 +515,10 @@ def round_robin_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def graph_validation_suite_100k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..graph.generator import generate_graph
+    from ..graph.generator import fixture_graph
     from ..operators import record_checks as rc
 
-    g = generate_graph(spark, node_count=100_000).persist()
+    g = fixture_graph(spark, node_count=100_000)
     v = rc.validate(g)
     return spark.createDataFrame(
         [("ALL", v.count())], "record_type string, n_violations long"
