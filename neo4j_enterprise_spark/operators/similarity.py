@@ -255,3 +255,79 @@ def lsh_ann_topk(
         .filter(F.col("rk") <= k)
         .select("seed", "neighbor", "score", "rk")
     )
+
+
+def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: (a, b, score) with
+    a < b and cosine ≥ threshold.
+
+    The last rung of the dedup ladder (exact → MinHash-LSH → SimHash →
+    n-gram Jaccard → embedding cosine). Brute-force all-pairs — the
+    correctness baseline; at corpus scale use
+    ``embedding_near_dup_lsh`` (bucketed candidates, identical verify).
+    Quantized integer dot products keep scores order-independent and
+    engine-exact.
+    """
+    q = embeddings.select(
+        F.col("vec_id").alias("a"), quantize(F.col("embedding")).alias("qa")
+    ).withColumn("na", _dot(F.col("qa"), F.col("qa")))
+    c = embeddings.select(
+        F.col("vec_id").alias("b"), quantize(F.col("embedding")).alias("qb")
+    ).withColumn("nb", _dot(F.col("qb"), F.col("qb")))
+    return (
+        q.join(c, F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            (
+                _dot(F.col("qa"), F.col("qb")).cast("double")
+                / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def embedding_near_dup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    planes_per_band: int = 4,
+    bands: int = 16,
+    dims: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup at scale: LSH-bucket candidate generation, then
+    the same exact-cosine verify as ``embedding_near_dup``.
+
+    The pair join runs on (band, bucket) — candidate volume scales with
+    collision rate, not corpus². Same output schema as the brute-force
+    operator; recall is asserted against it in tests.
+    """
+    buckets = lsh_buckets(embeddings, planes_per_band, bands, dims, seed)
+    cand = (
+        buckets.join(
+            buckets.withColumnRenamed("vec_id", "other"), ["band", "bucket"]
+        )
+        .filter(F.col("vec_id") < F.col("other"))
+        .select(F.col("vec_id").alias("a"), F.col("other").alias("b"))
+        .distinct()
+    )
+    q = embeddings.select(
+        F.col("vec_id").alias("a"), quantize(F.col("embedding")).alias("qa")
+    ).withColumn("na", _dot(F.col("qa"), F.col("qa")))
+    c = embeddings.select(
+        F.col("vec_id").alias("b"), quantize(F.col("embedding")).alias("qb")
+    ).withColumn("nb", _dot(F.col("qb"), F.col("qb")))
+    return (
+        cand.join(q, "a")
+        .join(c, "b")
+        .select(
+            "a",
+            "b",
+            (
+                _dot(F.col("qa"), F.col("qb")).cast("double")
+                / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )

@@ -114,6 +114,41 @@ def ann_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_embedding_near_dup",
+    """
+    WITH q AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+               FROM embeddings)
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           list_dot_product(a.qv, b.qv)
+           / sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(b.qv, b.qv)) AS score
+    FROM q a JOIN q b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.qv, b.qv)
+          / sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(b.qv, b.qv)) >= 0.4
+    ORDER BY a, b
+    """,
+    doc="Embedding-cosine near-duplicate pairs (exact all-pairs verify; "
+    "the dedup ladder's last rung). Quantized integer dot products make "
+    "scores engine-exact. Scale path: `docs_embedding_near_dup_lsh`.",
+)
+def docs_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup(emb, threshold=0.4).orderBy("a", "b")
+
+
+@register(
+    "docs_embedding_near_dup_lsh",
+    None,  # LSH candidate generation → rows-only (recall asserted in tests)
+    doc="Embedding near-dup at scale: LSH-bucketed candidate pairs + the "
+    "same exact-cosine verify — the (band, bucket) join replaces the "
+    "corpus² cross product.",
+)
+def docs_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_lsh(emb, threshold=0.4).orderBy("a", "b")
+
+
+@register(
     "ann_lsh_top5",
     None,  # LSH candidate generation is not faithfully SQL-expressible → rows-only
     doc="Similarity search scale path: random-hyperplane LSH bucket join "

@@ -94,3 +94,22 @@ def test_simhash_near_dup_small_hamming(spark, sf_dir):
     sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs.unionByName(dup)).collect()}
     ham = bin((sigs[0] ^ sigs[900_000]) & ((1 << 64) - 1)).count("1")
     assert ham <= 8, f"near-dup hamming distance too large: {ham}"
+
+
+def test_embedding_near_dup_lsh_recall_and_precision(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["a"], r["b"]): r["score"]
+        for r in similarity.embedding_near_dup(emb, threshold=0.35).collect()
+    }
+    approx = {
+        (r["a"], r["b"]): r["score"]
+        for r in similarity.embedding_near_dup_lsh(emb, threshold=0.35).collect()
+    }
+    assert exact, "fixture should contain near-dup pairs at 0.35"
+    # every LSH pair is verified with the same exact cosine → subset
+    assert set(approx) <= set(exact)
+    for pair, score in approx.items():
+        assert score == exact[pair]
+    recall = len(approx) / len(exact)
+    assert recall >= 0.3, f"near-dup LSH recall too low: {recall}"
