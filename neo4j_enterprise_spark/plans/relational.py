@@ -811,6 +811,43 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_asof_attribution",
+    """
+    SELECT c.event_id AS click_id, c.user_id,
+           epoch_us(c.ts) AS click_ts_us,
+           v.event_id AS view_id,
+           v.value AS view_value,
+           epoch_us(v.ts) AS view_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+    ORDER BY click_id
+    """,
+    doc="As-of join (attribution: each click matched to the user's most "
+    "recent prior view). Spark lacks ASOF JOIN; `operators/asof.py` "
+    "renders it as union + sort + forward-fill — one shuffle on the "
+    "key, linear per partition, vs the O(|L|x|R|)-per-key range join. "
+    "Oracle: DuckDB's native ASOF LEFT JOIN.",
+)
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id", "value")
+    return asof_join(
+        clicks, views, on="user_id", right_cols=["event_id", "value"], suffix="_view"
+    ).select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros("ts").alias("click_ts_us"),
+        F.col("event_id_view").alias("view_id"),
+        F.col("value_view").alias("view_value"),
+        F.unix_micros("matched_ts_view").alias("view_ts_us"),
+    ).orderBy("click_id")
+
+
+@register(
     "events_user_sessions",
     """
     SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
