@@ -848,6 +848,80 @@ def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_errors_per_session",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tagged AS (
+      SELECT user_id, ts_us,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, session_id,
+             MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us
+      FROM tagged GROUP BY user_id, session_id
+    )
+    SELECT s.user_id, s.session_start_us, s.session_end_us,
+           COUNT(*) AS n_errors
+    FROM sessions s
+    JOIN events e ON e.user_id = s.user_id AND e.event_type = 'error'
+                  AND epoch_us(e.ts) BETWEEN s.session_start_us AND s.session_end_us
+    GROUP BY s.user_id, s.session_start_us, s.session_end_us
+    ORDER BY s.user_id, s.session_start_us
+    """,
+    doc="Range (interval) join: error events matched into the containing "
+    "per-user session interval. `operators/ranges.py` bucketizes "
+    "intervals (explode to covering hour buckets → equi-join → exact "
+    "BETWEEN re-filter) instead of the quadratic nested-loop plan Spark "
+    "gives a raw BETWEEN join. All-µs integer math for oracle exactness.",
+)
+def events_errors_per_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.ranges import range_join
+
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        (prev.isNull() | ((F.col("ts_us") - prev) > 1_800_000_000)).cast("int"),
+    )
+    tagged = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sessions = tagged.groupBy("user_id", "session_id").agg(
+        F.min("ts_us").alias("session_start_us"), F.max("ts_us").alias("session_end_us")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts_us")
+    return (
+        range_join(
+            errors,
+            sessions,
+            on="user_id",
+            point_ts="ts_us",
+            start_col="session_start_us",
+            end_col="session_end_us",
+            bucket_width=3_600_000_000.0,
+        )
+        .groupBy("user_id", "session_start_us", "session_end_us")
+        .agg(F.count("*").alias("n_errors"))
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+@register(
     "events_user_sessions",
     """
     SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
