@@ -17,9 +17,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# "(var[:kind])" node, "-[:TYPE]->" / "<-[:TYPE]-" edge
+# "(var[:kind])" node; "-[:TYPE]->" / "<-[:TYPE]-" edge, with optional
+# "*lo..hi" variable-length quantifier and optional type: "-[*1..2]->"
 _NODE_RE = re.compile(r"\(\s*(\w+)?\s*(?::\s*(\w+))?\s*\)")
-_EDGE_RE = re.compile(r"(<?)-\[\s*:\s*(\w+)\s*\]-(>?)")
+_EDGE_RE = re.compile(
+    r"(<?)-\[\s*(?::\s*(\w+))?\s*(?:\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]-(>?)"
+)
 
 
 def match_path(
@@ -30,9 +33,18 @@ def match_path(
 ) -> DataFrame:
     """Match a fixed-length path pattern.
 
-    ``steps``: [(type_name, 'out'|'in'), ...]. Returns one row per bound
-    path with columns n0, n1, ... nK (node ids along the path).
+    ``steps``: [(type_name, 'out'|'in'), ...] for single hops, or
+    (type_name | None, direction, lo, hi) for a variable-length segment
+    (type None = any type). Returns one row per bound path with columns
+    n0, n1, ... nK (node ids along the path).
     ``start_filter``: optional Column predicate on the start node.
+
+    Variable-length semantics: a segment binds the DISTINCT endpoint
+    pairs connected by some walk of lo..hi hops — intermediate nodes are
+    not bound (as in Cypher) and multiple walks between the same pair
+    collapse to one row (reachability semantics; per-level DISTINCT
+    keeps the frontier bounded on cyclic graphs, the same contract as
+    ``traversal.bfs_reachable``).
 
     Example — (customer)-[:PLACED]->(o)-[:CONTAINS]->(p):
         match_path(nodes, rels, [("PLACED", "out"), ("CONTAINS", "out")])
@@ -41,13 +53,37 @@ def match_path(
     if start_filter is not None:
         start = nodes.filter(start_filter).select(F.col("id").alias("n0"))
     out = start
-    for i, (type_name, direction) in enumerate(steps):
-        e = rels.filter(F.col("type_name") == type_name)
+    for i, step in enumerate(steps):
+        type_name, direction = step[0], step[1]
+        lo, hi = (step[2], step[3]) if len(step) > 2 else (1, 1)
+        e = rels if type_name is None else rels.filter(F.col("type_name") == type_name)
         if direction == "out":
-            edge = e.select(F.col("src").alias(f"n{i}"), F.col("dst").alias(f"n{i + 1}"))
+            edge = e.select(F.col("src").alias("__a"), F.col("dst").alias("__b"))
         else:
-            edge = e.select(F.col("dst").alias(f"n{i}"), F.col("src").alias(f"n{i + 1}"))
-        out = out.join(edge, f"n{i}")
+            edge = e.select(F.col("dst").alias("__a"), F.col("src").alias("__b"))
+        if (lo, hi) == (1, 1):
+            seg = edge
+        else:
+            if not 1 <= lo <= hi:
+                raise ValueError(f"bad quantifier *{lo}..{hi}")
+            level = edge.distinct()
+            acc = level if lo <= 1 else None
+            for k in range(2, hi + 1):
+                hop = edge.select(
+                    F.col("__a").alias("__b"), F.col("__b").alias("__c")
+                )
+                level = (
+                    level.join(hop, "__b")
+                    .select("__a", F.col("__c").alias("__b"))
+                    .distinct()
+                )
+                if k >= lo:
+                    acc = level if acc is None else acc.unionByName(level)
+            seg = acc.distinct()
+        out = out.join(
+            seg.select(F.col("__a").alias(f"n{i}"), F.col("__b").alias(f"n{i + 1}")),
+            f"n{i}",
+        )
     return out
 
 
@@ -60,10 +96,13 @@ def cypher_match(nodes: DataFrame, rels: DataFrame, pattern: str) -> DataFrame:
 
         (a:customer)-[:PLACED]->(o)-[:CONTAINS]->(p:part)
         (n:nation)<-[:IN_NATION]-(c)
+        (c:customer)-[*1..2]->(x)          # variable length, any type
+        (s)-[:SUPP_NATION*1..1]->(n)       # variable length, typed
 
     Each ``(var[:kind])`` binds a column ``var`` = node id in the output;
     ``:kind`` adds an equality filter against ``nodes.kind``. Direction
-    follows the arrow. Returns one row per bound path.
+    follows the arrow. Returns one row per bound path; variable-length
+    segments bind distinct endpoint pairs (see ``match_path``).
     """
     pos = 0
     m = _NODE_RE.match(pattern, pos)
@@ -78,19 +117,24 @@ def cypher_match(nodes: DataFrame, rels: DataFrame, pattern: str) -> DataFrame:
             if pattern[pos:].strip() == "":
                 break
             raise ValueError(f"expected edge at: {pattern[pos:]!r}")
-        left, type_name, right = em.groups()
+        left, type_name, lo, hi, right = em.groups()
         if left == "<" and right != ">":
             direction = "in"
         elif right == ">" and left != "<":
             direction = "out"
         else:
             raise ValueError(f"edge needs exactly one arrow: {em.group(0)!r}")
+        if type_name is None and lo is None:
+            raise ValueError(f"edge needs a type or a quantifier: {em.group(0)!r}")
         pos = em.end()
         nm = _NODE_RE.match(pattern, pos)
         if not nm:
             raise ValueError(f"expected node at: {pattern[pos:]!r}")
         vars_.append((nm.group(1) or f"n{len(vars_)}", nm.group(2)))
-        steps.append((type_name, direction))
+        if lo is None:
+            steps.append((type_name, direction))
+        else:
+            steps.append((type_name, direction, int(lo), int(hi)))
         pos = nm.end()
 
     out = match_path(nodes, rels, steps)

@@ -447,6 +447,35 @@ def cypher_region_supply_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cypher_var_length_reach",
+    f"""
+    {graph_cte()},
+    e AS (SELECT src, dst FROM rels),
+    l1 AS (SELECT DISTINCT src AS a, dst AS b FROM e),
+    l2 AS (SELECT DISTINCT l1.a, e.dst AS b FROM l1 JOIN e ON e.src = l1.b),
+    pairs AS (SELECT a, b FROM l1 UNION SELECT a, b FROM l2)
+    SELECT p.a AS c, COUNT(*) AS n_reach
+    FROM pairs p JOIN nodes n ON n.id = p.a AND n.kind = 'customer'
+    WHERE p.a BETWEEN 1 AND 200
+    GROUP BY p.a ORDER BY c
+    """,
+    doc="Cypher variable-length MATCH (c:customer)-[*1..2]->(x): the "
+    "quantified edge binds distinct endpoint pairs over 1..2-hop walks "
+    "(per-level DISTINCT bounds the frontier on cycles). Reachable-node "
+    "count per customer.",
+)
+def cypher_var_length_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pattern import cypher_match
+
+    nodes = derived_nodes(spark, sf_dir)
+    rels = derived_rels(spark, sf_dir)
+    paths = cypher_match(nodes, rels, "(c:customer)-[*1..2]->(x)").filter(
+        F.col("c").between(1, 200)
+    )
+    return paths.groupBy("c").agg(F.count("*").alias("n_reach")).orderBy("c")
+
+
+@register(
     "traverse_pruned_2hop",
     f"""
     {graph_cte()},

@@ -115,3 +115,53 @@ def test_traverse_emit_filters_output(spark):
     )
     got = {r["node_id"] for r in out.collect()}
     assert got == {0, 2, 6}
+
+
+def test_cypher_var_length_distinct_pairs_on_cycle(spark):
+    from neo4j_enterprise_spark.operators.pattern import cypher_match
+
+    nodes = spark.createDataFrame(
+        [(i, "n", True, f"v{i}") for i in range(4)],
+        "id long, kind string, in_use boolean, name string",
+    )
+    # 0→1→2→0 cycle plus 2→3, two parallel edges 0→1 (walks collapse)
+    rels = spark.createDataFrame(
+        [(0, 0, 1, "E"), (1, 1, 2, "E"), (2, 2, 0, "E"), (3, 2, 3, "E"), (4, 0, 1, "E")],
+        "id long, src long, dst long, type_name string",
+    )
+    out = cypher_match(nodes, rels, "(a)-[*1..3]->(b)")
+    got = {(r["a"], r["b"]) for r in out.collect()}
+    # 1..3-hop reachability pairs, each exactly once
+    assert got == {
+        (0, 1), (1, 2), (2, 0), (2, 3),        # 1 hop
+        (0, 2), (1, 0), (1, 3), (2, 1),        # 2 hops
+        (0, 0), (1, 1), (2, 2), (0, 3),        # 3 hops (cycle closes)
+    }
+    assert out.count() == len(got)  # DISTINCT: parallel edges add no rows
+
+    # lo > 1 excludes short walks; typed quantifier filters by type
+    far = cypher_match(nodes, rels, "(a)-[*2..2]->(b)")
+    assert {(r["a"], r["b"]) for r in far.collect()} == {
+        (0, 2), (1, 0), (1, 3), (2, 1)
+    }
+
+
+def test_cypher_var_length_typed_and_bad_quantifier(spark):
+    import pytest as _pytest
+
+    from neo4j_enterprise_spark.operators.pattern import cypher_match, match_path
+
+    nodes = spark.createDataFrame(
+        [(0, "n", True, "a"), (1, "n", True, "b"), (2, "n", True, "c")],
+        "id long, kind string, in_use boolean, name string",
+    )
+    rels = spark.createDataFrame(
+        [(0, 0, 1, "X"), (1, 1, 2, "Y")],
+        "id long, src long, dst long, type_name string",
+    )
+    typed = cypher_match(nodes, rels, "(a)-[:X*1..2]->(b)")
+    assert {(r["a"], r["b"]) for r in typed.collect()} == {(0, 1)}
+    with _pytest.raises(ValueError):
+        cypher_match(nodes, rels, "(a)-[]->(b)")  # no type, no quantifier
+    with _pytest.raises(ValueError):
+        match_path(nodes, rels, [("X", "out", 2, 1)])  # hi < lo
