@@ -922,6 +922,22 @@ def events_errors_per_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_approx_stats",
+    None,  # HLL++/GK sketches are engine-specific → rows-only (error bounds in tests)
+    doc="Sketch aggregations: HyperLogLog++ distinct users and "
+    "Greenwald-Khanna value percentiles per event_type — single-pass, "
+    "mergeable, bounded-memory (the 100 TB replacements for exact "
+    "COUNT(DISTINCT) and global-sort percentiles). Error bounds vs the "
+    "exact twin asserted in tests/test_sketches.py.",
+)
+def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import approx_event_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return approx_event_stats(ev).orderBy("event_type")
+
+
+@register(
     "events_user_sessions",
     """
     SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions

@@ -1,0 +1,68 @@
+"""Sketch error bounds vs exact twins; salted-join equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from neo4j_enterprise_spark.catalog import load_table
+from neo4j_enterprise_spark.operators.sketches import approx_event_stats, exact_event_stats
+from neo4j_enterprise_spark.operators.skew import salted_join
+
+
+def test_approx_stats_error_bounds(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    approx = {r["event_type"]: r for r in approx_event_stats(ev).collect()}
+    exact = {r["event_type"]: r for r in exact_event_stats(ev).collect()}
+    assert set(approx) == set(exact)
+    for et, a in approx.items():
+        e = exact[et]
+        assert a["n_events"] == e["n_events"]  # exact agg rides along
+        rel_err = abs(a["approx_users"] - e["exact_users"]) / max(e["exact_users"], 1)
+        assert rel_err <= 0.06, f"{et}: HLL error {rel_err}"
+    # GK guarantees RANK error ≤ 1/accuracy (it returns actual elements,
+    # unlike interpolating exact percentiles) — assert each sketch value
+    # falls inside the exact value bracket at rank ± 2%.
+    brackets = {
+        r["event_type"]: r["brackets"]
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile(
+                "value",
+                F.array(*[F.lit(x) for x in (0.48, 0.52, 0.93, 0.97, 0.97, 1.0)]),
+            ).alias("brackets")
+        )
+        .collect()
+    }
+    for et, a in approx.items():
+        b = brackets[et]
+        for i, ap in enumerate(a["value_pcts"]):
+            lo, hi = b[2 * i], b[2 * i + 1]
+            assert lo <= ap <= hi, f"{et}: pct {ap} outside rank bracket [{lo}, {hi}]"
+
+
+def _skewed(spark):
+    # key 1 is hot (200 rows), keys 2..5 sparse; right has an unmatched key
+    left = spark.createDataFrame(
+        [(1, i) for i in range(200)] + [(k, 900 + k) for k in range(2, 6)],
+        "k long, payload long",
+    )
+    right = spark.createDataFrame(
+        [(1, "hot"), (2, "a"), (3, "b"), (9, "never")], "k long, tag string"
+    )
+    return left, right
+
+
+def test_salted_join_matches_plain_inner(spark):
+    left, right = _skewed(spark)
+    plain = sorted(map(tuple, left.join(right, "k").collect()))
+    salted = sorted(map(tuple, salted_join(left, right, "k", n_salts=4).collect()))
+    assert salted == plain
+
+
+def test_salted_join_matches_plain_left(spark):
+    left, right = _skewed(spark)
+    plain = sorted(map(tuple, left.join(right, "k", "left").collect()))
+    salted = sorted(
+        map(tuple, salted_join(left, right, "k", n_salts=4, how="left").collect())
+    )
+    assert salted == plain
