@@ -1,0 +1,158 @@
+"""Deterministic sampling and dataset splitting for corpus pipelines.
+
+Train/val/test splits and down-sampling at 100 TB must be (a) a pure
+column expression — no RNG state, no shuffle, re-runnable per task after
+failure — and (b) stable under repartitioning and incremental appends: a
+document's split assignment depends only on its key, never on row order
+or partition layout.
+
+Mechanism: bucket every row by a hex prefix of ``md5(key)`` and compare
+against fixed hex thresholds. md5 renders identical lowercase hex in
+every engine, and hex strings order lexicographically, so the same
+assignment is expressible in plain ANSI SQL (the DuckDB oracles in
+``plans/pipeline.py`` replay it verbatim). Granularity is 16^digits
+buckets (default 65,536 — fraction resolution 1.5e-5).
+
+Reference parity: the reference's samplers draw from seeded RNG streams
+(enterprise-performance-tests DataGenerator.java:60-90); keyed-hash
+assignment is the distributed-safe upgrade with the same determinism
+contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hex_threshold(fraction: float, digits: int) -> str:
+    space = 16**digits
+    return format(max(0, min(int(fraction * space), space - 1)), f"0{digits}x")
+
+
+def _bucket(key: Column, digits: int) -> Column:
+    return F.substring(F.md5(key.cast("string")), 1, digits)
+
+
+def split_column(
+    key: Column, weights: dict[str, float], digits: int = 4
+) -> Column:
+    """CASE expression assigning a split name per the weight map.
+
+    Thresholds are cumulative weight fractions rendered as hex strings;
+    assignment is the first threshold the key's md5 prefix sorts below,
+    so splits are disjoint and exhaustive by construction.
+    """
+    if len(weights) < 2:
+        raise ValueError("need at least two splits")
+    total = sum(weights.values())
+    names = list(weights)
+    prefix = _bucket(key, digits)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name] / total
+        cond = prefix < F.lit(_hex_threshold(cum, digits))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return expr.otherwise(names[-1])
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    split_col: str = "split",
+    digits: int = 4,
+) -> DataFrame:
+    """Attach a deterministic split column keyed on ``key_col``."""
+    return df.withColumn(split_col, split_column(F.col(key_col), weights, digits))
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, digits: int = 4
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows (keyed, not random):
+    the same rows survive every run and every repartition, and a row's
+    fate never changes when the corpus grows."""
+    return df.filter(_bucket(F.col(key_col), digits) < _hex_threshold(fraction, digits))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    digits: int = 4,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (corpus rebalancing: e.g. keep
+    100% of rare languages, 5% of the dominant one). Pure column
+    predicate — no per-stratum jobs, one scan, no shuffle."""
+    prefix = _bucket(F.col(key_col), digits)
+    thr = None
+    for stratum, frac in fractions.items():
+        lit = F.lit(_hex_threshold(frac, digits))
+        cond = F.col(stratum_col) == stratum
+        thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
+    thr = thr.otherwise(F.lit(_hex_threshold(default_fraction, digits)))
+    return df.filter(prefix < thr)
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    weights: dict[str, float],
+    train: str = "train",
+    holdout: str = "eval",
+    key_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Train→holdout contamination: for each holdout document, the
+    fraction of its word k-shingles that also occur anywhere in the
+    train split (the leakage check a training pipeline runs before an
+    eval set ships).
+
+    Shape: shingle explode → distinct train-shingle set → one equi-join
+    on the shingle hash. The train set is shuffle-partitioned by
+    shingle; no all-pairs blow-up, scales linearly in corpus size.
+    Counts are exact integers; the final rate is one IEEE division.
+    """
+    from .dedup import shingles
+
+    split = split_column(F.col(key_col), weights)
+    tagged = docs.withColumn("__split", split)
+    train_sh = (
+        shingles(tagged.filter(F.col("__split") == train), k=k)
+        .select("shingle")
+        .distinct()
+        .withColumnRenamed("shingle", "train_shingle")
+    )
+    hold_sh = shingles(tagged.filter(F.col("__split") == holdout), k=k)
+    joined = hold_sh.join(
+        train_sh, hold_sh["shingle"] == train_sh["train_shingle"], "left"
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.count("train_shingle").alias("n_contaminated"),
+        (
+            F.count("train_shingle").cast("double")
+            / F.count("*").cast("double")
+        ).alias("contamination"),
+    )
+
+
+def vocabulary(docs: DataFrame, text_col: str = "text", top_n: int = 50) -> DataFrame:
+    """Corpus vocabulary with term/document frequencies, top-N by
+    document frequency (deterministic total order: df desc, tf desc,
+    term asc). The explode is map-side; both counts ride one partial
+    aggregation on the term key."""
+    term = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term")
+    return (
+        docs.select("doc_id", term)
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("term_freq"),
+            F.count_distinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("doc_freq"), F.desc("term_freq"), F.asc("term"))
+        .limit(top_n)
+    )

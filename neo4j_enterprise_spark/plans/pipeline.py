@@ -288,3 +288,121 @@ def docs_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_scores(docs).select(
         "doc_id", "n_chars_actual", "n_tokens", "avg_token_len", "passes_quality"
     )
+
+
+# deterministic md5-prefix thresholds (operators/sampling.py): hex render
+# of cumulative weights — hardcoded in the SQL so the oracle replays the
+# exact same assignment
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}  # → 'cccc', 'e666'
+_SPLIT_CASE = """
+    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+         ELSE 'test' END"""
+
+
+@register(
+    "docs_hash_split_counts",
+    f"""
+    SELECT {_SPLIT_CASE} AS split, lang, COUNT(*) AS n_docs
+    FROM documents GROUP BY 1, 2 ORDER BY split, lang
+    """,
+    doc="Deterministic train/val/test split (keyed md5-prefix "
+    "thresholds — stable under repartitioning and corpus growth, no RNG "
+    "state; operators/sampling.hash_split) rolled up per language.",
+)
+def docs_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.hash_split(docs, "doc_id", _SPLIT_WEIGHTS)
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+@register(
+    "docs_stratified_sample",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+          CASE WHEN lang = 'en' THEN '0ccc'
+               WHEN lang = 'de' THEN '7fff'
+               ELSE 'ffff' END
+    ORDER BY doc_id
+    """,
+    doc="Stratified deterministic down-sampling (corpus rebalance: 5% "
+    "of dominant 'en', 50% 'de', ~100% rare strata) as one pushed-down "
+    "column predicate — no per-stratum jobs, no shuffle "
+    "(operators/sampling.stratified_hash_sample).",
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.stratified_hash_sample(
+            docs, "doc_id", "lang", {"en": 0.05, "de": 0.5}, default_fraction=0.9999999
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "docs_train_eval_contamination",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, split, shingle FROM (
+        SELECT doc_id, split,
+               unnest(list_transform(range(1, greatest(len(t) - 5, 0) + 2),
+                                     i -> array_to_string(t[i:i+4], ' '))) AS shingle
+        FROM toks)),
+    tr AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train'),
+    ev AS (SELECT doc_id, shingle FROM sh WHERE split = 'eval')
+    SELECT ev.doc_id, COUNT(*) AS n_shingles,
+           COUNT(tr.shingle) AS n_contaminated,
+           CAST(COUNT(tr.shingle) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS contamination
+    FROM ev LEFT JOIN tr ON ev.shingle = tr.shingle
+    GROUP BY ev.doc_id ORDER BY ev.doc_id
+    """,
+    doc="Train→holdout n-gram contamination: per holdout doc, the "
+    "fraction of its word 5-shingles present anywhere in the train "
+    "split. One shingle-keyed equi-join (linear, no all-pairs); the "
+    "leakage gate before an eval set ships.",
+)
+def docs_train_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.ngram_contamination(
+        docs, {"train": 0.9, "eval": 0.1}
+    ).orderBy("doc_id")
+
+
+@register(
+    "docs_vocabulary_top_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      FROM documents)
+    SELECT term, COUNT(*) AS term_freq, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM toks GROUP BY term
+    ORDER BY doc_freq DESC, term_freq DESC, term LIMIT 50
+    """,
+    doc="Vocabulary building: top-50 terms by document frequency with "
+    "exact tf/df (one partial-agg pass on the term key; deterministic "
+    "total order so LIMIT is stable).",
+)
+def docs_vocabulary_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.vocabulary(docs)

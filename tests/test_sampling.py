@@ -1,0 +1,81 @@
+"""Deterministic split/sample semantics and contamination correctness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from neo4j_enterprise_spark.catalog import load_table
+from neo4j_enterprise_spark.operators import sampling
+
+
+def test_hash_split_disjoint_exhaustive_and_sized(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    split = sampling.hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == n  # exhaustive, disjoint by construction
+    assert counts["train"] / n > 0.7 and counts["val"] / n < 0.2
+
+
+def test_hash_split_stable_under_repartition(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    w = {"train": 0.9, "eval": 0.1}
+    a = sorted(sampling.hash_split(docs, "doc_id", w).select("doc_id", "split").collect())
+    b = sorted(
+        sampling.hash_split(docs.repartition(13), "doc_id", w).select("doc_id", "split").collect()
+    )
+    assert a == b
+
+
+def test_hash_sample_is_subset_and_prefix_monotone(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    small = {r["doc_id"] for r in sampling.hash_sample(docs, "doc_id", 0.1).select("doc_id").collect()}
+    big = {r["doc_id"] for r in sampling.hash_sample(docs, "doc_id", 0.3).select("doc_id").collect()}
+    assert small <= big  # growing the fraction only ADDS rows
+    assert 0 < len(small) < len(big) < docs.count()
+
+
+def test_stratified_sample_respects_fractions(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.stratified_hash_sample(docs, "doc_id", "lang", {"en": 0.0, "de": 1.0})
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert "en" not in langs
+    n_de = docs.filter(F.col("lang") == "de").count()
+    # fraction 1.0 clamps to threshold 'ffff' (excludes only prefix 'ffff':
+    # 1/65536 of keys) — everything else survives
+    assert out.filter(F.col("lang") == "de").count() >= n_de * 0.99
+
+
+def test_contamination_bounds(spark):
+    # eval doc 6529 ('0000...' md5 prefix would be train — pick by trial):
+    # build docs where one holdout doc copies a train doc verbatim
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(40)]
+    rows += [(100 + i, "totally different words nothing shared here at all") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in sampling.ngram_contamination(docs, {"train": 0.5, "eval": 0.5}).collect()
+    }
+    # every holdout doc is either a verbatim copy of a train doc (rate 1.0)
+    # or shares nothing (rate 0.0), depending on which text group it's in —
+    # provided at least one doc of its group landed in train
+    train_ids = {
+        r["doc_id"]
+        for r in sampling.hash_split(docs, "doc_id", {"train": 0.5, "eval": 0.5})
+        .filter(F.col("split") == "train")
+        .collect()
+    }
+    grp_a_train = any(i in train_ids for i in range(40))
+    grp_b_train = any(100 + i in train_ids for i in range(10))
+    for doc_id, r in out.items():
+        expected = 1.0 if (doc_id < 100 and grp_a_train) or (doc_id >= 100 and grp_b_train) else 0.0
+        assert r["contamination"] == expected, (doc_id, r)
+        assert r["n_shingles"] > 0
+
+
+def test_vocabulary_counts_exact(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c"), (3, "c c c")], "doc_id long, text string"
+    )
+    rows = {r["term"]: (r["term_freq"], r["doc_freq"]) for r in sampling.vocabulary(docs).collect()}
+    assert rows == {"a": (3, 2), "b": (1, 1), "c": (4, 2)}

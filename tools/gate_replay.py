@@ -5,7 +5,8 @@ over the same parquet tables, then compares column-name-sorted stringified
 rows (order-insensitive) — the same comparison shape the round driver uses
 for CORRECTNESS_r{N}.json.
 
-Usage: python tools/gate_replay.py [sf_dir]   (default /root/testdata/sf0.01)
+Usage: python tools/gate_replay.py [sf_dir] [--only name ...]
+(default sf_dir /root/testdata/sf0.01; --only restricts to named queries)
 """
 
 import os
@@ -23,7 +24,13 @@ TABLES = [
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = sys.argv[1:]
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1 :])
+        argv = argv[:i]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     spark = (
         SparkSession.builder.master("local[16]")
         .config("spark.sql.shuffle.partitions", "16")
@@ -42,6 +49,8 @@ def main() -> int:
     queries, oracles = e.queries(), e.oracle_sql()
     mismatched = []
     for name, fn in queries.items():
+        if only and name not in only:
+            continue
         sql = oracles.get(name)
         try:
             sdf = fn(spark, sf_dir)
