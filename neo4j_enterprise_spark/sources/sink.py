@@ -1,0 +1,161 @@
+"""Write-path operators: size-targeted, partitioned, bucketed sinks.
+
+The reference's write path streams whole store files per table
+(`Master.copyStore`, `BackupService.doFullBackup:85-180`); at 100 TB the
+equivalent concern is file-count/size hygiene — a table written with the
+wrong parallelism yields either thousands of KB-size files (NameNode /
+listing pressure, per-file open cost dominates scans) or a handful of
+multi-GB files (no scan parallelism, stragglers). These helpers make the
+output layout an explicit contract:
+
+- ``write_dataset`` — repartition to hit a target file size (estimated
+  from source-file bytes when derivable, else a sampled row-size
+  estimate), optional hive-style partition dirs and within-file sort
+  (range-clustered files → parquet min/max footer pruning downstream);
+- ``compact`` — the small-files maintenance job: rewrite a dataset's
+  fragments into right-sized files, preserving partition dirs;
+- ``write_bucketed`` — ``bucketBy`` table sink so repeated equi-joins /
+  aggs on the bucket key skip their shuffle entirely.
+
+All sizing happens on the driver from metadata only — no extra pass over
+the data beyond the optional tiny sample.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _source_bytes(df: DataFrame) -> int | None:
+    """Sum the on-disk size of the scan's input files if every input is a
+    local/file: path (always true in tests; on a cluster the same idea
+    reads FileStatus from the Hadoop FS)."""
+    total = 0
+    files = df.inputFiles()
+    if not files:
+        return None
+    for f in files:
+        p = urlparse(f)
+        if p.scheme not in ("", "file"):
+            return None
+        path = p.path
+        if not os.path.exists(path):
+            return None
+        total += os.path.getsize(path)
+    return total
+
+
+def _estimate_bytes(df: DataFrame, sample_rows: int = 1_000) -> tuple[int, int]:
+    """(approx_total_bytes, n_rows) — source-file bytes when derivable
+    (parquet-compressed, i.e. already in output units), else in-memory
+    sample estimate scaled down 3× for parquet encoding+compression."""
+    n_rows = df.count()
+    src = _source_bytes(df)
+    if src is not None:
+        return src, n_rows
+    if n_rows == 0:
+        return 0, 0
+    sample = df.limit(sample_rows).toPandas()
+    per_row = max(sample.memory_usage(index=False, deep=True).sum() / max(len(sample), 1), 1.0)
+    return int(n_rows * per_row / 3), n_rows
+
+
+def plan_file_count(df: DataFrame, target_file_mb: int = 128) -> int:
+    total_bytes, _ = _estimate_bytes(df)
+    return max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+
+
+def write_dataset(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
+    target_file_mb: int = 128,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> int:
+    """Write ``df`` with an explicit file-size target; returns the
+    planned file count.
+
+    Layout strategy:
+    - plain: round-robin ``repartition(n)`` → n uniform files;
+    - ``sort_by``: ``repartitionByRange`` + ``sortWithinPartitions`` →
+      globally range-clustered files whose parquet min/max footers prune
+      downstream scans on the sort key;
+    - ``partition_by``: shuffle on the partition key plus a salt bounded
+      by n so a hot partition value still splits across tasks while each
+      task writes at most one file per directory it owns.
+    """
+    n = plan_file_count(df, target_file_mb)
+    writer_df = df
+    if partition_by:
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n)).alias(
+            "__file_salt"
+        )
+        writer_df = (
+            df.select("*", salt)
+            .repartition(n, *[F.col(c) for c in partition_by], F.col("__file_salt"))
+            .drop("__file_salt")
+        )
+    elif sort_by:
+        writer_df = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        writer_df = df.repartition(n)
+    writer = writer_df.write.mode(mode).format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+    return n
+
+
+def compact(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    partition_by: list[str] | None = None,
+    fmt: str = "parquet",
+) -> int:
+    """Rewrite a fragmented dataset into right-sized files (read →
+    re-layout → atomic-ish replace via overwrite). Partition dirs are
+    re-derived from the data, so per-partition fragments merge too."""
+    df = spark.read.format(fmt).load(path)
+    cached = df.cache()
+    try:
+        n = write_dataset(
+            cached,
+            path + "__compacted",
+            partition_by=partition_by,
+            target_file_mb=target_file_mb,
+            fmt=fmt,
+        )
+    finally:
+        cached.unpersist()
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(path + "__compacted", path)
+    return n
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (+ optionally sorted) table: joins and
+    aggregations keyed on ``bucket_cols`` between co-bucketed tables run
+    shuffle-free (Catalyst sees the hash-distribution from table
+    metadata). The 100 TB pattern for fact-fact joins too big to
+    broadcast and too frequent to re-shuffle per query."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

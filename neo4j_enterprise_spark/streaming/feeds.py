@@ -198,3 +198,24 @@ def liveness(
         .groupBy("instance_id")
         .agg(F.max("ts").alias("last_seen"))
     )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming dedup with bounded state: drop re-deliveries of the
+    same key seen within the watermark horizon.
+
+    The batch dedup ladder (operators/dedup.py) assumes it can see the
+    whole corpus; an ingest stream can't, so state must age out —
+    ``dropDuplicatesWithinWatermark`` keeps one entry per key and
+    discards it once the event-time watermark passes (at 100 TB/day the
+    state store holds only the horizon's keys, not history). Duplicates
+    arriving later than the watermark are consciously let through: the
+    downstream batch dedup is the backstop (dedup-on-write, the same
+    two-tier contract as pull_apply's R4 idempotence).
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

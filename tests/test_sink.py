@@ -1,0 +1,127 @@
+"""Sink layout contracts: sizing, partition dirs, compaction, bucketing."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from neo4j_enterprise_spark.catalog import load_table
+from neo4j_enterprise_spark.sources import sink
+
+
+def _files(path: str, suffix: str = ".parquet") -> list[str]:
+    return [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*"), recursive=True)
+        if f.endswith(suffix)
+    ]
+
+
+def test_write_dataset_roundtrip_and_file_target(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs")
+    # tiny target forces multiple files even at sf0.001
+    n = sink.write_dataset(docs, out, target_file_mb=1)
+    files = _files(out)
+    assert len(files) == n >= 1
+    back = spark.read.parquet(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+
+
+def test_write_dataset_partition_dirs(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "by_lang")
+    sink.write_dataset(docs, out, partition_by=["lang"], target_file_mb=1)
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    dirs = {d for d in os.listdir(out) if d.startswith("lang=")}
+    assert dirs == {f"lang={l}" for l in langs}
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # partition column round-trips through the directory encoding
+    assert {r["lang"] for r in back.select("lang").distinct().collect()} == langs
+
+
+def test_write_dataset_sorted_files_are_range_clustered(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "sorted")
+    n = sink.write_dataset(docs, out, sort_by=["doc_id"], target_file_mb=1)
+    if n < 2:
+        return  # nothing to assert about ranges with a single file
+    # per-file id ranges must not overlap (footer min/max prune downstream)
+    ranges = []
+    for f in _files(out):
+        pdf = spark.read.parquet(f).agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).collect()[0]
+        ranges.append((pdf["lo"], pdf["hi"]))
+    ranges.sort()
+    for (_, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b
+
+
+def test_compact_merges_fragments(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "frag")
+    docs.repartition(37).write.parquet(out)  # pathological fragmentation
+    assert len(_files(out)) == 37
+    before = sorted(map(tuple, spark.read.parquet(out).collect()))
+    n = sink.compact(spark, out, target_file_mb=128)
+    assert len(_files(out)) == n < 37
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == before
+
+
+def test_write_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    sink.write_bucketed(cust, "b_cust", ["c_custkey"], n_buckets=4)
+    sink.write_bucketed(
+        orders.withColumnRenamed("o_custkey", "c_custkey"), "b_ord", ["c_custkey"], n_buckets=4
+    )
+    try:
+        a, b = spark.table("b_cust"), spark.table("b_ord")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, "c_custkey")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            expected = (
+                cust.join(orders, cust["c_custkey"] == orders["o_custkey"]).count()
+            )
+            assert joined.count() == expected
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_cust")
+        spark.sql("DROP TABLE IF EXISTS b_ord")
+
+
+def test_dedup_stream_drops_redeliveries(spark, sf_dir, tmp_path):
+    from neo4j_enterprise_spark.streaming.feeds import dedup_stream
+
+    src = str(tmp_path / "stream_in")
+    os.makedirs(src)
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:00:30")],
+        "event_id long, ts_s string",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    # same rows delivered twice (two files) + one fresh row
+    events.coalesce(1).write.mode("append").parquet(src)
+    events.union(
+        spark.createDataFrame([(3, "2024-01-01 00:01:00")], "event_id long, ts_s string")
+        .select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("event_id long, ts timestamp").parquet(src)
+    out: list = []
+    q = (
+        dedup_stream(stream, ["event_id"], watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _id: out.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r["event_id"] for r in out) == [1, 2, 3]
