@@ -70,3 +70,27 @@ def language_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         best["lang"].alias("predicted_lang"),
         best["hits"].alias("marker_hits"),
     )
+
+
+# BPE-ish pre-tokenizer: letter runs / digit runs / punctuation runs —
+# the lookahead-free core of GPT-2-style pre-tokenization, portable
+# between Java regex (Spark) and RE2-like engines (DuckDB oracle)
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Sub-word-ish token counts: total tokens, distinct tokens, and the
+    letters-only share. regexp_extract_all is a JVM column expression —
+    the whole computation stays in whole-stage codegen (the realistic
+    'how many tokens is this corpus' pass before paying for a real BPE
+    vocab, which would slot in here as a Pandas UDF with this exact
+    schema)."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$")))
+        .cast("long")
+        .alias("n_word_tokens"),
+    )

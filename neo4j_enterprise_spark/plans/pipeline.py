@@ -406,3 +406,26 @@ def docs_vocabulary_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return sampling.vocabulary(docs)
+
+
+@register(
+    "docs_bpe_token_stats",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+') AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+           CAST(len(list_filter(t, x -> regexp_full_match(x, '[A-Za-z]+')))
+                AS BIGINT) AS n_word_tokens
+    FROM toks ORDER BY doc_id
+    """,
+    doc="BPE-ish regex token counting (letter/digit/punct runs — the "
+    "lookahead-free GPT-2 pre-tokenizer core) as pure column "
+    "expressions; complements whitespace token_stats.",
+)
+def docs_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_token_stats(docs).orderBy("doc_id")

@@ -973,3 +973,39 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("n_sessions").cast("long").alias("n_sessions"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "orders_price_quartiles",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           NTILE(4) OVER w AS price_quartile,
+           CAST(PERCENT_RANK() OVER w AS DOUBLE) AS price_pct_rank
+    FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01'
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+    doc="Distribution analytics: NTILE quartile + PERCENT_RANK of order "
+    "value within each priority class. The (o_totalprice, o_orderkey) "
+    "order is a total order, so both window functions are deterministic; "
+    "percent_rank divides exact integer ranks (IEEE-stable). One shuffle "
+    "on the partition key; the year filter pushes to the scan.",
+)
+def orders_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).alias("price_quartile"),
+            F.percent_rank().over(w).cast("double").alias("price_pct_rank"),
+        )
+        # no global ORDER BY: driver compare is order-insensitive and a
+        # full sort of the output would be a wasted exchange at scale
+    )

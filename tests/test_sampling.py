@@ -79,3 +79,15 @@ def test_vocabulary_counts_exact(spark):
     )
     rows = {r["term"]: (r["term_freq"], r["doc_freq"]) for r in sampling.vocabulary(docs).collect()}
     assert rows == {"a": (3, 2), "b": (1, 1), "c": (4, 2)}
+
+
+def test_bpe_token_stats_counts(spark):
+    from neo4j_enterprise_spark.operators.text import bpe_token_stats
+
+    docs = spark.createDataFrame(
+        [(1, "Hello, world42 foo_bar!"), (2, "aaa aaa")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in bpe_token_stats(docs).collect()}
+    # Hello , world 42 foo _ bar !  → 8 tokens, all distinct, 4 word runs
+    assert (rows[1]["n_bpe_tokens"], rows[1]["n_distinct_tokens"], rows[1]["n_word_tokens"]) == (8, 8, 4)
+    assert (rows[2]["n_bpe_tokens"], rows[2]["n_distinct_tokens"], rows[2]["n_word_tokens"]) == (2, 1, 2)
