@@ -94,3 +94,28 @@ def bpe_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .cast("long")
         .alias("n_word_tokens"),
     )
+
+
+# portable (lookahead-free) scrub patterns; a production pass swaps in
+# jurisdiction-specific pattern packs with the same plumbing
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+",
+    "long_digits": r"[0-9]{6,}",  # phone / account / card number runs
+}
+
+
+def redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII-style scrub: replace every match of each pattern with a typed
+    placeholder and count the replacements per class. Pure column
+    expressions (one codegen stage, no UDF); the redacted text keeps the
+    document's token shape so downstream stats stay meaningful."""
+    red = F.col(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS.items():
+        counts.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return docs.select("doc_id", *counts, red.alias("redacted_text"))

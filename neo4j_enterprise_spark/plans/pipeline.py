@@ -429,3 +429,37 @@ def docs_vocabulary_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.bpe_token_stats(docs).orderBy("doc_id")
+
+
+@register(
+    "docs_pii_redaction",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+'))
+                AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT)
+             AS n_long_digits,
+           md5(regexp_replace(
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+',
+                                '<EMAIL>', 'g'),
+                 '[0-9]{6,}', '<LONG_DIGITS>', 'g')) AS redacted_hash
+    FROM documents ORDER BY doc_id
+    """,
+    doc="PII-style scrub: typed-placeholder replacement for email and "
+    "long-digit-run patterns with per-class match counts; the oracle "
+    "compares an md5 of the redacted text, proving byte-identical scrub "
+    "output. Redaction order matters (emails first — their local parts "
+    "can contain digit runs) and is fixed in both plans.",
+)
+def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        text.redact(docs)
+        .select(
+            "doc_id",
+            "n_email",
+            "n_long_digits",
+            F.md5("redacted_text").alias("redacted_hash"),
+        )
+        .orderBy("doc_id")
+    )

@@ -47,8 +47,8 @@ def test_stratified_sample_respects_fractions(spark, sf_dir):
 
 
 def test_contamination_bounds(spark):
-    # eval doc 6529 ('0000...' md5 prefix would be train — pick by trial):
-    # build docs where one holdout doc copies a train doc verbatim
+    # two text groups: any holdout doc is a verbatim copy of every doc in
+    # its own group and shares nothing with the other group
     rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(40)]
     rows += [(100 + i, "totally different words nothing shared here at all") for i in range(10)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
@@ -91,3 +91,16 @@ def test_bpe_token_stats_counts(spark):
     # Hello , world 42 foo _ bar !  → 8 tokens, all distinct, 4 word runs
     assert (rows[1]["n_bpe_tokens"], rows[1]["n_distinct_tokens"], rows[1]["n_word_tokens"]) == (8, 8, 4)
     assert (rows[2]["n_bpe_tokens"], rows[2]["n_distinct_tokens"], rows[2]["n_word_tokens"]) == (2, 1, 2)
+
+
+def test_redact_scrubs_and_counts(spark):
+    from neo4j_enterprise_spark.operators.text import redact
+
+    docs = spark.createDataFrame(
+        [(1, "write a.b@x.com or 12345678 ok"), (2, "clean text only")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact(docs).collect()}
+    assert rows[1]["n_email"] == 1 and rows[1]["n_long_digits"] == 1
+    assert rows[1]["redacted_text"] == "write <EMAIL> or <LONG_DIGITS> ok"
+    assert rows[2]["n_email"] == 0 and rows[2]["redacted_text"] == "clean text only"
