@@ -1009,3 +1009,92 @@ def orders_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # no global ORDER BY: driver compare is order-insensitive and a
         # full sort of the output would be a wasted exchange at scale
     )
+
+
+@register(
+    "events_props_json_rollup",
+    """
+    SELECT event_type,
+           COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Semi-structured property extraction: events.props is a JSON "
+    "string column (the reference's dynamic property store analog — "
+    "string/array dynamic records, PropertyStore.java); get_json_object "
+    "pulls typed values in the scan stage, then a plain integer rollup. "
+    "At scale the same shape applies from_json once in a projected "
+    "column rather than re-parsing per expression.",
+)
+def events_props_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "orders_cube_pricing",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+    doc="CUBE subtotals over status × priority (all four grouping sets "
+    "in ONE pass — partial aggregation expands grouping ids map-side; "
+    "complements the ROLLUP query). Money summed in DECIMAL, cast once.",
+)
+def orders_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+@register(
+    "events_incremental_rollup",
+    """
+    SELECT event_type, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT)
+             AS sum_value_milli
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Incremental aggregate maintenance (operators/incremental.py): "
+    "the per-type rollup is built as BASE state (event_id % 7 != 0) "
+    "merged with a DELTA state (the rest) — union + re-sum over state "
+    "rows only, never a rescan of the base. The oracle recomputes from "
+    "scratch, proving merge == full recompute. Values are quantized to "
+    "milli-units so sums are exact integers (merge-order independent).",
+)
+def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import incremental
+
+    ev = load_table(spark, sf_dir, "events")
+    milli = F.round(F.col("value") * 1000).cast("long")
+    base = incremental.sum_state(
+        ev.filter(F.col("event_id") % 7 != 0), ["event_type"], {"sum_value_milli": milli}
+    )
+    delta = incremental.sum_state(
+        ev.filter(F.col("event_id") % 7 == 0), ["event_type"], {"sum_value_milli": milli}
+    )
+    return incremental.merge_states([base, delta], ["event_type"]).orderBy("event_type")

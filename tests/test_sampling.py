@@ -104,3 +104,27 @@ def test_redact_scrubs_and_counts(spark):
     assert rows[1]["n_email"] == 1 and rows[1]["n_long_digits"] == 1
     assert rows[1]["redacted_text"] == "write <EMAIL> or <LONG_DIGITS> ok"
     assert rows[2]["n_email"] == 0 and rows[2]["redacted_text"] == "clean text only"
+
+
+def test_incremental_state_merge_and_delete(spark, sf_dir):
+    from neo4j_enterprise_spark.operators import incremental
+
+    ev = load_table(spark, sf_dir, "events")
+    milli = F.round(F.col("value") * 1000).cast("long")
+    keys, meas = ["event_type"], {"sum_value_milli": milli}
+    full = incremental.sum_state(ev, keys, meas)
+    sub = ev.filter(F.col("event_id") % 5 == 0)
+    rest = ev.filter(F.col("event_id") % 5 != 0)
+    # full - sub == state(rest), row-for-row
+    derived = incremental.merge_states(
+        [full, incremental.negate_state(incremental.sum_state(sub, keys, meas), keys)],
+        keys,
+    )
+    assert sorted(map(tuple, derived.collect())) == sorted(
+        map(tuple, incremental.sum_state(rest, keys, meas).collect())
+    )
+    # deleting everything empties the state entirely
+    gone = incremental.merge_states(
+        [full, incremental.negate_state(full, keys)], keys
+    )
+    assert gone.count() == 0
