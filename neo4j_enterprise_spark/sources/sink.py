@@ -159,3 +159,64 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def zorder_column(
+    df: DataFrame, cols: list[str], bits: int = 8
+) -> tuple[DataFrame, str]:
+    """Attach a Z-order (Morton) key interleaving the rank-bits of
+    ``cols``: rows close on the space-filling curve are close in EVERY
+    listed dimension, so range-clustered files prune scans filtered on
+    any of them (single-column sort only prunes its own column).
+
+    Ranks come from per-column approx-quantile boundaries (one
+    distributed pass per column, 2^bits cut points collected to the
+    driver — metadata-size, not data-size); bucket lookup and bit
+    interleave are pure column expressions.
+    """
+    n_dims = len(cols)
+    if n_dims < 2:
+        raise ValueError("z-order needs >= 2 columns (use sort_by for 1)")
+    zcol = "__zorder"
+    out = df
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    bucket_cols = []
+    for c in cols:
+        bnds = df.approxQuantile(c, probs, 0.001)
+        bnds = sorted(set(bnds))  # quantiles can repeat on skewed data
+        arr = F.array(*[F.lit(float(b)) for b in bnds])
+        v = F.col(c).cast("double")
+        bucket = F.size(F.filter(arr, lambda b: b <= v)).cast("long")
+        bc = f"__zb_{c}"
+        out = out.withColumn(bc, bucket)
+        bucket_cols.append(bc)
+    morton = F.lit(0).cast("long")
+    for i in range(bits):
+        for d, bc in enumerate(bucket_cols):
+            morton = morton + F.shiftleft(
+                F.shiftright(F.col(bc), i).bitwiseAND(F.lit(1)), i * n_dims + d
+            )
+    return out.withColumn(zcol, morton).drop(*bucket_cols), zcol
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    target_file_mb: int = 128,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> int:
+    """Write ``df`` as Z-order-clustered parquet files; returns the
+    planned file count. Downstream scans filtering on ANY of ``cols``
+    prune files via parquet min/max footers."""
+    n = plan_file_count(df, target_file_mb)
+    keyed, zcol = zorder_column(df, cols, bits=bits)
+    (
+        keyed.repartitionByRange(n, F.col(zcol))
+        .sortWithinPartitions(zcol)
+        .drop(zcol)
+        .write.mode(mode)
+        .parquet(path)
+    )
+    return n

@@ -125,3 +125,29 @@ def test_dedup_stream_drops_redeliveries(spark, sf_dir, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(r["event_id"] for r in out) == [1, 2, 3]
+
+
+def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    from neo4j_enterprise_spark.catalog import load_table as lt
+    from neo4j_enterprise_spark.sources.sink import write_zordered
+
+    ev = lt(spark, sf_dir, "events").select("event_id", "user_id")
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(ev, zpath, ["event_id", "user_id"], target_file_mb=1, bits=8)
+    # baseline: single-column sort on event_id only
+    ev.repartitionByRange(8, "event_id").sortWithinPartitions("event_id").write.parquet(spath)
+
+    def avg_span(path: str, col: str) -> float:
+        lo, hi = ev.agg(F.min(col), F.max(col)).collect()[0]
+        spans = []
+        for f in _files(path):
+            r = spark.read.parquet(f).agg(F.min(col).alias("a"), F.max(col).alias("b")).collect()[0]
+            spans.append((r["b"] - r["a"]) / max(hi - lo, 1))
+        return sum(spans) / len(spans)
+
+    if len(_files(zpath)) < 4:
+        return  # not enough files at this sf to measure clustering
+    # z-order keeps BOTH dims clustered; the 1-d sort leaves user_id unclustered
+    assert avg_span(zpath, "event_id") < 0.6
+    assert avg_span(zpath, "user_id") < 0.6
+    assert avg_span(spath, "user_id") > avg_span(zpath, "user_id")
