@@ -156,3 +156,34 @@ def vocabulary(docs: DataFrame, text_col: str = "text", top_n: int = 50) -> Data
         .orderBy(F.desc("doc_freq"), F.desc("term_freq"), F.asc("term"))
         .limit(top_n)
     )
+
+
+def exact_k_sample(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Exactly-k deterministic uniform-ish sample: global top-k by
+    ``md5(key)``. The hash order is uncorrelated with any data order, so
+    the k rows behave like a uniform draw but are reproducible and
+    engine-portable. TakeOrderedAndProject keeps only k rows per
+    partition before the single k-row merge — no global sort
+    materializes (the fixed-size sample replaces hash_sample when the
+    contract is a row COUNT, not a rate)."""
+    return df.orderBy(F.md5(F.col(key_col).cast("string")), key_col).limit(k)
+
+
+def per_group_cap(
+    df: DataFrame, group_cols: list[str], key_col: str, cap: int
+) -> DataFrame:
+    """Contribution cap: keep at most ``cap`` rows per group, selected
+    by the same deterministic hash order (so caps are stable across
+    runs/appends). The anti-dominance pass of corpus building — no user,
+    domain, or source may exceed its quota. One window over the group
+    key; no join."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.md5(F.col(key_col).cast("string")), key_col
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

@@ -463,3 +463,44 @@ def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "docs_exact_k_sample",
+    """
+    SELECT doc_id, lang FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100
+    """,
+    doc="Exactly-k deterministic sample: global top-100 by md5(key) — "
+    "uniform-ish but reproducible and portable; TakeOrderedAndProject "
+    "keeps k rows per partition, no global sort materializes.",
+)
+def docs_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.exact_k_sample(docs, "doc_id", 100).select("doc_id", "lang")
+
+
+@register(
+    "events_per_user_cap",
+    """
+    SELECT user_id, event_id FROM (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY md5(CAST(event_id AS VARCHAR)),
+                                         event_id) AS rn
+      FROM events)
+    WHERE rn <= 5 ORDER BY user_id, event_id
+    """,
+    doc="Per-entity contribution cap: at most 5 events per user, chosen "
+    "by deterministic hash order (stable across runs and appends) — the "
+    "anti-dominance pass of corpus building. One window, no join.",
+)
+def events_per_user_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    ev = load_table(spark, sf_dir, "events")
+    return sampling.per_group_cap(ev, ["user_id"], "event_id", 5).select(
+        "user_id", "event_id"
+    )

@@ -128,3 +128,21 @@ def test_incremental_state_merge_and_delete(spark, sf_dir):
         [full, incremental.negate_state(full, keys)], keys
     )
     assert gone.count() == 0
+
+
+def test_exact_k_sample_size_and_determinism(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = sampling.exact_k_sample(docs, "doc_id", 50).select("doc_id").collect()
+    b = sampling.exact_k_sample(docs.repartition(9), "doc_id", 50).select("doc_id").collect()
+    assert len(a) == 50 and sorted(a) == sorted(b)
+
+
+def test_per_group_cap_limits_and_keeps_small_groups(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    capped = sampling.per_group_cap(ev, ["user_id"], "event_id", 5)
+    sizes = capped.groupBy("user_id").count()
+    assert sizes.filter(F.col("count") > 5).count() == 0
+    # groups already under the cap are untouched
+    small = ev.groupBy("user_id").count().filter(F.col("count") <= 5)
+    kept = sizes.join(small, "user_id", "inner")
+    assert sorted(map(tuple, kept.collect())) == sorted(map(tuple, small.collect()))
