@@ -729,3 +729,60 @@ def row_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("n_nationkey").cast("string"), F.lit("|"), F.col("n_name"))
         ).alias("checksum"),
     ).orderBy("id")
+
+
+@register(
+    "bfs_shortest_hops",
+    f"""
+    {graph_cte(nodes=False)},
+    seeds AS (SELECT src AS seed FROM rels WHERE src <= 20 GROUP BY src),
+    hop1 AS (SELECT s.seed, r.dst AS node_id FROM seeds s
+             JOIN rels r ON r.src = s.seed GROUP BY s.seed, r.dst),
+    hop2 AS (SELECT h.seed, r.dst AS node_id FROM hop1 h
+             JOIN rels r ON r.src = h.node_id GROUP BY h.seed, r.dst),
+    reach AS (
+      SELECT seed, seed AS node_id, 0 AS hops FROM seeds
+      UNION ALL SELECT seed, node_id, 1 FROM hop1
+      UNION ALL SELECT seed, node_id, 2 FROM hop2)
+    SELECT seed, node_id, CAST(MIN(hops) AS INT) AS hops
+    FROM reach GROUP BY seed, node_id ORDER BY seed, node_id
+    """,
+    doc="Shortest-hop distances (≤2) per seed — bfs_reachable's minimal "
+    "hop counts exposed row-level (first-seen min per round is a "
+    "map-side-combinable groupBy-min, the unweighted shortest-path "
+    "contract; `RelationshipChainExplorer.java:39-63` walks the same "
+    "frontier shape).",
+)
+def bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rels = derived_rels(spark, sf_dir)
+    seeds = rels.filter(F.col("src") <= 20).select(F.col("src").alias("seed")).distinct()
+    return traversal.bfs_reachable(rels, seeds, k=2, direction="out", cache_edges=False)
+
+
+@register(
+    "parts_copurchase_top20",
+    """
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 20
+    """,
+    doc="Bipartite co-purchase projection: weighted part-part edges from "
+    "the order-part graph (one self-join keyed on the order — shuffle on "
+    "l_orderkey only). At 100 TB the quadratic per-order blow-up is "
+    "bounded by capping items per order first (sampling.per_group_cap); "
+    "synthetic orders hold ≤7 lines so the exact projection is safe here.",
+)
+def parts_copurchase_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
