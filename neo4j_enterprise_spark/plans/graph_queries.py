@@ -786,3 +786,128 @@ def parts_copurchase_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(20)
     )
+
+
+@register(
+    "property_upsert_projection",
+    """
+    WITH props AS (
+      SELECT 'node' AS owner_kind, CAST(c_custkey AS BIGINT) AS owner_id,
+             1 AS key_id, c_mktsegment AS value_string
+      FROM customer),
+    updates AS (
+      SELECT 'node' AS owner_kind, CAST(c_custkey AS BIGINT) AS owner_id,
+             1 AS key_id, 'MACHINERY' AS value_string
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT 'node', CAST(c_custkey AS BIGINT), 2, 'vip'
+      FROM customer WHERE c_custkey % 100 = 0)
+    SELECT owner_kind, owner_id, key_id,
+           COALESCE(u.value_string, p.value_string) AS value_string
+    FROM props p FULL OUTER JOIN updates u USING (owner_kind, owner_id, key_id)
+    ORDER BY owner_id, key_id
+    """,
+    doc="P2 batch property mutation, oracle-proven: upsert_properties "
+    "(MERGE-style full-outer join keyed on the property triple — "
+    "replaces matched blocks, appends new keys) applied to a "
+    "customer-derived property store; the oracle replays the merge as "
+    "COALESCE over the same FULL OUTER JOIN. One co-partitioned join "
+    "(`PropertyStore` setProperty path, SURVEY §2.2).",
+)
+def property_upsert_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mutation import upsert_properties
+
+    cust = load_table(spark, sf_dir, "customer")
+    props = cust.select(
+        F.lit("node").alias("owner_kind"),
+        F.col("c_custkey").cast("long").alias("owner_id"),
+        F.lit(1).alias("key_id"),
+        F.col("c_mktsegment").alias("value_string"),
+    )
+    seg_updates = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            F.lit("node").alias("owner_kind"),
+            F.col("c_custkey").cast("long").alias("owner_id"),
+            F.lit(1).alias("key_id"),
+            F.lit("MACHINERY").alias("value_string"),
+        )
+    )
+    vip_updates = (
+        cust.filter(F.col("c_custkey") % 100 == 0)
+        .select(
+            F.lit("node").alias("owner_kind"),
+            F.col("c_custkey").cast("long").alias("owner_id"),
+            F.lit(2).alias("key_id"),
+            F.lit("vip").alias("value_string"),
+        )
+    )
+    return upsert_properties(props, seg_updates.unionByName(vip_updates)).orderBy(
+        "owner_id", "key_id"
+    )
+
+
+@register(
+    "property_store_scan",
+    """
+    WITH props AS (
+      SELECT CAST(c_custkey AS BIGINT) AS owner_id, 'name' AS key,
+             'STRING' AS value_type, c_name AS value_string,
+             CAST(NULL AS BIGINT) AS value_long
+      FROM customer
+      UNION ALL
+      SELECT CAST(c_custkey AS BIGINT), 'acctbal_cents', 'LONG',
+             CAST(NULL AS VARCHAR),
+             CAST(ROUND(c_acctbal * 100) AS BIGINT)
+      FROM customer
+      UNION ALL
+      SELECT CAST(s_suppkey AS BIGINT) + 3000000, 'acctbal_cents', 'LONG',
+             CAST(NULL AS VARCHAR), CAST(ROUND(s_acctbal * 100) AS BIGINT)
+      FROM supplier)
+    SELECT key, value_type, COUNT(*) AS n_blocks,
+           COUNT(value_string) AS n_strings,
+           CAST(SUM(value_long) AS BIGINT) AS sum_longs
+    FROM props GROUP BY key, value_type ORDER BY key, value_type
+    """,
+    doc="S3/S4 property store scan over typed value columns: the "
+    "union-typed (type tag + per-type column) encoding of the "
+    "reference's dynamic property blocks (`PropertyStore`/dynamic "
+    "string+array records, SURVEY §1.6), scanned and rolled up per key "
+    "and type. Money quantized to integer cents so sums are exact. The "
+    "derivation is a per-row projection — no shuffle before the rollup.",
+)
+def property_store_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    name_p = cust.select(
+        F.col("c_custkey").cast("long").alias("owner_id"),
+        F.lit("name").alias("key"),
+        F.lit("STRING").alias("value_type"),
+        F.col("c_name").alias("value_string"),
+        F.lit(None).cast("long").alias("value_long"),
+    )
+    bal_c = cust.select(
+        F.col("c_custkey").cast("long").alias("owner_id"),
+        F.lit("acctbal_cents").alias("key"),
+        F.lit("LONG").alias("value_type"),
+        F.lit(None).cast("string").alias("value_string"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("value_long"),
+    )
+    bal_s = supp.select(
+        (F.col("s_suppkey").cast("long") + 3_000_000).alias("owner_id"),
+        F.lit("acctbal_cents").alias("key"),
+        F.lit("LONG").alias("value_type"),
+        F.lit(None).cast("string").alias("value_string"),
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("value_long"),
+    )
+    return (
+        name_p.unionByName(bal_c)
+        .unionByName(bal_s)
+        .groupBy("key", "value_type")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.count("value_string").alias("n_strings"),
+            F.sum("value_long").cast("long").alias("sum_longs"),
+        )
+        .orderBy("key", "value_type")
+    )
