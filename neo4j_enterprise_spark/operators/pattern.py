@@ -17,12 +17,32 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# "(var[:kind])" node; "-[:TYPE]->" / "<-[:TYPE]-" edge, with optional
-# "*lo..hi" variable-length quantifier and optional type: "-[*1..2]->"
-_NODE_RE = re.compile(r"\(\s*(\w+)?\s*(?::\s*(\w+))?\s*\)")
+# "(var[:kind] [{key: val, ...}])" node; "-[:TYPE]->" / "<-[:TYPE]-"
+# edge, with optional "*lo..hi" variable-length quantifier and optional
+# type: "-[*1..2]->"
+_NODE_RE = re.compile(r"\(\s*(\w+)?\s*(?::\s*(\w+))?\s*(?:\{([^}]*)\})?\s*\)")
 _EDGE_RE = re.compile(
     r"(<?)-\[\s*(?::\s*(\w+))?\s*(?:\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]-(>?)"
 )
+_PROP_RE = re.compile(r"(\w+)\s*:\s*('[^']*'|\"[^\"]*\"|[\w.+-]+)")
+
+
+def _parse_props(body: str | None) -> dict[str, object]:
+    """Parse a Cypher inline property map body into literal values."""
+    if not body or not body.strip():
+        return {}
+    props: dict[str, object] = {}
+    matched = _PROP_RE.findall(body)
+    if not matched:
+        raise ValueError(f"bad property map: {{{body}}}")
+    for key, raw in matched:
+        if raw[0] in "'\"":
+            props[key] = raw[1:-1]
+        elif raw in ("true", "false"):
+            props[key] = raw == "true"
+        else:
+            props[key] = float(raw) if "." in raw else int(raw)
+    return props
 
 
 def match_path(
@@ -98,17 +118,23 @@ def cypher_match(nodes: DataFrame, rels: DataFrame, pattern: str) -> DataFrame:
         (n:nation)<-[:IN_NATION]-(c)
         (c:customer)-[*1..2]->(x)          # variable length, any type
         (s)-[:SUPP_NATION*1..1]->(n)       # variable length, typed
+        (r:region {name: 'ASIA'})<-[:IN_REGION]-(n)   # property map
 
     Each ``(var[:kind])`` binds a column ``var`` = node id in the output;
-    ``:kind`` adds an equality filter against ``nodes.kind``. Direction
-    follows the arrow. Returns one row per bound path; variable-length
-    segments bind distinct endpoint pairs (see ``match_path``).
+    ``:kind`` adds an equality filter against ``nodes.kind``, and an
+    inline ``{key: literal, ...}`` map filters on the matching node
+    columns (string/number/bool literals, Cypher property-map
+    semantics). Direction follows the arrow. Returns one row per bound
+    path; variable-length segments bind distinct endpoint pairs (see
+    ``match_path``).
     """
     pos = 0
     m = _NODE_RE.match(pattern, pos)
     if not m:
         raise ValueError(f"pattern must start with a node: {pattern!r}")
-    vars_: list[tuple[str, str | None]] = [(m.group(1) or "n0", m.group(2))]
+    vars_: list[tuple[str, str | None, dict[str, object]]] = [
+        (m.group(1) or "n0", m.group(2), _parse_props(m.group(3)))
+    ]
     steps: list[tuple[str, str]] = []
     pos = m.end()
     while pos < len(pattern):
@@ -130,7 +156,7 @@ def cypher_match(nodes: DataFrame, rels: DataFrame, pattern: str) -> DataFrame:
         nm = _NODE_RE.match(pattern, pos)
         if not nm:
             raise ValueError(f"expected node at: {pattern[pos:]!r}")
-        vars_.append((nm.group(1) or f"n{len(vars_)}", nm.group(2)))
+        vars_.append((nm.group(1) or f"n{len(vars_)}", nm.group(2), _parse_props(nm.group(3))))
         if lo is None:
             steps.append((type_name, direction))
         else:
@@ -138,10 +164,23 @@ def cypher_match(nodes: DataFrame, rels: DataFrame, pattern: str) -> DataFrame:
         pos = nm.end()
 
     out = match_path(nodes, rels, steps)
-    for i, (var, _) in enumerate(vars_):
+    for i, (var, _, _) in enumerate(vars_):
         out = out.withColumnRenamed(f"n{i}", var)
-    for var, kind in vars_:
+    for var, kind, props in vars_:
+        if kind is None and not props:
+            continue
+        cond = F.lit(True)
         if kind is not None:
-            kinded = nodes.filter(F.col("kind") == kind).select(F.col("id").alias(var))
-            out = out.join(kinded, var, "left_semi")
+            cond = cond & (F.col("kind") == kind)
+        for key, val in props.items():
+            if key not in nodes.columns:
+                raise ValueError(f"unknown node property {key!r} in {{...}} for ({var})")
+            cond = cond & (F.col(key) == F.lit(val))
+        bound = nodes.filter(cond).select(F.col("id").alias(var))
+        if props:
+            # literal-valued property maps are selective → broadcast the
+            # bound set; kind-only filters can be huge, leave those to
+            # Catalyst/AQE join selection
+            bound = F.broadcast(bound)
+        out = out.join(bound, var, "left_semi")
     return out

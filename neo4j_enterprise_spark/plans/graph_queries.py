@@ -911,3 +911,41 @@ def property_store_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key", "value_type")
     )
+
+
+@register(
+    "cypher_property_map_match",
+    f"""
+    {graph_cte()},
+    asia AS (SELECT id FROM nodes WHERE kind = 'region' AND name = 'ASIA'),
+    e_reg AS (SELECT src AS n, dst AS r FROM rels WHERE type_name = 'IN_REGION'),
+    e_nat AS (SELECT src AS c, dst AS n FROM rels WHERE type_name = 'IN_NATION'),
+    paths AS (
+      SELECT e_nat.c, e_nat.n, e_reg.r FROM e_reg
+      JOIN asia ON asia.id = e_reg.r
+      JOIN e_nat ON e_nat.n = e_reg.n)
+    SELECT p.n AS nation_id, nd.name AS nation_name, COUNT(*) AS n_customers
+    FROM paths p JOIN nodes nd ON nd.id = p.n
+    GROUP BY p.n, nd.name ORDER BY nation_id
+    """,
+    doc="Cypher inline property map: MATCH (r:region {name: 'ASIA'})"
+    "<-[:IN_REGION]-(n)<-[:IN_NATION]-(c) — the literal-valued map "
+    "compiles to a broadcast semi-join on the selective bound set "
+    "(pattern.cypher_match); customers per Asian nation.",
+)
+def cypher_property_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pattern import cypher_match
+
+    nodes = derived_nodes(spark, sf_dir)
+    rels = derived_rels(spark, sf_dir)
+    paths = cypher_match(
+        nodes, rels, "(r:region {name: 'ASIA'})<-[:IN_REGION]-(n)<-[:IN_NATION]-(c)"
+    )
+    named = paths.join(
+        nodes.select(F.col("id").alias("n"), F.col("name").alias("nation_name")), "n"
+    )
+    return (
+        named.groupBy(F.col("n").alias("nation_id"), "nation_name")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("nation_id")
+    )

@@ -1,0 +1,47 @@
+"""Inline property-map matching in the Cypher-ish DSL."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_enterprise_spark.graph.derive import derived_nodes, derived_rels
+from neo4j_enterprise_spark.operators.pattern import _parse_props, cypher_match
+
+
+def test_parse_props_literals():
+    assert _parse_props("name: 'ASIA'") == {"name": "ASIA"}
+    assert _parse_props('a: "x", flag: true, n: 3, f: 1.5') == {
+        "a": "x", "flag": True, "n": 3, "f": 1.5,
+    }
+    assert _parse_props(None) == {} and _parse_props("  ") == {}
+    with pytest.raises(ValueError):
+        _parse_props("not a map")
+
+
+def test_property_map_filters_match(spark, sf_dir):
+    nodes, rels = derived_nodes(spark, sf_dir), derived_rels(spark, sf_dir)
+    got = cypher_match(nodes, rels, "(r:region {name: 'ASIA'})<-[:IN_REGION]-(n)")
+    asia_id = nodes.filter(
+        (F.col("kind") == "region") & (F.col("name") == "ASIA")
+    ).collect()[0]["id"]
+    rows = got.collect()
+    assert rows and all(r["r"] == asia_id for r in rows)
+    expected = rels.filter(
+        (F.col("type_name") == "IN_REGION") & (F.col("dst") == asia_id)
+    ).count()
+    assert len(rows) == expected
+
+
+def test_property_map_unknown_key_raises(spark, sf_dir):
+    nodes, rels = derived_nodes(spark, sf_dir), derived_rels(spark, sf_dir)
+    with pytest.raises(ValueError, match="unknown node property"):
+        cypher_match(nodes, rels, "(r:region {nope: 1})<-[:IN_REGION]-(n)")
+
+
+def test_boolean_property_map(spark, sf_dir):
+    nodes, rels = derived_nodes(spark, sf_dir), derived_rels(spark, sf_dir)
+    # in_use=false customers exist by construction (c_custkey % 7 == 0)
+    got = cypher_match(nodes, rels, "(c:customer {in_use: false})-[:PLACED]->(o)")
+    ids = {r["c"] for r in got.select("c").distinct().collect()}
+    assert ids and all(i % 7 == 0 for i in ids)
