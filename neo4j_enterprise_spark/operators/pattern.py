@@ -107,7 +107,12 @@ def match_path(
     return out
 
 
-def cypher_match(nodes: DataFrame, rels: DataFrame, pattern: str) -> DataFrame:
+def cypher_match(
+    nodes: DataFrame,
+    rels: DataFrame,
+    pattern: str,
+    attach: dict[str, list[str]] | None = None,
+) -> DataFrame:
     """Cypher-ish MATCH for fixed-length patterns, compiled to joins.
 
     Supported grammar (a deliberate subset — enough for the reference's
@@ -127,6 +132,11 @@ def cypher_match(nodes: DataFrame, rels: DataFrame, pattern: str) -> DataFrame:
     semantics). Direction follows the arrow. Returns one row per bound
     path; variable-length segments bind distinct endpoint pairs (see
     ``match_path``).
+
+    ``attach`` is the RETURN-projection analog: ``{"var": ["name", ...]}``
+    joins the listed node columns back onto the path as ``var_name``
+    etc. — one id-keyed join per attached var (co-partitioned on a
+    bucketed node layout).
     """
     pos = 0
     m = _NODE_RE.match(pattern, pos)
@@ -183,4 +193,15 @@ def cypher_match(nodes: DataFrame, rels: DataFrame, pattern: str) -> DataFrame:
             # Catalyst/AQE join selection
             bound = F.broadcast(bound)
         out = out.join(bound, var, "left_semi")
+    known = {var for var, _, _ in vars_}
+    for var, cols in (attach or {}).items():
+        if var not in known:
+            raise ValueError(f"attach: {var!r} is not bound by the pattern")
+        missing = [c for c in cols if c not in nodes.columns]
+        if missing:
+            raise ValueError(f"attach: unknown node columns {missing}")
+        proj = nodes.select(
+            F.col("id").alias(var), *[F.col(c).alias(f"{var}_{c}") for c in cols]
+        )
+        out = out.join(proj, var)
     return out

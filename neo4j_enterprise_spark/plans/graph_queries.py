@@ -939,13 +939,15 @@ def cypher_property_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = derived_nodes(spark, sf_dir)
     rels = derived_rels(spark, sf_dir)
     paths = cypher_match(
-        nodes, rels, "(r:region {name: 'ASIA'})<-[:IN_REGION]-(n)<-[:IN_NATION]-(c)"
-    )
-    named = paths.join(
-        nodes.select(F.col("id").alias("n"), F.col("name").alias("nation_name")), "n"
+        nodes,
+        rels,
+        "(r:region {name: 'ASIA'})<-[:IN_REGION]-(n)<-[:IN_NATION]-(c)",
+        attach={"n": ["name"]},  # RETURN-projection analog
     )
     return (
-        named.groupBy(F.col("n").alias("nation_id"), "nation_name")
+        paths.groupBy(
+            F.col("n").alias("nation_id"), F.col("n_name").alias("nation_name")
+        )
         .agg(F.count("*").alias("n_customers"))
         .orderBy("nation_id")
     )

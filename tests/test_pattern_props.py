@@ -45,3 +45,26 @@ def test_boolean_property_map(spark, sf_dir):
     got = cypher_match(nodes, rels, "(c:customer {in_use: false})-[:PLACED]->(o)")
     ids = {r["c"] for r in got.select("c").distinct().collect()}
     assert ids and all(i % 7 == 0 for i in ids)
+
+
+def test_attach_projects_node_attributes(spark, sf_dir):
+    nodes, rels = derived_nodes(spark, sf_dir), derived_rels(spark, sf_dir)
+    got = cypher_match(
+        nodes,
+        rels,
+        "(n:nation)-[:IN_REGION]->(r:region)",
+        attach={"n": ["name"], "r": ["name", "kind"]},
+    )
+    assert {"n", "r", "n_name", "r_name", "r_kind"} <= set(got.columns)
+    rows = got.collect()
+    assert rows and all(r["r_kind"] == "region" for r in rows)
+    names = dict(nodes.filter(F.col("kind") == "region").select("id", "name").collect())
+    assert all(r["r_name"] == names[r["r"]] for r in rows)
+
+
+def test_attach_validates_vars_and_columns(spark, sf_dir):
+    nodes, rels = derived_nodes(spark, sf_dir), derived_rels(spark, sf_dir)
+    with pytest.raises(ValueError, match="not bound"):
+        cypher_match(nodes, rels, "(n:nation)-[:IN_REGION]->(r)", attach={"z": ["name"]})
+    with pytest.raises(ValueError, match="unknown node columns"):
+        cypher_match(nodes, rels, "(n:nation)-[:IN_REGION]->(r)", attach={"n": ["zz"]})
