@@ -1,0 +1,95 @@
+"""User-facing facade: one object that exposes the whole engine.
+
+A reference user's day-one surface — open a store, look up nodes, walk
+relationships, run MATCH patterns, validate, back up — mapped onto the
+Spark-native equivalents, so switching means swapping
+``GraphDatabaseService``-style calls for these:
+
+==============================  =======================================
+reference habit                  here
+==============================  =======================================
+``db.getNodeById(i)``            ``eng.node(i)``
+``node.getRelationships(t)``     ``eng.adjacency(i, type_name=t)``
+``Traversal.description()...``   ``eng.bfs(seeds, k)`` / ``eng.match()``
+consistency check CLI            ``eng.validate()``
+backup CLI                       ``sources.snapshot`` (via ``graph()``)
+named server queries             ``eng.query("q1_pricing_summary")``
+==============================  =======================================
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .graph.derive import derived_nodes, derived_rels
+
+
+class Engine:
+    """Session + data directory bound together; every method returns a
+    lazy DataFrame (nothing executes until the caller acts on it)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+
+    # -- scans ----------------------------------------------------------
+    def table(self, name: str) -> DataFrame:
+        return load_table(self.spark, self.sf_dir, name)
+
+    def nodes(self) -> DataFrame:
+        return derived_nodes(self.spark, self.sf_dir)
+
+    def rels(self) -> DataFrame:
+        return derived_rels(self.spark, self.sf_dir)
+
+    # -- point reads / traversal ---------------------------------------
+    def node(self, node_id: int) -> DataFrame:
+        from .operators.reads import point_lookup
+
+        return point_lookup(self.nodes(), node_id)
+
+    def adjacency(
+        self, node_id: int, direction: str = "out", types: list[str] | None = None
+    ) -> DataFrame:
+        from .operators.reads import rels_of
+
+        return rels_of(self.rels(), node_id, direction=direction, types=types)
+
+    def bfs(self, seed_ids: list[int], k: int = 2) -> DataFrame:
+        from .operators.traversal import bfs_reachable
+
+        seeds = self.spark.createDataFrame([(int(s),) for s in seed_ids], "seed long")
+        return bfs_reachable(self.rels(), seeds, k=k)
+
+    def match(self, pattern: str, attach: dict[str, list[str]] | None = None) -> DataFrame:
+        from .operators.pattern import cypher_match
+
+        return cypher_match(self.nodes(), self.rels(), pattern, attach=attach)
+
+    # -- validation -----------------------------------------------------
+    def validate(self) -> DataFrame:
+        """Endpoint + chain violations over the derived graph (the
+        declared flagship); the full 20+-rule suite runs via
+        ``operators.record_checks.validate`` on a ``PropertyGraph``."""
+        from .operators.validation import endpoints_not_in_use
+
+        return endpoints_not_in_use(self.nodes(), self.rels())
+
+    # -- declared queries ----------------------------------------------
+    def query(self, name: str) -> DataFrame:
+        from .plans import all_queries
+
+        try:
+            q = all_queries()[name]
+        except KeyError:
+            raise KeyError(
+                f"unknown query {name!r}; see Engine.query_names()"
+            ) from None
+        return q.spark(self.spark, self.sf_dir)
+
+    def query_names(self) -> list[str]:
+        from .plans import all_queries
+
+        return sorted(all_queries())

@@ -219,3 +219,14 @@ def dedup_stream(
     two-tier contract as pull_apply's R4 idempotence).
     """
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def enrich_stream(
+    stream: DataFrame, dim: DataFrame, on: list[str] | str, how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment: join a micro-batch stream against a
+    dimension table. Spark re-plans the static side per micro-batch, so
+    a small dim broadcasts every batch (no shuffle of the stream) and
+    slowly-changing dims are re-read current — the streaming twin of the
+    dictionary broadcasts in the batch validation suite."""
+    return stream.join(F.broadcast(dim), on, how)

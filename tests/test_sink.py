@@ -151,3 +151,46 @@ def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
     assert avg_span(zpath, "event_id") < 0.6
     assert avg_span(zpath, "user_id") < 0.6
     assert avg_span(spath, "user_id") > avg_span(zpath, "user_id")
+
+
+def test_engine_facade_surface(spark, sf_dir):
+    from neo4j_enterprise_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    assert eng.node(1).count() == 1
+    adj = eng.adjacency(1, direction="out", types=["PLACED"])
+    assert adj.filter(F.col("src") != 1).count() == 0
+    m = eng.match("(n:nation)-[:IN_REGION]->(r:region)", attach={"r": ["name"]})
+    assert {"n", "r", "r_name"} <= set(m.columns) and m.count() > 0
+    assert eng.bfs([1, 2], k=1).count() > 0
+    assert "q1_pricing_summary" in eng.query_names()
+    assert eng.query("q1_pricing_summary").count() > 0
+    try:
+        eng.query("nope")
+        raise AssertionError("expected KeyError")
+    except KeyError:
+        pass
+
+
+def test_enrich_stream_broadcast_join(spark, sf_dir, tmp_path):
+    from neo4j_enterprise_spark.streaming.feeds import enrich_stream
+
+    src = str(tmp_path / "enrich_in")
+    os.makedirs(src)
+    spark.createDataFrame([(1, 0), (2, 1), (3, 99)], "event_id long, n_nationkey int") \
+        .coalesce(1).write.mode("append").parquet(src)
+    dim = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    stream = spark.readStream.schema("event_id long, n_nationkey int").parquet(src)
+    out: list = []
+    q = (
+        enrich_stream(stream, dim, "n_nationkey")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _id: out.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "eckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    by_id = {r["event_id"]: r for r in out}
+    assert len(by_id) == 3
+    assert by_id[1]["n_name"] is not None and by_id[3]["n_name"] is None  # left join
