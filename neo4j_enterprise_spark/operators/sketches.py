@@ -42,3 +42,26 @@ def exact_event_stats(events: DataFrame) -> DataFrame:
             "value_pcts"
         ),
     )
+
+
+def distinct_sketch_state(
+    df: DataFrame, keys: list[str], col: str, lg_k: int = 12
+) -> DataFrame:
+    """Materializable distinct-count STATE: one Datasketches-HLL binary
+    per key (``F.hll_sketch_agg``). Unlike ``approx_count_distinct`` —
+    which yields only a number — the sketch column persists (e.g. one
+    row per day) and re-aggregates later, so 'distinct users over any
+    date range' is a merge of daily states, never a rescan of history.
+    """
+    return df.groupBy(*keys).agg(F.hll_sketch_agg(col, lg_k).alias("distinct_sketch"))
+
+
+def merge_distinct_sketches(
+    state: DataFrame, keys: list[str], estimate_col: str = "approx_distinct"
+) -> DataFrame:
+    """Roll sketch states up to coarser keys: union the binaries, then
+    estimate. The exchange carries fixed-size sketches (2^lg_k bytes),
+    not distinct values."""
+    return state.groupBy(*keys).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("distinct_sketch")).alias(estimate_col)
+    )

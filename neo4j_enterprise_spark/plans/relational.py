@@ -1098,3 +1098,20 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_id") % 7 == 0), ["event_type"], {"sum_value_milli": milli}
     )
     return incremental.merge_states([base, delta], ["event_type"]).orderBy("event_type")
+
+
+@register(
+    "events_distinct_sketch_merge",
+    None,  # Datasketches HLL binaries are engine-specific → rows-only
+    doc="Re-aggregatable distinct-count state: one HLL sketch per "
+    "(event_type, day) — the materialized form a 100 TB pipeline keeps — "
+    "merged per type via hll_union_agg (the exchange carries fixed-size "
+    "binaries, never distinct values). 5% error bound vs the exact "
+    "distinct asserted in tests/test_sketches.py.",
+)
+def events_distinct_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import distinct_sketch_state, merge_distinct_sketches
+
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = distinct_sketch_state(ev, ["event_type", "day"], "user_id")
+    return merge_distinct_sketches(daily, ["event_type"]).orderBy("event_type")

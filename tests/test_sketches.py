@@ -66,3 +66,27 @@ def test_salted_join_matches_plain_left(spark):
         map(tuple, salted_join(left, right, "k", n_salts=4, how="left").collect())
     )
     assert salted == plain
+
+
+def test_distinct_sketch_states_merge_to_global_estimate(spark, sf_dir):
+    from neo4j_enterprise_spark.operators.sketches import (
+        distinct_sketch_state,
+        merge_distinct_sketches,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    # state per (type, day) — the materialized form — then merged per type
+    daily = distinct_sketch_state(ev, ["event_type", "day"], "user_id")
+    merged = {
+        r["event_type"]: r["approx_distinct"]
+        for r in merge_distinct_sketches(daily, ["event_type"]).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(merged) == set(exact)
+    for et, est in merged.items():
+        assert abs(est - exact[et]) / max(exact[et], 1) <= 0.05, (et, est, exact[et])
