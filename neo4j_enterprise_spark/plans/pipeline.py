@@ -504,3 +504,40 @@ def events_per_user_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.per_group_cap(ev, ["user_id"], "event_id", 5).select(
         "user_id", "event_id"
     )
+
+
+@register(
+    "docs_dup_rate_by_source",
+    """
+    WITH hashed AS (SELECT source, md5(text) AS h FROM documents),
+    grp AS (SELECT source, h, COUNT(*) AS n FROM hashed GROUP BY source, h)
+    SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_redundant,
+           CAST(SUM(n) - COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+             AS dup_rate
+    FROM grp GROUP BY source ORDER BY source
+    """,
+    doc="Dedup health rollup: per source, documents that are redundant "
+    "copies (beyond the first of each content group) and the redundancy "
+    "rate — the monitoring view over the exact-dedup ladder. Integer "
+    "counts; one IEEE division.",
+)
+def docs_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grp = (
+        docs.select("source", F.md5("text").alias("h"))
+        .groupBy("source", "h")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        grp.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            (F.sum("n") - F.count("*")).cast("long").alias("n_redundant"),
+            (
+                (F.sum("n") - F.count("*")).cast("double")
+                / F.sum("n").cast("double")
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

@@ -1115,3 +1115,52 @@ def events_distinct_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
     daily = distinct_sketch_state(ev, ["event_type", "day"], "user_id")
     return merge_distinct_sketches(daily, ["event_type"]).orderBy("event_type")
+
+
+@register(
+    "events_value_outliers",
+    """
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(CAST(ROUND(value * 1000) AS BIGINT), 0.25) AS q1,
+             quantile_cont(CAST(ROUND(value * 1000) AS BIGINT), 0.75) AS q3
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN CAST(ROUND(e.value * 1000) AS BIGINT)
+                              < q.q1 - 1.5 * (q.q3 - q.q1)
+                          OR CAST(ROUND(e.value * 1000) AS BIGINT)
+                              > q.q3 + 1.5 * (q.q3 - q.q1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN q ON e.event_type = q.event_type
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    doc="IQR-fence outlier detection per event_type. Values quantize to "
+    "milli-units so quartiles interpolate between integers — exact "
+    "binary fractions, identical in Spark percentile() and DuckDB "
+    "quantile_cont (both use the (n-1)*p linear-interpolation rank). "
+    "Two passes: tiny per-type quartile table broadcasts back onto the "
+    "scan; the sketch twin (events_approx_stats) replaces pass one at "
+    "extreme cardinality.",
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "mv", F.round(F.col("value") * 1000).cast("long")
+    )
+    q = ev.groupBy("event_type").agg(
+        F.percentile("mv", F.lit(0.25)).alias("q1"),
+        F.percentile("mv", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    out = (F.col("mv") < F.col("q1") - 1.5 * iqr) | (
+        F.col("mv") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(out.cast("int")).cast("long").alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
