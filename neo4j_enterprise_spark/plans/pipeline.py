@@ -541,3 +541,69 @@ def docs_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "docs_neardup_clusters",
+    r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 5, 0) + 2),
+                                     i -> array_to_string(t[i:i+4], ' '))) AS shingle
+        FROM toks)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+    inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+              FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+                          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+              GROUP BY c.doc_a, c.doc_b),
+    edges AS (
+      SELECT i.doc_a AS a, i.doc_b AS b FROM inter i
+      JOIN sizes za ON za.doc_id = i.doc_a
+      JOIN sizes zb ON zb.doc_id = i.doc_b
+      WHERE CAST(i.n_inter AS DOUBLE)
+            / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE) >= 0.6),
+    bi AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    reach(a, b) AS (
+      SELECT a, b FROM bi
+      UNION
+      SELECT r.a, p.b FROM reach r JOIN bi p ON p.a = r.b),
+    members AS (SELECT a, b FROM reach UNION SELECT DISTINCT a, a FROM bi)
+    SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS canonical_id
+    FROM members GROUP BY a ORDER BY doc_id
+    """,
+    doc="End-to-end near-dup clustering: co-shingle candidate pairs → "
+    "exact Jaccard ≥ 0.6 verify → connected components → canonical = "
+    "min doc id per cluster (the doc_id → keep mapping a dedup job "
+    "emits). Spark side runs iterative min-label propagation; the "
+    "oracle replays it as a recursive-CTE transitive closure — an "
+    "ORACLE-CHECKED iterative graph algorithm. At scale the candidate "
+    "stage swaps to MinHash-LSH (docs_minhash_lsh_candidates) with "
+    "identical downstream plumbing.",
+)
+def docs_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.traversal import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs)
+    cand = (
+        sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    edges = (
+        dedup.ngram_jaccard(docs, cand)
+        .filter(F.col("jaccard") >= 0.6)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    cc = connected_components(edges)
+    return cc.select(
+        F.col("node_id").alias("doc_id"),
+        F.col("component").cast("long").alias("canonical_id"),
+    ).orderBy("doc_id")
