@@ -52,6 +52,16 @@ def main() -> None:
     fixture_graph(spark, node_count=100_000)
 
     queries = {n: q for n, q in all_queries().items() if q.bench}
+
+    # One un-timed pass over every headline query first: JIT-compiles the
+    # whole-stage-codegen classes and loads shuffle/join code paths so the
+    # timed pass below measures steady-state throughput (what the
+    # reference's TimingProgress reports after its own store warmup), not
+    # first-iteration JVM compilation, which dominates on a fresh JVM and
+    # varies 3-4x with machine load.
+    for name, q in sorted(queries.items()):
+        q.spark(spark, sf_dir).count()
+
     timings: dict[str, float] = {}
     phases = []
     for name, q in sorted(queries.items()):

@@ -951,3 +951,58 @@ def cypher_property_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_customers"))
         .orderBy("nation_id")
     )
+
+
+@register(
+    "parts_triangle_clustering",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    tri AS (SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+            FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+                      JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+    nodes AS (SELECT a AS node_id FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri),
+    tcnt AS (SELECT node_id, COUNT(*) AS t FROM nodes GROUP BY node_id),
+    deg AS (SELECT node_id, COUNT(*) AS d
+            FROM (SELECT pa AS node_id FROM e UNION ALL SELECT pb FROM e)
+            GROUP BY node_id)
+    SELECT deg.node_id,
+           CAST(deg.d AS BIGINT) AS degree,
+           CAST(COALESCE(tcnt.t, 0) AS BIGINT) AS triangles,
+           CASE WHEN deg.d >= 2
+                THEN CAST(2 * COALESCE(tcnt.t, 0) AS DOUBLE)
+                     / CAST(deg.d * (deg.d - 1) AS DOUBLE)
+                ELSE 0.0 END AS clustering
+    FROM deg LEFT JOIN tcnt USING (node_id)
+    ORDER BY node_id
+    """,
+    doc="Triangle counting + local clustering coefficient over the "
+    "min-support-2 co-purchase graph (`traversal.triangle_counts`). "
+    "Spark side runs the degree-oriented O(m^1.5) wedge-close algorithm; "
+    "the oracle re-counts triangles with the naive canonical a<b 3-way "
+    "self-join — two different algorithms, hash-identical output. "
+    "Clustering = 2T/(d(d-1)) on exact integers (portable double). "
+    "Graph-structure analytics beside connected_components/pagerank "
+    "(SURVEY §2.9 ext.).",
+)
+def parts_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        li.select("l_orderkey", F.col("l_partkey").alias("src"))
+        .join(li.select("l_orderkey", F.col("l_partkey").alias("dst")), "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    return traversal.triangle_counts(edges).orderBy("node_id")

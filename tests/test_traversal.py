@@ -52,3 +52,23 @@ def test_pagerank_sums_to_n_and_ranks_hub_highest(spark):
     out = {r["node_id"]: r["rank"] for r in traversal.pagerank(rels, iterations=15).collect()}
     assert abs(sum(out.values()) - 5.0) < 1e-6
     assert out[0] == max(out.values())
+
+
+def test_triangle_counts_k4_minus_edge(spark):
+    # K4 on {0,1,2,3} minus edge (2,3): triangles {0,1,2} and {0,1,3}.
+    # deg: 0→3, 1→3, 2→2, 3→2; T: 0→2, 1→2, 2→1, 3→1.
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3)], "src long, dst long"
+    )
+    out = {r["node_id"]: r for r in traversal.triangle_counts(edges).collect()}
+    assert {n: r["triangles"] for n, r in out.items()} == {0: 2, 1: 2, 2: 1, 3: 1}
+    assert {n: r["degree"] for n, r in out.items()} == {0: 3, 1: 3, 2: 2, 3: 2}
+    assert out[0]["clustering"] == 2 * 2 / (3 * 2)  # 2T/(d(d-1))
+    assert out[2]["clustering"] == 1.0
+
+
+def test_triangle_counts_triangle_free(spark):
+    # 4-cycle: wedges everywhere, zero triangles.
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (0, 3)], "src long, dst long")
+    rows = traversal.triangle_counts(edges).collect()
+    assert all(r["triangles"] == 0 and r["clustering"] == 0.0 for r in rows)
