@@ -187,3 +187,112 @@ def per_group_cap(
         .filter(F.col("__rn") <= cap)
         .drop("__rn")
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    n_shards: int = 8,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence-packing plan for training: concat documents in a
+    deterministic shuffled order and chunk the token stream into
+    fixed-``budget`` sequences (the GPT-style concat-and-chunk packer).
+
+    Each doc is assigned to a shard (``key % n_shards``); within a shard
+    docs are ordered by ``md5(key)`` (deterministic shuffle) and given
+    their start offset in the shard's concatenated token stream via a
+    running sum. ``seq_in_shard = floor(start_tok / budget)`` is the
+    training sequence the doc starts in; ``n_seqs_spanned`` tells the
+    chunker how many sequence boundaries the doc crosses.
+
+    Scale design: the only wide op is one window partitioned by shard —
+    at 100 TB you raise ``n_shards`` so each shard's stream fits an
+    executor (shards pack independently and in parallel; packing quality
+    is unaffected because the stream order inside a shard is what
+    matters). No global sort, no driver state, stable under re-runs:
+    assignment depends only on keys.
+    """
+    from pyspark.sql import Window
+
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    base = docs.select(
+        F.col(key_col),
+        (F.col(key_col) % n_shards).cast("long").alias("shard"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.md5(F.col(key_col).cast("string")).alias("ord_key"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("ord_key", key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    seq = F.floor(start / F.lit(budget)).cast("long")
+    seq_end = F.floor((start + F.col("n_tokens") - 1) / F.lit(budget)).cast("long")
+    return base.select(
+        key_col,
+        "shard",
+        "n_tokens",
+        start.cast("long").alias("start_tok"),
+        seq.alias("seq_in_shard"),
+        (seq_end - seq + 1).alias("n_seqs_spanned"),
+    )
+
+
+def mixture_resample(
+    df: DataFrame,
+    stratum_col: str,
+    weights: dict[str, int],
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Exact data-mixture resampling: select the largest corpus whose
+    stratum proportions match integer target ``weights`` exactly, given
+    per-stratum availability (the mixture-weighting step of a training
+    run: "40% en, 20% de, ..." honoring what each domain actually has).
+
+    All-integer arithmetic (no float thresholds, so the DuckDB oracle is
+    bit-exact): achievable size ``N = min_d floor(n_d * W / w_d)``,
+    quota ``k_d = floor(w_d * N / W)``, then the ``k_d`` smallest rows
+    per stratum by ``(md5(key), key)`` — a deterministic, append-stable
+    lottery. Strata absent from ``weights`` are dropped.
+
+    Scale: counts + quotas are tiny broadcasts; the per-stratum rank is a
+    window partitioned by stratum. With few huge strata, the 100 TB plan
+    is two-phase: pre-filter each stratum with a hash threshold slightly
+    above k_d/n_d (pure predicate, no shuffle), then rank only the ~k_d
+    survivors — same result whenever the margin holds, at a fraction of
+    the sort.
+    """
+    from pyspark.sql import Window
+
+    wdf = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    w_total = sum(weights.values())
+    counts = (
+        df.filter(F.col(stratum_col).isin(*weights))
+        .groupBy(stratum_col)
+        .agg(F.count("*").alias("n_d"))
+        .withColumn("w_d", wdf[F.col(stratum_col)].cast("long"))
+    )
+    n_ach = counts.select(
+        F.min(F.floor(F.col("n_d") * w_total / F.col("w_d"))).alias("n_total")
+    )
+    quotas = counts.crossJoin(F.broadcast(n_ach)).select(
+        stratum_col,
+        F.floor(F.col("w_d") * F.col("n_total") / w_total).cast("long").alias("quota"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(stratum_col).orderBy(
+            F.md5(F.col(key_col).cast("string")), key_col
+        )
+    )
+    return (
+        df.filter(F.col(stratum_col).isin(*weights))
+        .withColumn("rn", rn)
+        .join(F.broadcast(quotas), stratum_col)
+        .filter(F.col("rn") <= F.col("quota"))
+        .drop("rn", "quota")
+    )

@@ -119,3 +119,72 @@ def redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         red = F.regexp_replace(red, pat, f"<{name.upper()}>")
     return docs.select("doc_id", *counts, red.alias("redacted_text"))
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition metrics per document (the "repetitious
+    text" quality filters used to scrub web corpora before training):
+
+    - ``top_word_frac``     max single-word multiplicity / n_tokens
+    - ``top_bigram_frac``   2 * max bigram multiplicity / n_tokens
+    - ``dup_trigram_frac``  fraction of trigram occurrences that are
+                            repeats (1 - distinct/total)
+
+    Scale design: everything is computed in the ARRAY domain with
+    higher-order functions — n-gram construction (transform+slice), max
+    multiplicity (array_sort + aggregate run-length scan), distinct
+    counts (array_distinct) — so the whole operator is a single
+    shuffle-free projection over the documents scan: no explode, no
+    groupBy, embarrassingly parallel at 100 TB. Cost is O(n log n) per
+    doc in tokens.
+    """
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    def grams(tcol, g):
+        idx = F.sequence(F.lit(0), F.size(tcol) - g)
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tcol, i + 1, g)))
+
+    def max_mult(arr):
+        s = F.array_sort(arr)
+        zero = F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        )
+
+        def step(acc, x):
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+            )
+
+        return F.aggregate(s, zero, step, lambda acc: acc["best"])
+
+    t = F.col("t")
+    tri = grams(t, 3)
+    stats = docs.select("doc_id", tokens.alias("t")).select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        max_mult(t).alias("max_w"),
+        F.when(F.size(t) >= 2, max_mult(grams(t, 2))).otherwise(F.lit(0)).alias("max_b"),
+        F.when(F.size(t) >= 3, F.size(tri)).otherwise(F.lit(0)).alias("n_tri"),
+        F.when(F.size(t) >= 3, F.size(F.array_distinct(tri))).otherwise(F.lit(0)).alias("d_tri"),
+    )
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("max_w").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "top_word_frac"
+        ),
+        F.when(
+            F.col("max_b") > 0,
+            (F.col("max_b") * 2).cast("double") / F.col("n_tokens").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+        F.when(
+            F.col("n_tri") > 0,
+            (F.col("n_tri") - F.col("d_tri")).cast("double")
+            / F.col("n_tri").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_frac"),
+    )

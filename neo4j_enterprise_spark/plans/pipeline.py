@@ -607,3 +607,126 @@ def docs_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node_id").alias("doc_id"),
         F.col("component").cast("long").alias("canonical_id"),
     ).orderBy("doc_id")
+
+
+@register(
+    "docs_repetition_stats",
+    r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                  FROM documents),
+    words AS (SELECT doc_id, unnest(t) AS g FROM toks),
+    wmax AS (SELECT doc_id, MAX(c) AS max_w FROM
+               (SELECT doc_id, g, COUNT(*) AS c FROM words GROUP BY 1, 2)
+             GROUP BY 1),
+    bi AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(t)),
+                                        i -> array_to_string(t[i:i+1], ' '))) AS g
+           FROM toks WHERE len(t) >= 2),
+    bmax AS (SELECT doc_id, MAX(c) AS max_b FROM
+               (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2)
+             GROUP BY 1),
+    tri AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) - 1),
+                                         i -> array_to_string(t[i:i+2], ' '))) AS g
+            FROM toks WHERE len(t) >= 3),
+    tstat AS (SELECT doc_id, COUNT(*) AS n_tri, COUNT(DISTINCT g) AS d_tri
+              FROM tri GROUP BY 1)
+    SELECT k.doc_id,
+           CAST(len(k.t) AS BIGINT) AS n_tokens,
+           CAST(w.max_w AS DOUBLE) / CAST(len(k.t) AS DOUBLE) AS top_word_frac,
+           CASE WHEN b.max_b IS NULL THEN 0.0
+                ELSE CAST(2 * b.max_b AS DOUBLE) / CAST(len(k.t) AS DOUBLE)
+           END AS top_bigram_frac,
+           CASE WHEN s.n_tri IS NULL THEN 0.0
+                ELSE CAST(s.n_tri - s.d_tri AS DOUBLE) / CAST(s.n_tri AS DOUBLE)
+           END AS dup_trigram_frac
+    FROM toks k
+    JOIN wmax w USING (doc_id)
+    LEFT JOIN bmax b USING (doc_id)
+    LEFT JOIN tstat s USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="Gopher-style repetition quality filters (top-word fraction, "
+    "top-bigram fraction, duplicated-trigram fraction) — "
+    "`text.repetition_stats`. Spark side is a SHUFFLE-FREE projection "
+    "(n-gram stats via array higher-order functions: transform/slice, "
+    "array_sort + aggregate run-length, array_distinct); the oracle "
+    "recomputes relationally via unnest + GROUP BY. All metrics are "
+    "int/int divisions → portable doubles.",
+)
+def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_stats(docs).orderBy("doc_id")
+
+
+@register(
+    "docs_sequence_packing",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(doc_id % 8 AS BIGINT) AS shard,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS ord_key
+      FROM documents),
+    cum AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY ord_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_tok
+      FROM base)
+    SELECT doc_id, shard, n_tokens, start_tok,
+           CAST(FLOOR(start_tok / 512) AS BIGINT) AS seq_in_shard,
+           CAST(FLOOR((start_tok + n_tokens - 1) / 512)
+                - FLOOR(start_tok / 512) + 1 AS BIGINT) AS n_seqs_spanned
+    FROM cum ORDER BY doc_id
+    """,
+    doc="Training-sequence packing plan (`sampling.pack_sequences`, "
+    "budget=512, 8 shards): deterministic md5-shuffled concat order per "
+    "shard, running-sum start offsets, seq id + boundary-span count per "
+    "doc. One shard-partitioned window is the only wide op — at 100 TB "
+    "n_shards scales out and shards pack independently. Oracle replays "
+    "the identical window in SQL.",
+)
+def docs_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.pack_sequences(docs, budget=512, n_shards=8).orderBy("doc_id")
+
+
+@register(
+    "docs_mixture_resample",
+    """
+    WITH w(lang, w_d) AS (VALUES ('en', 4), ('de', 2), ('fr', 2), ('es', 1), ('zh', 1)),
+    counts AS (
+      SELECT d.lang, COUNT(*) AS n_d, ANY_VALUE(w.w_d) AS w_d
+      FROM documents d JOIN w USING (lang) GROUP BY d.lang),
+    ach AS (SELECT MIN(CAST(FLOOR(n_d * 10 / w_d) AS BIGINT)) AS n_total FROM counts),
+    quotas AS (
+      SELECT lang, CAST(FLOOR(w_d * n_total / 10) AS BIGINT) AS quota
+      FROM counts CROSS JOIN ach),
+    ranked AS (
+      SELECT d.doc_id, d.lang, d.source,
+             ROW_NUMBER() OVER (PARTITION BY d.lang
+                                ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+      FROM documents d JOIN w USING (lang))
+    SELECT r.doc_id, r.lang, r.source
+    FROM ranked r JOIN quotas q USING (lang)
+    WHERE r.rn <= q.quota
+    ORDER BY r.doc_id
+    """,
+    doc="Exact mixture resampling (`sampling.mixture_resample`): target "
+    "mix en:de:fr:es:zh = 4:2:2:1:1, all-integer quota arithmetic "
+    "(N = min floor(n_d*W/w_d)), k_d-smallest-by-md5 lottery per "
+    "stratum. Deterministic, append-stable, oracle replays the same "
+    "window. Two-phase pre-filter documented for 100 TB strata.",
+)
+def docs_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.mixture_resample(
+        docs, "lang", {"en": 4, "de": 2, "fr": 2, "es": 1, "zh": 1}
+    )
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")

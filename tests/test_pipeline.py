@@ -113,3 +113,34 @@ def test_embedding_near_dup_lsh_recall_and_precision(spark, sf_dir):
         assert score == exact[pair]
     recall = len(approx) / len(exact)
     assert recall >= 0.3, f"near-dup LSH recall too low: {recall}"
+
+
+def test_repetition_stats_hand_computed(spark):
+    from neo4j_enterprise_spark.operators import text
+
+    # "a b a b a": words a:3 b:2 → top_word 3/5; bigrams [ab, ba, ab, ba]
+    # → max mult 2 → top_bigram 4/5; trigrams [aba, bab, aba] → 3 total,
+    # 2 distinct → dup 1/3.
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y z w"), (3, "q")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in text.repetition_stats(docs).collect()}
+    r1 = out[1]
+    assert r1["n_tokens"] == 5
+    assert r1["top_word_frac"] == 3 / 5
+    assert r1["top_bigram_frac"] == 4 / 5
+    assert abs(r1["dup_trigram_frac"] - 1 / 3) < 1e-12
+    r2 = out[2]  # all distinct: top word 1/4, bigram mult 1 → 2/4, no dup tris
+    assert r2["top_word_frac"] == 1 / 4
+    assert r2["top_bigram_frac"] == 2 / 4
+    assert r2["dup_trigram_frac"] == 0.0
+    r3 = out[3]  # single token: no bigrams/trigrams
+    assert (r3["top_word_frac"], r3["top_bigram_frac"], r3["dup_trigram_frac"]) == (1.0, 0.0, 0.0)
+
+
+def test_repetition_stats_plan_is_shuffle_free(spark):
+    from neo4j_enterprise_spark.operators import text
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = text.repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -146,3 +146,51 @@ def test_per_group_cap_limits_and_keeps_small_groups(spark, sf_dir):
     small = ev.groupBy("user_id").count().filter(F.col("count") <= 5)
     kept = sizes.join(small, "user_id", "inner")
     assert sorted(map(tuple, kept.collect())) == sorted(map(tuple, small.collect()))
+
+
+def test_pack_sequences_contiguous_and_stable(spark):
+    from neo4j_enterprise_spark.operators.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1)) for i in range(40)], "doc_id long, text string"
+    )
+    out = pack_sequences(docs, budget=10, n_shards=4).collect()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["start_tok"])
+        pos = 0
+        for r in rows:
+            assert r["start_tok"] == pos  # contiguous concat stream
+            assert r["seq_in_shard"] == pos // 10
+            end_seq = (pos + r["n_tokens"] - 1) // 10
+            assert r["n_seqs_spanned"] == end_seq - r["seq_in_shard"] + 1
+            pos += r["n_tokens"]
+    # stable under repartitioning: assignment is key-derived only
+    again = pack_sequences(docs.repartition(13), budget=10, n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_mixture_resample_exact_proportions(spark):
+    from neo4j_enterprise_spark.operators.sampling import mixture_resample
+
+    rows = (
+        [(i, "a") for i in range(100)]
+        + [(i + 100, "b") for i in range(50)]
+        + [(i + 200, "c") for i in range(10)]
+        + [(i + 300, "drop_me") for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    # weights a:3 b:2 c:1 (W=6): N = min(100*6/3, 50*6/2, 10*6/1) = 60
+    # quotas: a=30, b=20, c=10
+    out = mixture_resample(df, "lang", {"a": 3, "b": 2, "c": 1}).collect()
+    by = {}
+    for r in out:
+        by[r["lang"]] = by.get(r["lang"], 0) + 1
+    assert by == {"a": 30, "b": 20, "c": 10}
+    # deterministic: same selection on re-run over repartitioned input
+    again = mixture_resample(
+        df.repartition(7), "lang", {"a": 3, "b": 2, "c": 1}
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)
