@@ -188,3 +188,20 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("dup_trigram_frac"),
     )
+
+
+def normalize(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical text normalization for dedup/fingerprinting: lowercase,
+    strip non-alphanumerics, collapse runs of whitespace, trim. Adds a
+    ``norm_text`` column.
+
+    Pure column expressions (regex classes chosen to behave identically
+    under Java regex and RE2), so normalization fuses into the scan
+    projection — zero extra passes at 100 TB. Normalized-then-hashed
+    dedup catches casing/punctuation mutations that byte-exact dedup
+    misses, at the same one-shuffle cost.
+    """
+    n = F.lower(F.col(text_col))
+    n = F.regexp_replace(n, r"[^a-z0-9\s]", "")
+    n = F.regexp_replace(n, r"\s+", " ")
+    return docs.withColumn("norm_text", F.trim(n))

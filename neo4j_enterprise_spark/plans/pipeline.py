@@ -730,3 +730,38 @@ def docs_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "lang", {"en": 4, "de": 2, "fr": 2, "es": 1, "zh": 1}
     )
     return out.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+@register(
+    "docs_normalized_dedup",
+    r"""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                 '\s+', ' ', 'g')) AS norm_text
+      FROM documents)
+    SELECT md5(norm_text) AS norm_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM n GROUP BY md5(norm_text) HAVING COUNT(*) > 1
+    ORDER BY norm_hash
+    """,
+    doc="Normalization-aware exact dedup (`text.normalize` + hash "
+    "groupBy): lowercase/punctuation-strip/whitespace-collapse fused "
+    "into the scan projection, then the same one-shuffle digest "
+    "grouping as docs_exact_dup_groups — catches trivially mutated "
+    "copies byte-exact dedup misses. DuckDB regexp_replace carries the "
+    "'g' flag to match Spark's always-global replace.",
+)
+def docs_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.normalize(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(F.md5(F.col("norm_text")).alias("norm_hash"), "doc_id")
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy("norm_hash")
+    )

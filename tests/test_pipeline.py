@@ -144,3 +144,15 @@ def test_repetition_stats_plan_is_shuffle_free(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = text.repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_normalize_catches_mutated_copies(spark):
+    from neo4j_enterprise_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world"), (3, "other doc")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["norm_text"] for r in text.normalize(docs).collect()}
+    assert out[1] == out[2] == "hello world"
+    assert out[3] == "other doc"

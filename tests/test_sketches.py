@@ -90,3 +90,25 @@ def test_distinct_sketch_states_merge_to_global_estimate(spark, sf_dir):
     assert set(merged) == set(exact)
     for et, est in merged.items():
         assert abs(est - exact[et]) / max(exact[et], 1) <= 0.05, (et, est, exact[et])
+
+
+def test_profile_counts_nulls_and_ndv(spark):
+    from neo4j_enterprise_spark.operators import profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")], "x long, y string"
+    )
+    out = {r["column"]: r for r in profile.profile(df, ["x", "y"]).collect()}
+    assert out["x"]["n_rows"] == 4 and out["x"]["n_nulls"] == 1 and out["x"]["n_distinct"] == 3
+    assert out["y"]["n_nulls"] == 1 and out["y"]["n_distinct"] == 2
+
+
+def test_numeric_histogram_buckets_cover_range(spark):
+    from neo4j_enterprise_spark.operators import profile
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    rows = sorted(profile.numeric_histogram(df, "v", 10).collect())
+    assert sum(r["n"] for r in rows) == 100
+    assert rows[0]["lo"] == 0.0 and rows[-1]["hi"] == 99.0
+    # max value lands in the last bucket, not bucket 10
+    assert rows[-1]["bucket"] == 9 and rows[-1]["n"] == 10
