@@ -205,3 +205,141 @@ def cypher_match(
         )
         out = out.join(proj, var)
     return out
+
+
+_KW_SPLIT_RE = re.compile(r"\b(MATCH|WHERE|RETURN|ORDER\s+BY|LIMIT)\b", re.I)
+_COND_RE = re.compile(
+    r"^(\w+)(?:\.(\w+))?\s*(<>|<=|>=|=|<|>)\s*('[^']*'|\"[^\"]*\"|[\w.+-]+)$"
+)
+_AGG_RE = re.compile(
+    r"^(count|sum|min|max|avg)\s*\(\s*(\*|(?:DISTINCT\s+)?\w+(?:\.\w+)?)\s*\)$", re.I
+)
+_AS_RE = re.compile(r"^(.*?)\s+AS\s+(\w+)$", re.I | re.S)
+
+
+def _parse_literal(raw: str):
+    if raw[0] in "'\"":
+        return raw[1:-1]
+    if raw in ("true", "false"):
+        return raw == "true"
+    return float(raw) if "." in raw else int(raw)
+
+
+def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
+    """Cypher-ish read query compiled to one DataFrame plan::
+
+        MATCH <pattern>
+        [WHERE <var>[.<prop>] <op> <literal> [AND ...]]
+        [RETURN <item> [, ...]]      item: var | var.prop | count(*) |
+                                     count([DISTINCT] var) |
+                                     sum/min/max/avg(var.prop), all [AS alias]
+        [ORDER BY <alias> [ASC|DESC] [, ...]]
+        [LIMIT <n>]
+
+    The clause pipeline maps 1:1 onto Spark relational ops — pattern →
+    joins (``cypher_match``), WHERE → Column predicates (pushed down by
+    Catalyst into the pattern joins), RETURN aggregates → groupBy over
+    the non-aggregated items, ORDER BY/LIMIT → TakeOrderedAndProject —
+    so the whole query stays one Catalyst-optimized plan; the DSL adds
+    zero custom execution. Property references auto-attach the needed
+    node columns (id-keyed joins). Conjunctions only; ops
+    ``= <> < <= > >=``; literals as in inline property maps.
+
+    The Cypher read surface of the reference's embedded API
+    (`LockableNode.java:178-201` navigation + property reads), expressed
+    Spark-first.
+    """
+    parts = _KW_SPLIT_RE.split(query)
+    if parts[0].strip():
+        raise ValueError(f"query must start with MATCH: {query!r}")
+    clauses: dict[str, str] = {}
+    for kw, body in zip(parts[1::2], parts[2::2]):
+        key = re.sub(r"\s+", " ", kw.upper())
+        if key in clauses:
+            raise ValueError(f"duplicate {key} clause")
+        clauses[key] = body.strip()
+    if "MATCH" not in clauses:
+        raise ValueError("missing MATCH clause")
+
+    conds = []
+    if clauses.get("WHERE"):
+        for one in re.split(r"\bAND\b", clauses["WHERE"], flags=re.I):
+            m = _COND_RE.match(one.strip())
+            if not m:
+                raise ValueError(f"unsupported WHERE condition: {one.strip()!r}")
+            conds.append((m.group(1), m.group(2), m.group(3), _parse_literal(m.group(4))))
+
+    items = []  # (kind, var, prop, distinct, alias) kind in {plain, agg:<fn>}
+    if clauses.get("RETURN"):
+        for one in clauses["RETURN"].split(","):
+            one = one.strip()
+            alias = None
+            am = _AS_RE.match(one)
+            if am:
+                one, alias = am.group(1).strip(), am.group(2)
+            gm = _AGG_RE.match(one)
+            if gm:
+                fn = gm.group(1).lower()
+                arg = gm.group(2)
+                distinct = bool(re.match(r"DISTINCT\s", arg, re.I))
+                arg = re.sub(r"^DISTINCT\s+", "", arg, flags=re.I)
+                var, prop = (arg.split(".") + [None])[:2] if arg != "*" else (None, None)
+                items.append((f"agg:{fn}", var, prop, distinct, alias or fn))
+            else:
+                pm = re.match(r"^(\w+)(?:\.(\w+))?$", one)
+                if not pm:
+                    raise ValueError(f"unsupported RETURN item: {one!r}")
+                var, prop = pm.group(1), pm.group(2)
+                default = f"{var}_{prop}" if prop else var
+                items.append(("plain", var, prop, False, alias or default))
+
+    # auto-attach every referenced property
+    attach: dict[str, list[str]] = {}
+    for var, prop, _, _ in conds:
+        if prop:
+            attach.setdefault(var, []).append(prop)
+    for _, var, prop, _, _ in items:
+        if prop:
+            attach.setdefault(var, []).append(prop)
+    attach = {v: sorted(set(ps)) for v, ps in attach.items()}
+
+    out = cypher_match(nodes, rels, clauses["MATCH"], attach=attach or None)
+
+    ops = {"=": "==", "<>": "!=", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
+    for var, prop, op, lit in conds:
+        col = F.col(f"{var}_{prop}" if prop else var)
+        pred = getattr(col, {"==": "__eq__", "!=": "__ne__", "<": "__lt__",
+                             "<=": "__le__", ">": "__gt__", ">=": "__ge__"}[ops[op]])(F.lit(lit))
+        out = out.filter(pred)
+
+    if items:
+        keys = [(v, p, a) for k, v, p, _, a in items if k == "plain"]
+        aggs = [(k.split(":")[1], v, p, d, a) for k, v, p, d, a in items if k != "plain"]
+        key_cols = [F.col(f"{v}_{p}" if p else v).alias(a) for v, p, a in keys]
+        if aggs:
+            agg_cols = []
+            for fn, var, prop, distinct, alias in aggs:
+                if var is None:
+                    agg_cols.append(F.count(F.lit(1)).alias(alias))
+                    continue
+                col = F.col(f"{var}_{prop}" if prop else var)
+                if fn == "count" and distinct:
+                    agg_cols.append(F.count_distinct(col).alias(alias))
+                else:
+                    agg_cols.append(getattr(F, fn)(col).alias(alias))
+            out = out.groupBy(*key_cols).agg(*agg_cols) if key_cols else out.agg(*agg_cols)
+        else:
+            out = out.select(*key_cols)
+
+    if clauses.get("ORDER BY"):
+        order_cols = []
+        for one in clauses["ORDER BY"].split(","):
+            om = re.match(r"^(\w+)(?:\s+(ASC|DESC))?$", one.strip(), re.I)
+            if not om:
+                raise ValueError(f"unsupported ORDER BY item: {one.strip()!r}")
+            c = F.col(om.group(1))
+            order_cols.append(c.desc() if (om.group(2) or "").upper() == "DESC" else c)
+        out = out.orderBy(*order_cols)
+    if clauses.get("LIMIT"):
+        out = out.limit(int(clauses["LIMIT"]))
+    return out

@@ -323,3 +323,53 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             .alias("clustering"),
         )
     )
+
+def weighted_shortest_paths(
+    edges: DataFrame, seeds: DataFrame, max_dist: int, max_iter: int = 30
+) -> DataFrame:
+    """Multi-source weighted shortest paths (Bellman-Ford label
+    correction): ``edges`` is a directed (src, dst, weight>0) list (feed
+    both directions for undirected graphs), ``seeds`` a (seed) column of
+    source nodes. Returns (node_id, dist) for every node whose minimal
+    distance from ANY seed is <= ``max_dist``.
+
+    Each round relaxes only the frontier (nodes improved last round) —
+    one shuffle per round on the join key, lineage cut by
+    localCheckpoint; terminates at fixpoint or when the frontier's
+    distances exceed ``max_dist``. This is the DataFrame rendering of
+    pregel-style SSSP. The traversal surface mirrors the reference's
+    weighted expansion (`Traverser` over `LockableNode.java:178-201`)
+    as batch dataflow.
+    """
+    dist = (
+        seeds.select(F.col("seed").alias("node_id"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(max_iter):
+        relaxed = (
+            frontier.join(edges, frontier["node_id"] == edges["src"])
+            .select(
+                F.col("dst").alias("node_id"),
+                (F.col("dist") + F.col("weight")).alias("cand"),
+            )
+            .filter(F.col("cand") <= max_dist)
+            .groupBy("node_id")
+            .agg(F.min("cand").alias("cand"))
+        )
+        improved = (
+            relaxed.join(dist.withColumnRenamed("dist", "cur"), "node_id", "left")
+            .filter(F.col("cur").isNull() | (F.col("cand") < F.col("cur")))
+            .select("node_id", F.col("cand").alias("dist"))
+        ).localCheckpoint(eager=True)
+        if improved.limit(1).count() == 0:
+            break
+        dist = (
+            dist.unionByName(improved)
+            .groupBy("node_id")
+            .agg(F.min("dist").alias("dist"))
+        ).localCheckpoint(eager=True)
+        frontier = improved
+    return dist

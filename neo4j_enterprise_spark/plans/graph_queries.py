@@ -1006,3 +1006,90 @@ def parts_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return traversal.triangle_counts(edges).orderBy("node_id")
+
+
+@register(
+    "parts_weighted_distances",
+    """
+    WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                   GREATEST(1, 5 - COUNT(*)) AS weight
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    e AS (SELECT src, dst, weight FROM und
+          UNION ALL SELECT dst, src, weight FROM und),
+    seeds AS (SELECT DISTINCT src AS node_id FROM e WHERE src % 100 < 2),
+    walk(node_id, d) AS (
+      SELECT node_id, CAST(0 AS BIGINT) FROM seeds
+      UNION
+      SELECT e.dst, w.d + e.weight FROM walk w
+      JOIN e ON e.src = w.node_id
+      WHERE w.d + e.weight <= 12)
+    SELECT node_id, CAST(MIN(d) AS BIGINT) AS dist
+    FROM walk GROUP BY node_id ORDER BY node_id
+    """,
+    doc="Multi-source weighted shortest paths "
+    "(`traversal.weighted_shortest_paths`, Bellman-Ford frontier "
+    "relaxation) over the min-support-2 co-purchase graph with "
+    "affinity weights greatest(1, 5-n), distance bound 12. The oracle "
+    "replays it as a recursive-CTE path enumeration with UNION dedup — "
+    "a second ORACLE-CHECKED iterative algorithm beside "
+    "docs_neardup_clusters; two different algorithms, identical "
+    "fixpoint. Each Spark round shuffles only the improved frontier.",
+)
+def parts_weighted_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    und = (
+        li.select("l_orderkey", F.col("l_partkey").alias("src"))
+        .join(li.select("l_orderkey", F.col("l_partkey").alias("dst")), "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst", F.greatest(F.lit(1), F.lit(5) - F.col("n")).alias("weight"))
+    )
+    edges = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    seeds = edges.filter(F.col("src") % 100 < 2).select(
+        F.col("src").alias("seed")
+    ).distinct()
+    return traversal.weighted_shortest_paths(edges, seeds, max_dist=12).orderBy("node_id")
+
+
+@register(
+    "cypher_where_aggregate",
+    f"""
+    {graph_cte()},
+    placed AS (SELECT src AS c, dst AS o FROM rels WHERE type_name = 'PLACED')
+    SELECT nd.name AS customer_name, COUNT(*) AS n_orders
+    FROM placed p
+    JOIN nodes nd ON nd.id = p.c AND nd.kind = 'customer'
+    WHERE nd.in_use = true AND nd.name < 'Customer#000000100'
+    GROUP BY nd.name ORDER BY n_orders DESC, customer_name LIMIT 20
+    """,
+    doc="Full Cypher-ish read query (`pattern.cypher_query`): MATCH "
+    "(c:customer)-[:PLACED]->(o:order) WHERE c.in_use = true AND "
+    "c.name < ... RETURN c.name, count(*) ORDER BY ... LIMIT 20 — the "
+    "clause pipeline compiled into ONE Catalyst plan (WHERE predicates "
+    "push into the pattern joins; ORDER BY+LIMIT becomes "
+    "TakeOrderedAndProject, no global sort).",
+)
+def cypher_where_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pattern import cypher_query
+
+    nodes = derived_nodes(spark, sf_dir)
+    rels = derived_rels(spark, sf_dir)
+    return cypher_query(
+        nodes,
+        rels,
+        "MATCH (c:customer)-[:PLACED]->(o:order) "
+        "WHERE c.in_use = true AND c.name < 'Customer#000000100' "
+        "RETURN c.name AS customer_name, count(*) AS n_orders "
+        "ORDER BY n_orders DESC, customer_name LIMIT 20",
+    )

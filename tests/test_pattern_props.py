@@ -68,3 +68,53 @@ def test_attach_validates_vars_and_columns(spark, sf_dir):
         cypher_match(nodes, rels, "(n:nation)-[:IN_REGION]->(r)", attach={"z": ["name"]})
     with pytest.raises(ValueError, match="unknown node columns"):
         cypher_match(nodes, rels, "(n:nation)-[:IN_REGION]->(r)", attach={"n": ["zz"]})
+
+
+def test_cypher_query_where_filters_and_aggregates(spark, sf_dir):
+    from neo4j_enterprise_spark.operators.pattern import cypher_query
+
+    nodes, rels = derived_nodes(spark, sf_dir), derived_rels(spark, sf_dir)
+    got = cypher_query(
+        nodes,
+        rels,
+        "MATCH (n:nation)-[:IN_REGION]->(r:region) "
+        "WHERE r.name = 'ASIA' "
+        "RETURN n.name AS nation_name, count(*) AS n ORDER BY nation_name",
+    )
+    rows = got.collect()
+    assert got.columns == ["nation_name", "n"]
+    assert rows and all(r["n"] == 1 for r in rows)
+    # cross-check against the raw joins
+    asia = {r["id"] for r in nodes.filter("kind = 'region' AND name = 'ASIA'").collect()}
+    expect = (
+        rels.filter(F.col("type_name") == "IN_REGION")
+        .filter(F.col("dst").isin(list(asia)))
+        .count()
+    )
+    assert len(rows) == expect
+
+
+def test_cypher_query_plain_return_order_limit(spark, sf_dir):
+    from neo4j_enterprise_spark.operators.pattern import cypher_query
+
+    nodes, rels = derived_nodes(spark, sf_dir), derived_rels(spark, sf_dir)
+    got = cypher_query(
+        nodes,
+        rels,
+        "MATCH (n:nation)-[:IN_REGION]->(r:region) "
+        "RETURN n AS nation_id, r.name AS region_name ORDER BY nation_id DESC LIMIT 3",
+    ).collect()
+    assert len(got) == 3
+    assert got[0]["nation_id"] > got[1]["nation_id"] > got[2]["nation_id"]
+
+
+def test_cypher_query_rejects_bad_clauses(spark, sf_dir):
+    from neo4j_enterprise_spark.operators.pattern import cypher_query
+
+    nodes, rels = derived_nodes(spark, sf_dir), derived_rels(spark, sf_dir)
+    with pytest.raises(ValueError, match="MATCH"):
+        cypher_query(nodes, rels, "RETURN x")
+    with pytest.raises(ValueError, match="unsupported WHERE"):
+        cypher_query(nodes, rels, "MATCH (n:nation)-[:IN_REGION]->(r) WHERE n.name LIKE 'x'")
+    with pytest.raises(ValueError, match="duplicate"):
+        cypher_query(nodes, rels, "MATCH (n)-[:IN_REGION]->(r) MATCH (m)-[:IN_REGION]->(q)")

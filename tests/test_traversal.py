@@ -72,3 +72,26 @@ def test_triangle_counts_triangle_free(spark):
     edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (0, 3)], "src long, dst long")
     rows = traversal.triangle_counts(edges).collect()
     assert all(r["triangles"] == 0 and r["clustering"] == 0.0 for r in rows)
+
+
+def test_weighted_shortest_paths_prefers_cheap_detour(spark):
+    # 0→1 costs 10; 0→2→3→1 costs 3: dist(1) must be 3, not 10.
+    edges = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 1), (2, 3, 1), (3, 1, 1)], "src long, dst long, weight long"
+    )
+    seeds = spark.createDataFrame([(0,)], "seed long")
+    out = {
+        r["node_id"]: r["dist"]
+        for r in traversal.weighted_shortest_paths(edges, seeds, max_dist=20).collect()
+    }
+    assert out == {0: 0, 2: 1, 3: 2, 1: 3}
+
+
+def test_weighted_shortest_paths_respects_bound(spark):
+    edges = spark.createDataFrame([(0, 1, 5), (1, 2, 5)], "src long, dst long, weight long")
+    seeds = spark.createDataFrame([(0,)], "seed long")
+    out = {
+        r["node_id"]: r["dist"]
+        for r in traversal.weighted_shortest_paths(edges, seeds, max_dist=6).collect()
+    }
+    assert out == {0: 0, 1: 5}  # node 2 at dist 10 exceeds the bound
