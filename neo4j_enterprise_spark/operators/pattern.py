@@ -207,7 +207,9 @@ def cypher_match(
     return out
 
 
-_KW_SPLIT_RE = re.compile(r"\b(MATCH|WHERE|RETURN|ORDER\s+BY|LIMIT)\b", re.I)
+_KW_SPLIT_RE = re.compile(
+    r"\b(OPTIONAL\s+MATCH|MATCH|WHERE|RETURN|ORDER\s+BY|LIMIT)\b", re.I
+)
 _COND_RE = re.compile(
     r"^(\w+)(?:\.(\w+))?\s*(<>|<=|>=|=|<|>)\s*('[^']*'|\"[^\"]*\"|[\w.+-]+)$"
 )
@@ -303,7 +305,25 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
             attach.setdefault(var, []).append(prop)
     attach = {v: sorted(set(ps)) for v, ps in attach.items()}
 
-    out = cypher_match(nodes, rels, clauses["MATCH"], attach=attach or None)
+    # OPTIONAL MATCH compiles to a LEFT OUTER join on the shared
+    # variables (Cypher semantics: unmatched rows keep NULL bindings;
+    # count(var) then skips them). Props of vars bound only by the
+    # optional pattern attach inside it so they stay nullable.
+    opt_body = clauses.get("OPTIONAL MATCH")
+    main_vars = {m[0] for m in _NODE_RE.findall(clauses["MATCH"]) if m[0]}
+    attach_main = {v: ps for v, ps in attach.items() if v in main_vars}
+    attach_opt = {v: ps for v, ps in attach.items() if v not in main_vars}
+    if attach_opt and not opt_body:
+        unknown = sorted(attach_opt)
+        raise ValueError(f"unbound variables referenced: {unknown}")
+
+    out = cypher_match(nodes, rels, clauses["MATCH"], attach=attach_main or None)
+    if opt_body:
+        opt = cypher_match(nodes, rels, opt_body, attach=attach_opt or None)
+        shared = [c for c in out.columns if c in set(opt.columns)]
+        if not shared:
+            raise ValueError("OPTIONAL MATCH must share a variable with MATCH")
+        out = out.join(opt, shared, "left")
 
     ops = {"=": "==", "<>": "!=", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
     for var, prop, op, lit in conds:

@@ -139,25 +139,7 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     doc in tokens.
     """
     tokens = F.split(F.trim(F.col(text_col)), r"\s+")
-
-    def grams(tcol, g):
-        idx = F.sequence(F.lit(0), F.size(tcol) - g)
-        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tcol, i + 1, g)))
-
-    def max_mult(arr):
-        s = F.array_sort(arr)
-        zero = F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-        )
-
-        def step(acc, x):
-            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-            return F.struct(
-                x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
-            )
-
-        return F.aggregate(s, zero, step, lambda acc: acc["best"])
-
+    grams, max_mult = _grams, _max_mult
     t = F.col("t")
     tri = grams(t, 3)
     stats = docs.select("doc_id", tokens.alias("t")).select(
@@ -205,3 +187,70 @@ def normalize(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n = F.regexp_replace(n, r"[^a-z0-9\s]", "")
     n = F.regexp_replace(n, r"\s+", " ")
     return docs.withColumn("norm_text", F.trim(n))
+
+
+def _grams(tcol, g):
+    """n-gram array from a token array, built with transform+slice (all
+    JVM-side array kernels)."""
+    idx = F.sequence(F.lit(0), F.size(tcol) - g)
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tcol, i + 1, g)))
+
+
+def _max_mult(arr):
+    """Max element multiplicity of an array: sort, then a single
+    aggregate() run-length scan — O(n log n) per row, no shuffle."""
+    s = F.array_sort(arr)
+    zero = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best"))
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(s, zero, step, lambda acc: acc["best"])
+
+
+def filter_verdicts(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_top_bigram: float = 0.17,
+    max_dup_trigram: float = 0.1,
+    token_len_lo: float = 2.0,
+    token_len_hi: float = 12.0,
+) -> DataFrame:
+    """The composite C4/Gopher-style quality gate: every heuristic
+    filter evaluated in ONE fused, shuffle-free projection, emitting a
+    per-document verdict — ``keep`` or the first failing rule
+    (``too_short`` → ``bad_token_shape`` → ``too_repetitive`` →
+    ``dup_trigrams``), so drop attribution is auditable.
+
+    This is the decision step a 100 TB corpus scrub runs after
+    normalization and before dedup; because all metrics are array-domain
+    expressions over one scan (no joins between the individual metric
+    operators), the marginal cost of adding a rule is zero extra passes.
+    """
+    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(t)
+    nonspace = F.length(F.regexp_replace(F.col(text_col), " ", "")).cast("double")
+    avg_len = nonspace / n.cast("double")
+    top_bi = F.when(
+        n >= 2, (_max_mult(_grams(t, 2)) * 2).cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+    tri = _grams(t, 3)
+    dup_tri = F.when(
+        n >= 3,
+        (F.size(tri) - F.size(F.array_distinct(tri))).cast("double")
+        / F.size(tri).cast("double"),
+    ).otherwise(F.lit(0.0))
+    verdict = (
+        F.when(n < min_tokens, "too_short")
+        .when((avg_len < token_len_lo) | (avg_len > token_len_hi), "bad_token_shape")
+        .when(top_bi > max_top_bigram, "too_repetitive")
+        .when(dup_tri > max_dup_trigram, "dup_trigrams")
+        .otherwise("keep")
+    )
+    return docs.select(
+        "doc_id", n.cast("long").alias("n_tokens"), verdict.alias("verdict")
+    )

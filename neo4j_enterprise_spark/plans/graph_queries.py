@@ -1093,3 +1093,32 @@ def cypher_where_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RETURN c.name AS customer_name, count(*) AS n_orders "
         "ORDER BY n_orders DESC, customer_name LIMIT 20",
     )
+
+
+@register(
+    "cypher_optional_match",
+    f"""
+    {graph_cte()},
+    cust AS (SELECT id FROM nodes WHERE kind = 'customer'),
+    placed AS (SELECT src, dst FROM rels WHERE type_name = 'PLACED')
+    SELECT c.id AS customer_id, COUNT(p.dst) AS n_orders
+    FROM cust c LEFT JOIN placed p ON p.src = c.id
+    GROUP BY c.id ORDER BY customer_id
+    """,
+    doc="OPTIONAL MATCH (`pattern.cypher_query`): MATCH (c:customer) "
+    "OPTIONAL MATCH (c)-[:PLACED]->(o) RETURN c, count(o) — compiled to "
+    "a LEFT OUTER join on the shared variable; count(o) skips NULL "
+    "bindings exactly like Cypher, so zero-order customers appear with "
+    "n_orders = 0. Oracle = the same left join in SQL.",
+)
+def cypher_optional_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pattern import cypher_query
+
+    nodes = derived_nodes(spark, sf_dir)
+    rels = derived_rels(spark, sf_dir)
+    return cypher_query(
+        nodes,
+        rels,
+        "MATCH (c:customer) OPTIONAL MATCH (c)-[:PLACED]->(o) "
+        "RETURN c AS customer_id, count(o) AS n_orders ORDER BY customer_id",
+    )

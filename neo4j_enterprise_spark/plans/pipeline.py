@@ -765,3 +765,55 @@ def docs_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_copies") > 1)
         .orderBy("norm_hash")
     )
+
+
+@register(
+    "docs_filter_pipeline",
+    r"""
+    WITH toks AS (SELECT doc_id, text,
+                         string_split_regex(trim(text), '\s+') AS t
+                  FROM documents),
+    bi AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(t)),
+                                        i -> array_to_string(t[i:i+1], ' '))) AS g
+           FROM toks WHERE len(t) >= 2),
+    bmax AS (SELECT doc_id, MAX(c) AS max_b FROM
+               (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2)
+             GROUP BY 1),
+    tri AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) - 1),
+                                         i -> array_to_string(t[i:i+2], ' '))) AS g
+            FROM toks WHERE len(t) >= 3),
+    tstat AS (SELECT doc_id, COUNT(*) AS n_tri, COUNT(DISTINCT g) AS d_tri
+              FROM tri GROUP BY 1),
+    m AS (
+      SELECT k.doc_id,
+             len(k.t) AS n_tokens,
+             CAST(length(replace(k.text, ' ', '')) AS DOUBLE)
+               / CAST(len(k.t) AS DOUBLE) AS avg_len,
+             CASE WHEN b.max_b IS NULL THEN 0.0
+                  ELSE CAST(2 * b.max_b AS DOUBLE) / CAST(len(k.t) AS DOUBLE)
+             END AS top_bi,
+             CASE WHEN s.n_tri IS NULL THEN 0.0
+                  ELSE CAST(s.n_tri - s.d_tri AS DOUBLE) / CAST(s.n_tri AS DOUBLE)
+             END AS dup_tri
+      FROM toks k LEFT JOIN bmax b USING (doc_id) LEFT JOIN tstat s USING (doc_id))
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CASE WHEN n_tokens < 20 THEN 'too_short'
+                WHEN avg_len < 2.0 OR avg_len > 12.0 THEN 'bad_token_shape'
+                WHEN top_bi > 0.17 THEN 'too_repetitive'
+                WHEN dup_tri > 0.1 THEN 'dup_trigrams'
+                ELSE 'keep' END AS verdict
+    FROM m ORDER BY doc_id
+    """,
+    doc="Composite C4/Gopher-style quality gate "
+    "(`text.filter_verdicts`): every heuristic rule — length, token "
+    "shape, top-bigram repetition, duplicated trigrams — evaluated in "
+    "ONE fused shuffle-free projection with first-failing-rule drop "
+    "attribution. The oracle rebuilds each metric relationally and "
+    "replays the same CASE ladder. Adding a rule costs zero extra "
+    "passes at 100 TB.",
+)
+def docs_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.filter_verdicts(docs).orderBy("doc_id")

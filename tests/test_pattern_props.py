@@ -118,3 +118,53 @@ def test_cypher_query_rejects_bad_clauses(spark, sf_dir):
         cypher_query(nodes, rels, "MATCH (n:nation)-[:IN_REGION]->(r) WHERE n.name LIKE 'x'")
     with pytest.raises(ValueError, match="duplicate"):
         cypher_query(nodes, rels, "MATCH (n)-[:IN_REGION]->(r) MATCH (m)-[:IN_REGION]->(q)")
+
+
+def test_cypher_optional_match_keeps_unmatched(spark, sf_dir):
+    from neo4j_enterprise_spark.operators.pattern import cypher_query
+
+    nodes, rels = derived_nodes(spark, sf_dir), derived_rels(spark, sf_dir)
+    got = cypher_query(
+        nodes,
+        rels,
+        "MATCH (c:customer) OPTIONAL MATCH (c)-[:PLACED]->(o) "
+        "RETURN c AS customer_id, count(o) AS n_orders",
+    )
+    rows = got.collect()
+    n_customers = nodes.filter("kind = 'customer'").count()
+    assert len(rows) == n_customers  # every customer appears, matched or not
+    from collections import Counter
+
+    placed = Counter(
+        r["src"] for r in rels.filter("type_name = 'PLACED'").select("src").collect()
+    )
+    assert all(r["n_orders"] == placed.get(r["customer_id"], 0) for r in rows)
+
+
+def test_cypher_optional_match_null_bindings(spark):
+    from neo4j_enterprise_spark.operators.pattern import cypher_query
+
+    # tiny graph where node 2 has no outgoing edge: count(o) must be 0
+    nodes = spark.createDataFrame(
+        [(1, "thing", True, "a"), (2, "thing", True, "b"), (3, "thing", True, "c")],
+        "id long, kind string, in_use boolean, name string",
+    )
+    rels = spark.createDataFrame([(10, 1, 3, "REL")], "id long, src long, dst long, type_name string")
+    rows = {
+        r["x"]: r["n"]
+        for r in cypher_query(
+            nodes, rels, "MATCH (x:thing) OPTIONAL MATCH (x)-[:REL]->(y) RETURN x, count(y) AS n"
+        ).collect()
+    }
+    assert rows == {1: 1, 2: 0, 3: 0}
+
+
+def test_cypher_optional_match_requires_shared_var(spark, sf_dir):
+    from neo4j_enterprise_spark.operators.pattern import cypher_query
+
+    nodes, rels = derived_nodes(spark, sf_dir), derived_rels(spark, sf_dir)
+    with pytest.raises(ValueError, match="share a variable"):
+        cypher_query(
+            nodes, rels,
+            "MATCH (c:customer) OPTIONAL MATCH (x:nation)-[:IN_REGION]->(r) RETURN c",
+        )

@@ -156,3 +156,22 @@ def test_normalize_catches_mutated_copies(spark):
     out = {r["doc_id"]: r["norm_text"] for r in text.normalize(docs).collect()}
     assert out[1] == out[2] == "hello world"
     assert out[3] == "other doc"
+
+
+def test_filter_verdicts_first_failing_rule_wins(spark):
+    from neo4j_enterprise_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "short doc"),  # < 20 tokens → too_short
+            (2, " ".join(["ab"] * 30)),  # repetitive AND long → top bigram fires
+            (3, " ".join(f"w{i}" for i in range(30))),  # clean → keep
+            (4, " ".join(["superlongtoken" * 3] * 25)),  # avg token len > 12
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["verdict"] for r in text.filter_verdicts(docs).collect()}
+    assert out[1] == "too_short"
+    assert out[2] == "too_repetitive"
+    assert out[3] == "keep"
+    assert out[4] == "bad_token_shape"
