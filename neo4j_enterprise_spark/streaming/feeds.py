@@ -230,3 +230,38 @@ def enrich_stream(
     slowly-changing dims are re-read current — the streaming twin of the
     dictionary broadcasts in the batch validation suite."""
     return stream.join(F.broadcast(dim), on, how)
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "15 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: pair each left event with right
+    events of the same ``key`` whose timestamp lies in
+    ``[left_ts - upper, left_ts - lower]`` (e.g. click joined to the
+    views that preceded it within 15 minutes).
+
+    Both sides carry watermarks and the join condition is range-bounded
+    on event time, which is exactly what lets Spark expire join state:
+    a row can be dropped once the other side's watermark passes its
+    window, so state stays proportional to the time bound — not the
+    stream history — at any throughput. This is the streaming twin of
+    the batch as-of/range joins (``operators/asof.py``,
+    ``operators/ranges.py``); the attribution queries they answer at
+    rest, this answers in flight.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rts >= lts - F.expr(f"INTERVAL {upper}"))
+        & (rts <= lts - F.expr(f"INTERVAL {lower}"))
+    )
+    return l.join(r, cond, "inner")

@@ -202,3 +202,38 @@ def test_windowed_counts_batch_semantics(spark, sf_dir):
     out = feeds.windowed_counts(ev)  # works on batch DF too (same plan)
     total = out.agg(F.sum("n_events")).collect()[0][0]
     assert total == ev.count()
+
+
+def test_interval_join_streams_pairs_within_bound(spark, tmp_path):
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def write(rows, d):
+        spark.createDataFrame(rows, "key long, ts timestamp").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(tmp_path / d))
+
+    # clicks at +10min; views at 0 and +20min: only the first view is
+    # within [click-15min, click]
+    write([(1, base + dt.timedelta(minutes=10)), (2, base + dt.timedelta(minutes=10))], "clicks")
+    write(
+        [(1, base), (1, base + dt.timedelta(minutes=20)), (2, base + dt.timedelta(minutes=9))],
+        "views",
+    )
+    clicks = spark.readStream.schema("key long, ts timestamp").parquet(str(tmp_path / "clicks"))
+    views = spark.readStream.schema("key long, ts timestamp").parquet(str(tmp_path / "views"))
+    joined = feeds.interval_join_streams(
+        clicks, views, key="key", lower="0 seconds", upper="15 minutes"
+    ).select(F.col("l.key").alias("key"), F.col("l.ts").alias("click_ts"), F.col("r.ts").alias("view_ts"))
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ij"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r["key"], r["view_ts"]) for r in spark.sql("SELECT * FROM ij").collect()}
+    assert got == {(1, base), (2, base + dt.timedelta(minutes=9))}
