@@ -211,7 +211,10 @@ _KW_SPLIT_RE = re.compile(
     r"\b(OPTIONAL\s+MATCH|MATCH|WHERE|RETURN|ORDER\s+BY|LIMIT)\b", re.I
 )
 _COND_RE = re.compile(
-    r"^(\w+)(?:\.(\w+))?\s*(<>|<=|>=|=|<|>)\s*('[^']*'|\"[^\"]*\"|[\w.+-]+)$"
+    r"^(\w+)(?:\.(\w+))?\s*"
+    r"(STARTS\s+WITH|ENDS\s+WITH|CONTAINS|<>|<=|>=|=|<|>)\s*"
+    r"('[^']*'|\"[^\"]*\"|[\w.+-]+)$",
+    re.I,
 )
 _AGG_RE = re.compile(
     r"^(count|sum|min|max|avg)\s*\(\s*(\*|(?:DISTINCT\s+)?\w+(?:\.\w+)?)\s*\)$", re.I
@@ -325,11 +328,13 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
             raise ValueError("OPTIONAL MATCH must share a variable with MATCH")
         out = out.join(opt, shared, "left")
 
-    ops = {"=": "==", "<>": "!=", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
+    methods = {"=": "__eq__", "<>": "__ne__", "<": "__lt__", "<=": "__le__",
+               ">": "__gt__", ">=": "__ge__", "STARTS WITH": "startswith",
+               "ENDS WITH": "endswith", "CONTAINS": "contains"}
     for var, prop, op, lit in conds:
         col = F.col(f"{var}_{prop}" if prop else var)
-        pred = getattr(col, {"==": "__eq__", "!=": "__ne__", "<": "__lt__",
-                             "<=": "__le__", ">": "__gt__", ">=": "__ge__"}[ops[op]])(F.lit(lit))
+        opn = re.sub(r"\s+", " ", op.upper())
+        pred = getattr(col, methods[opn])(F.lit(lit))
         out = out.filter(pred)
 
     if items:

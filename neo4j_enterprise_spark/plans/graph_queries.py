@@ -1122,3 +1122,34 @@ def cypher_optional_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "MATCH (c:customer) OPTIONAL MATCH (c)-[:PLACED]->(o) "
         "RETURN c AS customer_id, count(o) AS n_orders ORDER BY customer_id",
     )
+
+
+@register(
+    "cypher_string_predicates",
+    f"""
+    {graph_cte()},
+    sn AS (SELECT src AS s, dst AS n FROM rels WHERE type_name = 'SUPP_NATION')
+    SELECT nd.name AS nation_name, COUNT(*) AS n_suppliers
+    FROM sn JOIN nodes nd ON nd.id = sn.n
+    WHERE nd.name LIKE 'NATION\\_1%' ESCAPE '\\' AND nd.name LIKE '%5'
+    GROUP BY nd.name ORDER BY nation_name
+    """,
+    doc="Cypher string predicates in the WHERE grammar "
+    "(`pattern.cypher_query`): n.name STARTS WITH 'NATION_1' AND "
+    "n.name ENDS WITH '5' compiled to startswith/endswith Column "
+    "predicates (JVM string kernels, pushable); oracle = anchored "
+    "LIKE patterns with escaped underscore.",
+)
+def cypher_string_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pattern import cypher_query
+
+    nodes = derived_nodes(spark, sf_dir)
+    rels = derived_rels(spark, sf_dir)
+    return cypher_query(
+        nodes,
+        rels,
+        "MATCH (s:supplier)-[:SUPP_NATION]->(n:nation) "
+        "WHERE n.name STARTS WITH 'NATION_1' AND n.name ENDS WITH '5' "
+        "RETURN n.name AS nation_name, count(*) AS n_suppliers "
+        "ORDER BY nation_name",
+    )

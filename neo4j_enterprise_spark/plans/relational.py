@@ -1270,3 +1270,33 @@ def events_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_funnel_signup_purchase",
+    """
+    WITH s1 AS (SELECT user_id, MIN(ts) AS ts1 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS ts2
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'view' AND e.ts > s1.ts1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS ts3
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.ts2 GROUP BY e.user_id)
+    SELECT 1 AS step, 'signup' AS event_type,
+           (SELECT COUNT(*) FROM s1) AS n_users
+    UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM s2)
+    UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+    ORDER BY step
+    """,
+    doc="Ordered funnel conversion (`funnel.funnel_counts`): users who "
+    "signed up, then viewed after signup, then purchased after that "
+    "view — first-reach times via N-1 user-keyed joins (no full-stream "
+    "window/sort), counts stacked to one row per step. The time-ordered "
+    "path-query twin of the graph traversals.",
+)
+def events_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import funnel_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts(ev, ["signup", "view", "purchase"]).orderBy("step")

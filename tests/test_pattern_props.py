@@ -168,3 +168,20 @@ def test_cypher_optional_match_requires_shared_var(spark, sf_dir):
             nodes, rels,
             "MATCH (c:customer) OPTIONAL MATCH (x:nation)-[:IN_REGION]->(r) RETURN c",
         )
+
+
+def test_cypher_query_string_predicates(spark, sf_dir):
+    from neo4j_enterprise_spark.operators.pattern import cypher_query
+
+    nodes, rels = derived_nodes(spark, sf_dir), derived_rels(spark, sf_dir)
+    got = cypher_query(
+        nodes, rels,
+        "MATCH (n:nation)-[:IN_REGION]->(r:region) "
+        "WHERE n.name CONTAINS '_1' RETURN n.name AS nm ORDER BY nm",
+    ).collect()
+    names = [r["nm"] for r in got]
+    assert names and all("_1" in n for n in names)
+    expect = sorted(
+        r["name"] for r in nodes.filter("kind = 'nation' AND name LIKE '%\\_1%'").collect()
+    )
+    assert names == expect

@@ -34,3 +34,26 @@ def test_range_join_invariant_to_bucket_width(spark):
     # every pair appears exactly once whether intervals span 1 or many buckets
     for width in (2.0, 50.0, 1000.0):
         assert _out(spark, width) == _out(spark, 8.0)
+
+
+def test_funnel_orders_steps_strictly(spark):
+    import datetime as dt
+
+    from neo4j_enterprise_spark.operators.funnel import funnel, funnel_counts
+
+    t = lambda m: dt.datetime(2026, 1, 1, 12, m)
+    rows = [
+        # u1 completes A→B→C in order
+        (1, "A", t(0)), (1, "B", t(5)), (1, "C", t(9)),
+        # u2 did B BEFORE A only → stalls at step 1
+        (2, "B", t(0)), (2, "A", t(3)),
+        # u3 out of order C,B,A but also B after A → reaches step 2
+        (3, "C", t(0)), (3, "A", t(1)), (3, "B", t(2)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    r = {x["user"]: x for x in funnel(ev, ["A", "B", "C"]).collect()}
+    assert r[1]["ts_3"] == t(9)
+    assert r[2]["ts_1"] == t(3) and r[2]["ts_2"] is None and r[2]["ts_3"] is None
+    assert r[3]["ts_2"] == t(2) and r[3]["ts_3"] is None  # C was before B
+    counts = {x["step"]: x["n_users"] for x in funnel_counts(ev, ["A", "B", "C"]).collect()}
+    assert counts == {1: 3, 2: 2, 3: 1}
