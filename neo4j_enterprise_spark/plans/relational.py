@@ -1300,3 +1300,236 @@ def events_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
 
     ev = load_table(spark, sf_dir, "events")
     return funnel_counts(ev, ["signup", "view", "purchase"]).orderBy("step")
+
+
+@register(
+    "q9_profit_by_nation_year",
+    """
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS sum_profit
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, EXTRACT(year FROM l.l_shipdate)
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 shape (product-profit by nation and year; the schema "
+    "has no partsupp/ps_supplycost, so profit = discounted revenue): "
+    "fact scan joined to two broadcast dims + a LIKE-filtered part dim, "
+    "grouped on (nation, year). Exercises broadcast-star planning and "
+    "partial aggregation under a derived group key.",
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    pa = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    revenue = _d("l_extendedprice") * (F.lit(1) - _d("l_discount"))
+    return (
+        li.join(F.broadcast(pa), li["l_partkey"] == pa["p_partkey"])
+        .join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+        .join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(revenue).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 50
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape (disjunctive brand/size/quantity predicate "
+    "revenue; the schema has no l_shipmode/p_container, so the three OR "
+    "arms use brand+size+quantity). The part side of each arm is "
+    "broadcastable; the OR predicate sits on the joined row — Catalyst "
+    "pushes the common `p_brand IN (...)` prefilter into the part scan.",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+    )
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    arm1 = (F.col("p_brand") == "Brand#12") & sz.between(1, 15) & q.between(1, 11)
+    arm2 = (F.col("p_brand") == "Brand#23") & sz.between(1, 25) & q.between(10, 20)
+    arm3 = (F.col("p_brand") == "Brand#34") & sz.between(1, 50) & q.between(20, 30)
+    revenue = _d("l_extendedprice") * (F.lit(1) - _d("l_discount"))
+    return (
+        li.join(F.broadcast(pa), li["l_partkey"] == pa["p_partkey"])
+        .filter(arm1 | arm2 | arm3)
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q2_best_supplier_per_part",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    cand AS (
+      SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal,
+             n.n_name AS nation
+      FROM ps
+      JOIN part p     ON p.p_partkey = ps.l_partkey
+      JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE' AND p.p_size = 15
+    )
+    SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, nation
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY p_partkey
+                 ORDER BY s_acctbal DESC, s_suppkey) AS rn
+      FROM cand
+    ) WHERE rn = 1
+    ORDER BY s_acctbal DESC, p_partkey
+    """,
+    doc="TPC-H Q2 shape (best supplier per part within a region; the "
+    "schema has no partsupp/ps_supplycost, so supply candidates are "
+    "derived as DISTINCT (l_partkey, l_suppkey) from lineitem and "
+    "'best' = highest s_acctbal, ties to the lowest s_suppkey). "
+    "Exercises a map-side-combinable DISTINCT on the fact, a broadcast "
+    "snowflake (supplier→nation→region), and per-group argmax without "
+    "a global sort.",
+)
+def q2_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    pa = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cand = (
+        ps.join(F.broadcast(pa), ps["l_partkey"] == pa["p_partkey"])
+        .join(F.broadcast(su), ps["l_suppkey"] == su["s_suppkey"])
+        .join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+        .join(F.broadcast(re), na["n_regionkey"] == re["r_regionkey"])
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal",
+            F.col("n_name").alias("nation"),
+        )
+    )
+    best = argmax(
+        cand,
+        group_cols=["p_partkey"],
+        order=[F.desc("s_acctbal"), F.asc("s_suppkey")],
+    )
+    return best.select(
+        "p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "nation"
+    ).orderBy(F.desc("s_acctbal"), "p_partkey")
+
+
+@register(
+    "events_retention_cohorts",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(epoch(CAST(date_trunc('week', f.first_day) AS TIMESTAMP)) / 86400
+                AS BIGINT) AS cohort_week_day,
+           CAST((epoch(CAST(date_trunc('week', CAST(e.ts AS DATE)) AS TIMESTAMP))
+                 - epoch(CAST(date_trunc('week', f.first_day) AS TIMESTAMP)))
+                / 604800 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Cohort retention: users bucketed by first-seen ISO week, "
+    "activity counted per (cohort, weeks-since) cell — the standard "
+    "engagement triangle. Two aggregations over the same user-keyed "
+    "shuffle; the first-seen dim rejoins broadcast. Weeks reduced to "
+    "epoch-day ints at the boundary for engine-portable comparison.",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    cohort_day = F.unix_timestamp(
+        F.date_trunc("week", F.col("first_day")).cast("timestamp")
+    )
+    event_week = F.unix_timestamp(
+        F.date_trunc("week", F.col("ts").cast("date").cast("timestamp"))
+    )
+    return (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .groupBy(
+            (cohort_day / 86400).cast("bigint").alias("cohort_week_day"),
+            ((event_week - cohort_day) / 604800).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .orderBy("cohort_week_day", "week_offset")
+    )
+
+
+@register(
+    "events_sliding_rollup",
+    """
+    WITH slides AS (
+      SELECT e.event_type, e.value,
+             CAST(epoch_us(date_trunc('minute', e.ts))
+                  - (CAST(EXTRACT(minute FROM e.ts) AS BIGINT) % 15) * 60000000
+                  - CAST(k.k AS BIGINT) * 900000000 AS BIGINT) AS window_start_us
+      FROM events e CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS k) k
+    )
+    SELECT window_start_us,
+           CAST(window_start_us + 3600000000 AS BIGINT) AS window_end_us,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM slides
+    GROUP BY window_start_us, event_type
+    ORDER BY window_start_us, event_type
+    """,
+    doc="Sliding-window rollup (1 h window, 15 min slide) via Spark's "
+    "native `window()` — each event lands in exactly 4 overlapping "
+    "windows, expanded map-side before one partial-agg shuffle. Oracle "
+    "derives the same 4 window starts arithmetically (floor-to-slide "
+    "minus k slides). Streaming twin: same expression under "
+    "readStream + watermark.",
+)
+def events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            F.unix_micros("w.end").alias("window_end_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start_us", "event_type")
+    )
