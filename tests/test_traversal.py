@@ -95,3 +95,52 @@ def test_weighted_shortest_paths_respects_bound(spark):
         for r in traversal.weighted_shortest_paths(edges, seeds, max_dist=6).collect()
     }
     assert out == {0: 0, 1: 5}  # node 2 at dist 10 exceeds the bound
+
+
+def test_label_propagation_two_triangles(spark):
+    # Two disconnected triangles: after 2 deterministic rounds every
+    # node carries its triangle's min id (round 1 ties break to the
+    # smallest neighbor label; round 2 the majority settles it).
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)],
+        "src long, dst long",
+    )
+    out = {r["node_id"]: r["label"] for r in traversal.label_propagation(edges, rounds=2).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}
+
+
+def test_label_propagation_is_deterministic(spark):
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12), (2, 10)],
+        "src long, dst long",
+    )
+    a = sorted(map(tuple, traversal.label_propagation(edges, rounds=3).collect()))
+    b = sorted(map(tuple, traversal.label_propagation(edges, rounds=3).collect()))
+    assert a == b
+
+
+def test_k_core_triangle_with_pendant(spark):
+    # Triangle {0,1,2} plus pendant 3-0: the 2-core is exactly the
+    # triangle (pendant removal must NOT cascade into the triangle).
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (3, 0)], "src long, dst long"
+    )
+    out = {r["node_id"]: r["degree"] for r in traversal.k_core(edges, k=2).collect()}
+    assert out == {0: 2, 1: 2, 2: 2}
+
+
+def test_k_core_chain_cascades_to_empty(spark):
+    # A path graph has no 2-core: peeling the endpoints cascades inward.
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    assert traversal.k_core(edges, k=2).count() == 0
+
+
+def test_k_core_clique_survives_whole(spark):
+    import itertools
+
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in itertools.combinations(range(5), 2)], "src long, dst long"
+    )
+    out = traversal.k_core(edges, k=4).collect()
+    assert sorted(r["node_id"] for r in out) == [0, 1, 2, 3, 4]
+    assert all(r["degree"] == 4 for r in out)
