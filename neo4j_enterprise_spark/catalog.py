@@ -36,17 +36,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # semantics. Runtime-settable, idempotent.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # The events table stores TIMESTAMP(NANOS) which Spark's parquet
-        # reader rejects; read nanos as LONG (runtime-settable legacy conf)
-        # and convert to a µs timestamp (exact: the generator's values are
-        # µs-grained, and DuckDB's TIMESTAMP is µs too).
+        # Testdata vintages differ on the ``ts`` column: older generators
+        # wrote TIMESTAMP(NANOS) (which Spark's parquet reader only accepts
+        # as LONG via the legacy conf), newer ones write TIMESTAMP(MICROS).
+        # Branch on the decoded dtype so either vintage loads; normalize to
+        # a µs TIMESTAMP (matching DuckDB's TIMESTAMP semantics).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         from pyspark.sql import functions as F
 
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
-        )
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type in ("bigint", "long"):
+            # nanos-as-long vintage: convert exactly (values are µs-grained)
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+            )
+        if ts_type == "timestamp_ntz":
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
