@@ -183,3 +183,29 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
         sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(0)
     sim = sim + F.when(F.col("b63") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(0)
     return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_md5_60(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """60-bit SimHash with a *portable* token hash: the top 15 hex chars
+    of md5 (md5 is bit-identical across engines, so the full bit-vote
+    pipeline is SQL-oracle-checkable — unlike ``simhash64``'s xxhash64,
+    which has no DuckDB twin). Same accumulation plan as ``simhash64``;
+    returns (doc_id, simhash BIGINT in [0, 2^60))."""
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << i).cast("long")) != 0, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(60)
+    ]
+    agg = tokens.groupBy("doc_id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for i in range(60):
+        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return agg.select("doc_id", sim.alias("simhash"))

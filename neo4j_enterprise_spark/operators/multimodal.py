@@ -72,9 +72,13 @@ def decode_image(media: DataFrame, deterministic_fake: bool = False) -> DataFram
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            import zlib
+            import hashlib
 
-            h = pdf["payload"].map(lambda b: zlib.crc32(bytes(b)))
+            # md5-derived 60-bit fake: md5 is bit-identical across
+            # engines, so the decoded dims are SQL-oracle-checkable
+            h = pdf["payload"].map(
+                lambda b: int(hashlib.md5(bytes(b)).hexdigest()[:15], 16)
+            )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -71,18 +71,27 @@ def ivf_assign(
     The centroid side is K rows → broadcast; assignment is one pass over
     the corpus. At 100 TB, cells partition the corpus so probes touch
     1/K of the data per searched cell.
+
+    Centroid selection is a deterministic hash-sample: the K vectors
+    with the smallest ``xxhash64(vec_id)`` — ``orderBy(hash).limit(K)``
+    compiles to TakeOrderedAndProject (per-partition top-K, no global
+    sort, no count() action), so selection is one narrow pass at any
+    corpus size. The K-row window that numbers cells runs on K rows
+    only.
     """
-    w = Window.orderBy("vec_id")
-    ranked = embeddings.withColumn("rn", F.row_number().over(w))
-    total = embeddings.count()
-    stride = max(1, total // n_cells)
-    centroids = (
-        ranked.filter((F.col("rn") - 1) % stride == 0)
-        .limit(n_cells)
-        .select(
-            ((F.col("rn") - 1) / stride).cast("int").alias("cell_id"),
+    sel = (
+        embeddings.select(
+            "vec_id",
             quantize(F.col("embedding")).alias("ccv"),
+            F.xxhash64("vec_id").alias("hs"),
         )
+        .orderBy("hs", "vec_id")
+        .limit(n_cells)
+    )
+    w_cell = Window.orderBy("hs", "vec_id")  # K rows post-limit — tiny
+    centroids = (
+        sel.withColumn("cell_id", (F.row_number().over(w_cell) - 1).cast("int"))
+        .select("cell_id", "ccv")
         .withColumn("ccn", _dot(F.col("ccv"), F.col("ccv")))
     )
     vecs = embeddings.select(

@@ -136,6 +136,85 @@ def traverse(
     return reached
 
 
+def dfs_preorder(
+    rels: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    direction: str = "out",
+    types: Iterable[str] | None = None,
+) -> DataFrame:
+    """T2 DFS order: per-seed preorder ranks of nodes reachable within
+    ≤ k hops, children expanded in ascending node-id order — the DFS
+    half of the legacy ``Traverser``'s ``Order.BREADTH_FIRST |
+    DEPTH_FIRST`` surface (`LockableNode.java:178-201`).
+
+    Declarative rendering: with sorted child expansion, DFS discovery
+    order equals the lexicographic order of each node's MINIMAL simple
+    path from the seed (every prefix of a lex-min simple path is itself
+    the lex-min path of its endpoint, so per-node min-path relaxation
+    converges exactly like distance relaxation). Paths are encoded as
+    fixed-width hex strings (16 chars per node id, non-negative ids) so
+    plain string MIN is path-lexicographic MIN; an id array rides along
+    for the simple-path (no-revisit) membership test.
+
+    Per round: one frontier⋈edges shuffle + one groupBy-min — the same
+    iterative shape as ``bfs_reachable``, so it scales the same way.
+    Returns (seed, node_id, preorder) with preorder = 1-based rank.
+    """
+    edges = _edges(rels, direction, types)
+    if k > 1:
+        edges = edges.persist()
+
+    def _enc(c) -> F.Column:
+        return F.format_string("%016x", c)
+
+    best = seeds.select(
+        F.col("seed").cast("long").alias("seed"),
+        F.col("seed").cast("long").alias("node_id"),
+        _enc(F.col("seed").cast("long")).alias("path"),
+        F.array(F.col("seed").cast("long")).alias("path_arr"),
+    ).localCheckpoint(eager=True)
+    frontier = best
+    for depth in range(1, k + 1):
+        ext = (
+            frontier.join(edges, frontier["node_id"] == edges["a"])
+            .filter(~F.array_contains(F.col("path_arr"), F.col("b")))
+            .select(
+                "seed",
+                F.col("b").alias("node_id"),
+                F.concat(F.col("path"), _enc(F.col("b"))).alias("path"),
+                F.array_append(F.col("path_arr"), F.col("b")).alias("path_arr"),
+            )
+        )
+        cand = (
+            ext.groupBy("seed", "node_id")
+            .agg(F.min(F.struct("path", "path_arr")).alias("s"))
+            .select("seed", "node_id", F.col("s.path").alias("path"), F.col("s.path_arr").alias("path_arr"))
+        )
+        improved = (
+            cand.join(
+                best.select("seed", "node_id", F.col("path").alias("cur_path")),
+                ["seed", "node_id"],
+                "left",
+            )
+            .filter(F.col("cur_path").isNull() | (F.col("path") < F.col("cur_path")))
+            .select("seed", "node_id", "path", "path_arr")
+        ).localCheckpoint(eager=True)
+        if improved.limit(1).count() == 0:
+            break
+        best = (
+            best.join(improved.select("seed", "node_id"), ["seed", "node_id"], "left_anti")
+            .unionByName(improved)
+        ).localCheckpoint(eager=True)
+        frontier = improved
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("seed").orderBy("path")
+    return best.select(
+        "seed", "node_id", F.row_number().over(w).alias("preorder")
+    )
+
+
 def chain_explorer(rels: DataFrame, broken_rel_ids: DataFrame) -> DataFrame:
     """T3/J13: the repair tool's depth-2 chain exploration
     (`RelationshipChainExplorer.java:39-90`, `OwningNodeRelationshipChain`):
@@ -432,6 +511,9 @@ def k_core(rels: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .distinct()
     ).localCheckpoint(eager=True)
+    # pruned ⊆ edges, so count equality ⇔ set equality; carrying the
+    # previous round's count halves the actions (one count per round)
+    prev_count = edges.count()
     for _ in range(max_iter):
         deg = edges.groupBy("a").agg(F.count("*").alias("degree"))
         keep = deg.filter(F.col("degree") >= k).select("a").localCheckpoint(eager=True)
@@ -440,10 +522,11 @@ def k_core(rels: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
             .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
             .select("a", "b")
         ).localCheckpoint(eager=True)
-        if pruned.count() == edges.count():
-            edges = pruned
-            break
+        n = pruned.count()
         edges = pruned
+        if n == prev_count:
+            break
+        prev_count = n
     return (
         edges.groupBy(F.col("a").alias("node_id"))
         .agg(F.count("*").alias("degree"))

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..graph.derive import derived_nodes, derived_rels, graph_cte
+from ..graph.derive import RELS_SQL, derived_nodes, derived_rels, graph_cte
 from ..operators import reads, traversal, validation
 from ..operators.diff import snapshot_added
 from . import register
@@ -556,7 +556,33 @@ def graph_validation_suite_100k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "connected_components",
-    None,  # iterative label propagation → rows-only check
+    # Bounded-round min-label propagation as a recursive CTE: the oracle
+    # replays the exact synchronous update (label = min over self ∪
+    # neighbors, self modeled as a self-loop edge) for the same 15
+    # rounds, so converged-or-not the states agree round-for-round.
+    f"""
+    WITH RECURSIVE rels AS ({RELS_SQL}),
+    sym AS (
+      SELECT src AS a, dst AS b FROM rels
+      UNION
+      SELECT dst, src FROM rels
+    ),
+    universe AS (SELECT DISTINCT a FROM sym),
+    edges AS (
+      SELECT a, b FROM sym UNION SELECT a, a FROM universe
+    ),
+    cc(iter, node, label) AS (
+      SELECT 0, a, a FROM universe
+      UNION ALL
+      SELECT cc.iter + 1, e.b, MIN(cc.label)
+      FROM cc JOIN edges e ON e.a = cc.node
+      WHERE cc.iter < 15
+      GROUP BY cc.iter + 1, e.b
+    )
+    SELECT label AS component, COUNT(*) AS n_nodes
+    FROM cc WHERE iter = 15
+    GROUP BY label ORDER BY n_nodes DESC, component LIMIT 20
+    """,
     doc="Batch graph analytics (SURVEY §7 M7 north star): connected "
     "components via iterative min-label propagation with checkpointed "
     "lineage — the DataFrame rendering of GraphX connectedComponents. "
@@ -577,8 +603,8 @@ def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "degree_pivot_by_type",
     """
     SELECT src AS node_id,
-           SUM(CASE WHEN type_name = 'PLACED' THEN 1 ELSE 0 END) AS placed,
-           SUM(CASE WHEN type_name = 'IN_NATION' THEN 1 ELSE 0 END) AS in_nation
+           CAST(SUM(CASE WHEN type_name = 'PLACED' THEN 1 ELSE 0 END) AS BIGINT) AS placed,
+           CAST(SUM(CASE WHEN type_name = 'IN_NATION' THEN 1 ELSE 0 END) AS BIGINT) AS in_nation
     FROM (SELECT CAST(o_custkey AS BIGINT) AS src, 'PLACED' AS type_name FROM orders
           UNION ALL
           SELECT CAST(c_custkey AS BIGINT), 'IN_NATION' FROM customer)
@@ -650,15 +676,21 @@ def priority_take_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cluster_member_rollup",
-    None,  # over the synthesized txlog → rows-only
+    """
+    SELECT CAST(o_orderkey % 3 AS INT) AS master_id,
+           COUNT(*) AS n_txs,
+           CAST(MAX(o_orderkey) AS BIGINT) AS last_tx
+    FROM orders GROUP BY 1 ORDER BY master_id
+    """,
     doc="A6 cluster member state rollup (`HighAvailabilityBean.java:"
     "86-113`, `ClusterDatabaseInfoProvider`): per-instance tx counts and "
-    "last-applied tx over the commit stream.",
+    "last-applied tx over the commit stream (the orders-derived log, so "
+    "the rollup is exactly SQL-oracle-checkable).",
 )
 def cluster_member_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.txlog import synthesize_txlog
+    from ..sources.txlog import txlog_from_orders
 
-    log = synthesize_txlog(spark, n_txs=500)
+    log = txlog_from_orders(spark, sf_dir)
     return (
         log.groupBy("master_id")
         .agg(F.count("*").alias("n_txs"), F.max("tx_id").alias("last_tx"))
@@ -687,6 +719,94 @@ def txlog_replay_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("properties", out.properties.count()),
     ]
     return spark.createDataFrame(counts, "table string, n_rows long")
+
+
+@register(
+    "traverse_dfs_preorder",
+    f"""
+    WITH RECURSIVE rels AS ({RELS_SQL}),
+    edges AS (
+      SELECT src AS a, dst AS b FROM rels
+      WHERE type_name IN ('PLACED', 'CONTAINS', 'IN_NATION', 'IN_REGION')),
+    paths(seed, node, path, path_arr, depth) AS (
+      SELECT id, id, printf('%016x', id), [id], 0
+      FROM (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer
+            WHERE c_custkey <= 5) s
+      UNION ALL
+      SELECT p.seed, e.b, p.path || printf('%016x', e.b),
+             list_append(p.path_arr, e.b), p.depth + 1
+      FROM paths p JOIN edges e ON e.a = p.node
+      WHERE p.depth < 3 AND NOT list_contains(p.path_arr, e.b)
+    ),
+    best AS (SELECT seed, node, MIN(path) AS path FROM paths GROUP BY seed, node)
+    SELECT seed, node AS node_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY seed ORDER BY path) AS INT)
+             AS preorder
+    FROM best ORDER BY seed, preorder
+    """,
+    doc="T2 DFS traversal order (`LockableNode.java:178-201` Order.DEPTH_"
+    "FIRST, ascending-id child expansion): per-seed preorder ranks over "
+    "the out-directed derivation (a ≤3-level DAG, so the lex-min-path "
+    "rendering is exact DFS preorder). Oracle enumerates all simple "
+    "paths as a recursive CTE and ranks by minimal path.",
+)
+def traverse_dfs_preorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rels = derived_rels(spark, sf_dir)
+    seeds = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 5)
+        .select(F.col("c_custkey").cast("long").alias("seed"))
+    )
+    return traversal.dfs_preorder(
+        rels, seeds, k=3, direction="out",
+        types=["PLACED", "CONTAINS", "IN_NATION", "IN_REGION"],
+    ).orderBy("seed", "preorder")
+
+
+@register(
+    "txlog_replay_lww",
+    """
+    WITH writes AS (
+      SELECT CAST(c_custkey AS BIGINT) AS owner_id, 0 AS key_id,
+             CAST(FLOOR(c_acctbal) AS BIGINT) AS value_long,
+             CAST(-1 AS BIGINT) AS tx_id
+      FROM customer
+      UNION ALL
+      SELECT CAST(o_custkey AS BIGINT), CAST(o_orderkey % 3 AS INT),
+             CAST(FLOOR(o_totalprice) AS BIGINT), CAST(o_orderkey AS BIGINT)
+      FROM orders
+    ),
+    ranked AS (
+      SELECT owner_id, key_id, value_long,
+             ROW_NUMBER() OVER (PARTITION BY owner_id, key_id
+                                ORDER BY tx_id DESC) AS rk
+      FROM writes
+    )
+    SELECT owner_id, CAST(key_id AS INT) AS key_id, value_long
+    FROM ranked WHERE rk = 1 AND owner_id <= 300
+    ORDER BY owner_id, key_id
+    """,
+    doc="S10/O3 replay with an exact oracle: apply the orders-derived "
+    "commit stream (`txlog_from_orders`) to a customer-derived base "
+    "snapshot in two prefix/suffix slices (S9 `copyTransactions` ranges, "
+    "`MasterImpl.java:494-499`), then read back the final property "
+    "state. The oracle is the windowed last-write-wins over the same "
+    "writes — proving the columnar replay (`RebuildFromLogs.java:85-100`) "
+    "applies txs in tx-id order.",
+)
+def txlog_replay_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.txlog import base_graph_from_customers, export_range, replay, txlog_from_orders
+
+    base = base_graph_from_customers(spark, sf_dir)
+    log = txlog_from_orders(spark, sf_dir).persist()
+    mid = 25_000  # fixed split: LWW state is slice-point-independent
+    first = replay(base, export_range(log, 0, mid))
+    final = replay(first, export_range(log, mid + 1, 2**62))
+    return (
+        final.properties.filter(F.col("owner_id") <= 300)
+        .select("owner_id", F.col("key_id").cast("int").alias("key_id"), "value_long")
+        .orderBy("owner_id", "key_id")
+    )
 
 
 @register(
@@ -1199,12 +1319,46 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "graph_kcore_summary",
-    None,  # unbounded-round peeling fixpoint → rows-only check
+    # Bounded-round peel as a recursive CTE: each round keeps edges whose
+    # both endpoints have degree >= k (window counts over the symmetric
+    # edge set), run for the same 30-round cap as the Spark operator;
+    # past the fixpoint the round is a no-op, so the states agree.
+    f"""
+    WITH RECURSIVE rels AS ({RELS_SQL}),
+    sym AS (
+      SELECT src AS a, dst AS b FROM rels WHERE src <> dst
+      UNION
+      SELECT dst, src FROM rels WHERE src <> dst
+    ),
+    peel(iter, a, b) AS (
+      -- explicit DISTINCT: DuckDB 1.0 does not fully dedupe the inlined
+      -- UNION CTE when it feeds a recursive base term, and duplicate
+      -- edges would inflate the window degree counts
+      SELECT DISTINCT 0, a, b FROM sym
+      UNION ALL
+      SELECT iter + 1, a, b FROM (
+        SELECT iter, a, b,
+               COUNT(*) OVER (PARTITION BY iter, a) AS da,
+               COUNT(*) OVER (PARTITION BY iter, b) AS db
+        FROM peel
+      )
+      WHERE iter < 30 AND da >= 4 AND db >= 4
+    ),
+    core AS (
+      SELECT a AS node_id, COUNT(*) AS degree
+      FROM peel WHERE iter = 30 GROUP BY a HAVING COUNT(*) >= 4
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS core_nodes,
+           CAST(COALESCE(MIN(degree), 0) AS BIGINT) AS min_degree,
+           CAST(COALESCE(MAX(degree), 0) AS BIGINT) AS max_degree,
+           CAST(COALESCE(SUM(degree), 0) AS BIGINT) AS sum_degree
+    FROM core
+    """,
     doc="k-core decomposition (k=4) via iterative peeling: repeatedly "
     "drop nodes of undirected degree < 4 until fixpoint; returns the "
     "surviving core's size and degree stats. Unit-tested on known "
-    "graphs (triangle+pendant, clique) in test_traversal; rows-only "
-    "here (the peel depth is data-dependent, not SQL-expressible).",
+    "graphs (triangle+pendant, clique) in test_traversal; oracle = "
+    "bounded-round peel as a recursive CTE with window degree counts.",
 )
 def graph_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     rels = derived_rels(spark, sf_dir)

@@ -237,10 +237,64 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_simhash_md5",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents WHERE doc_id < 200),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+    votes AS (
+      SELECT doc_id, bit,
+             SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h, (SELECT unnest(range(0, 60)) AS bit) bits
+      GROUP BY doc_id, bit)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="SimHash with a portable md5-derived 60-bit token hash: the full "
+    "bit-vote accumulation is oracle-checked end-to-end (the xxhash64 "
+    "variant `docs_simhash` keeps the faster production hash).",
+)
+def docs_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.simhash_md5_60(docs).orderBy("doc_id")
+
+
+@register(
     "docs_lang_id",
-    None,  # marker-argmax heuristic → rows-only (lang label exists but the
-    # heuristic is the operator under test)
-    doc="Language-ID heuristic: marker-word hit argmax per doc.",
+    r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE doc_id < 200),
+    scores AS (
+      SELECT doc_id, 'en' AS lang,
+             len(list_filter(t, x -> x = 'the')) + len(list_filter(t, x -> x = 'and'))
+             + len(list_filter(t, x -> x = 'of')) AS hits FROM base
+      UNION ALL
+      SELECT doc_id, 'de',
+             len(list_filter(t, x -> x = 'der')) + len(list_filter(t, x -> x = 'und'))
+             + len(list_filter(t, x -> x = 'die')) FROM base
+      UNION ALL
+      SELECT doc_id, 'fr',
+             len(list_filter(t, x -> x = 'le')) + len(list_filter(t, x -> x = 'et'))
+             + len(list_filter(t, x -> x = 'la')) FROM base
+      UNION ALL
+      SELECT doc_id, 'es',
+             len(list_filter(t, x -> x = 'el')) + len(list_filter(t, x -> x = 'y'))
+             + len(list_filter(t, x -> x = 'de')) FROM base),
+    ranked AS (
+      SELECT doc_id, lang, hits,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY hits DESC, lang DESC) AS rk
+      FROM scores)
+    SELECT doc_id, lang AS predicted_lang, CAST(hits AS BIGINT) AS marker_hits
+    FROM ranked WHERE rk = 1 ORDER BY doc_id
+    """,
+    doc="Language-ID heuristic: marker-word hit argmax per doc (ties "
+    "break to the max language tag, mirroring the struct-max plan).",
 )
 def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
@@ -249,10 +303,22 @@ def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_decode_pipeline",
-    None,  # mapInPandas decode/featurize stages → rows-only check
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+      FROM documents WHERE doc_id < 100)
+    SELECT media_id,
+           CAST(h % 1920 + 1 AS INT) AS width,
+           CAST(h % 1080 + 1 AS INT) AS height,
+           CAST(h % 3 + 1 AS INT) AS n_channels,
+           CAST(8 AS INT) AS vector_dim
+    FROM m ORDER BY media_id
+    """,
     doc="Multimodal plumbing: binary payload + typed metadata → "
-    "Arrow-batched decode (deterministic fake codec) → feature join; "
-    "real codecs swap into the same mapInPandas stages.",
+    "Arrow-batched decode (deterministic md5-derived fake codec, so the "
+    "mapInPandas stages are oracle-checkable end-to-end) → feature "
+    "join; real codecs swap into the same mapInPandas stages.",
 )
 def media_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal as mm

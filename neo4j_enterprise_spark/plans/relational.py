@@ -566,7 +566,6 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
-    target_nation = cn.filter(F.col("n_nationkey") == 1).select("n_name").collect()[0][0]
     rev = _d("l_extendedprice") * (F.lit(1) - _d("l_discount"))
     vol = (
         c.join(F.broadcast(cn), c["c_nationkey"] == cn["n_nationkey"])
@@ -575,16 +574,24 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("l_orderkey") == o["o_orderkey"])
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            F.broadcast(cn.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))),
+            # the target-nation flag rides the broadcast dim instead of a
+            # driver-side collect() — the plan stays closed (no scalar
+            # round-trip), same result
+            F.broadcast(
+                cn.select(
+                    F.col("n_nationkey").alias("s_nk"),
+                    (F.col("n_nationkey") == 1).alias("is_target_nation"),
+                )
+            ),
             F.col("s_nationkey") == F.col("s_nk"),
         )
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
             rev.alias("rev"),
-            "supp_nation",
+            "is_target_nation",
         )
     )
-    num = F.sum(F.when(F.col("supp_nation") == target_nation, F.col("rev")).otherwise(F.lit(0).cast(DEC)))
+    num = F.sum(F.when(F.col("is_target_nation"), F.col("rev")).otherwise(F.lit(0).cast(DEC)))
     return (
         vol.groupBy("o_year")
         .agg((num.cast("double") / F.sum("rev").cast("double")).alias("mkt_share"))

@@ -246,6 +246,87 @@ def replay(base: PropertyGraph, txlog: DataFrame, up_to_tx: int | None = None) -
     )
 
 
+def txlog_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic commit stream derived from the ``orders`` table: one
+    ``set_prop`` tx per order, writing the customer's latest order total
+    into property slot ``o_orderkey % 3``.
+
+    Unlike ``synthesize_txlog``'s hash stream (xxhash64 has no DuckDB
+    twin), every field here is a plain projection of ``orders``, so
+    replay results are exactly SQL-oracle-checkable (windowed
+    last-write-wins per (owner, key) — `RebuildFromLogs.java:85-100`
+    tx-order semantics).
+    """
+    from ..catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    out = o.select(
+        F.col("o_orderkey").cast("long").alias("tx_id"),
+        (F.col("o_orderkey") % 3).cast("int").alias("master_id"),
+        F.lit(0).cast("long").alias("checksum"),
+        F.lit("set_prop").alias("op"),
+        F.lit("node").alias("entity_kind"),
+        F.col("o_custkey").cast("long").alias("entity_id"),
+        F.to_json(
+            F.struct(
+                F.floor(F.col("o_totalprice")).cast("long").alias("value_long"),
+                (F.col("o_orderkey") % 3).cast("long").alias("key_id"),
+            )
+        ).alias("payload"),
+    )
+    return out.withColumn(
+        "checksum",
+        checksum_column(
+            F.col("tx_id"), F.col("op"), F.col("entity_kind"), F.col("entity_id"), F.col("payload")
+        ),
+    )
+
+
+def base_graph_from_customers(spark: SparkSession, sf_dir: str) -> PropertyGraph:
+    """Base snapshot for replay oracles: one node per customer carrying a
+    single INT property (key 0 = floor(acctbal)), no relationships. A
+    plain projection of ``customer`` with an exact SQL twin."""
+    from ..catalog import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    props = c.select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.lit(True).alias("in_use"),
+        F.col("c_custkey").cast("long").alias("owner_id"),
+        F.lit("node").alias("owner_kind"),
+        F.lit(NO_POINTER).cast("long").alias("prev_prop"),
+        F.lit(NO_POINTER).cast("long").alias("next_prop"),
+        F.lit(0).alias("seq"),
+        F.lit(0).cast("int").alias("key_id"),
+        F.lit("INT").alias("vtype"),
+        F.floor(F.col("c_acctbal")).cast("long").alias("value_long"),
+        F.lit(None).cast("string").alias("value_string"),
+        F.lit(None).cast("array<int>").alias("value_array"),
+    )
+    nodes = c.select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.lit(True).alias("in_use"),
+        F.lit(NO_POINTER).cast("long").alias("next_rel"),
+        F.col("c_custkey").cast("long").alias("next_prop"),
+    )
+    empty_rels = spark.createDataFrame(
+        [],
+        "id long, in_use boolean, src long, dst long, type_id int, "
+        "src_prev long, src_next long, dst_prev long, dst_next long, next_prop long",
+    )
+    rel_types = spark.createDataFrame([], "id int, in_use boolean, name string")
+    prop_keys = spark.createDataFrame(
+        [(i, True, f"k{i}") for i in range(3)], "id int, in_use boolean, name string"
+    )
+    return PropertyGraph(
+        nodes=nodes,
+        relationships=empty_rels,
+        properties=props,
+        relationship_types=rel_types,
+        property_keys=prop_keys,
+    )
+
+
 def synthesize_txlog(
     spark: SparkSession, n_txs: int = 100, base_nodes: int = 1000, seed: int = 42
 ) -> DataFrame:

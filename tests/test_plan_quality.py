@@ -52,3 +52,30 @@ def test_point_lookup_prunes_columns(spark, sf_dir):
     # the id=42 predicate reaches the scan: either pushed to parquet or
     # served from the memoized in-memory derived-nodes table
     assert "PushedFilters" in plan or "InMemoryTableScan" in plan
+
+
+def test_ivf_centroid_selection_has_no_global_sort(spark, sf_dir):
+    """Centroid selection must be per-partition top-K
+    (TakeOrderedAndProject), not a corpus-wide window/sort — the
+    100 TB-path invariant for ivf_assign."""
+    from pyspark.sql import functions as F
+
+    from neo4j_enterprise_spark.catalog import load_table
+    from neo4j_enterprise_spark.operators.similarity import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, assignments = ivf_assign(emb, n_cells=8)
+    import io
+    import sys
+
+    buf = io.StringIO()
+    stdout, sys.stdout = sys.stdout, buf
+    try:
+        centroids.explain("formatted")
+    finally:
+        sys.stdout = stdout
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan
+    # the only Window runs on the K selected rows (post-limit), never
+    # before the TakeOrderedAndProject that bounds the input
+    assert plan.index("TakeOrderedAndProject") > plan.index("Window")

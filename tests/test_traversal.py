@@ -144,3 +144,47 @@ def test_k_core_clique_survives_whole(spark):
     out = traversal.k_core(edges, k=4).collect()
     assert sorted(r["node_id"] for r in out) == [0, 1, 2, 3, 4]
     assert all(r["degree"] == 4 for r in out)
+
+
+def _dfs_preorder_reference(adj, seed, k):
+    """Plain recursive DFS with ascending-id children and a depth cap —
+    the order the legacy Traverser would produce."""
+    visited, order = set(), []
+
+    def go(node, depth):
+        visited.add(node)
+        order.append(node)
+        if depth == k:
+            return
+        for nxt in sorted(adj.get(node, [])):
+            if nxt not in visited:
+                go(nxt, depth + 1)
+
+    go(seed, 0)
+    return {n: i + 1 for i, n in enumerate(order)}
+
+
+def test_dfs_preorder_matches_recursive_dfs(spark):
+    # branchy graph with a cycle and a cross edge
+    pairs = [(0, 2), (0, 5), (2, 3), (2, 7), (3, 5), (5, 1), (1, 0), (7, 1)]
+    rels = _edges_df(spark, pairs)
+    adj = {}
+    for s, d in pairs:
+        adj.setdefault(s, []).append(d)
+    seeds = spark.createDataFrame([(0,)], "seed long")
+    got = {
+        r["node_id"]: r["preorder"]
+        for r in traversal.dfs_preorder(rels, seeds, k=4).collect()
+    }
+    assert got == _dfs_preorder_reference(adj, 0, 4)
+
+
+def test_dfs_preorder_chain_vs_branch(spark):
+    # 0→{1,9}, 1→{9}: DFS visits 9 through the 1-branch first
+    rels = _edges_df(spark, [(0, 1), (0, 9), (1, 9)])
+    seeds = spark.createDataFrame([(0,)], "seed long")
+    got = {
+        r["node_id"]: r["preorder"]
+        for r in traversal.dfs_preorder(rels, seeds, k=3).collect()
+    }
+    assert got == {0: 1, 1: 2, 9: 3}
