@@ -166,7 +166,36 @@ def generate_graph(
         )
     )
 
-    graph_props = props.limit(0)  # empty by default, same schema
+    # --- graph-level properties (NeoStore singleton chain) ------------
+    # `NeoStoreCheck.java:29-50`: the NeoStore record owns one property
+    # chain holding graph-wide properties. Two records, linked 0 → 1,
+    # typed per the first two dictionary keys (same vtype mapping as
+    # node properties above).
+    gp_rows = []
+    for gp_id, (k_i, k) in enumerate(list(enumerate(key_names))[:2]):
+        vtype = {"INTEGER": "INT", "STRING": "STRING", "ARRAY": "ARRAY"}.get(k, "INT")
+        gp_rows.append(
+            (
+                gp_id,
+                True,
+                0,  # the singleton owner
+                "graph",
+                gp_id,
+                k_i,
+                vtype,
+                7 + gp_id if vtype == "INT" else None,
+                f"graph-prop-{gp_id}" if vtype == "STRING" else None,
+                [1, 2, 3] if vtype == "ARRAY" else None,
+                gp_id - 1 if gp_id > 0 else NO_POINTER,
+                gp_id + 1 if gp_id + 1 < 2 else NO_POINTER,
+            )
+        )
+    graph_props = spark.createDataFrame(
+        gp_rows,
+        "id long, in_use boolean, owner_id long, owner_kind string, seq int, "
+        "key_id int, vtype string, value_long long, value_string string, "
+        "value_array array<int>, prev_prop long, next_prop long",
+    )
 
     return PropertyGraph(
         nodes=nodes,

@@ -329,6 +329,101 @@ def check_dictionaries(g: PropertyGraph) -> DataFrame:
     return reduce(DataFrame.unionByName, out)
 
 
+def check_graph_props(g: PropertyGraph) -> DataFrame:
+    """NeoStore singleton check (`NeoStoreCheck.java:29-50`): the
+    graph-level property chain must have exactly one head (prev == -1),
+    symmetric prev/next pointers, live dictionary keys, graph ownership,
+    and exactly one typed value column set — the same rule families the
+    node/rel property chains get, scoped to the singleton's store."""
+    if g.graph_props is None:
+        empty = g.properties.limit(0)
+        return _violation(empty, "NEO_STORE", "never", "id", F.col("id"))
+    gp = g.graph_props
+    live = gp.filter(F.col("in_use"))
+    out = []
+    # chain head cardinality: != 1 head on a non-empty chain is corruption
+    heads = live.filter(F.col("prev_prop") == NO_POINTER)
+    n_heads = heads.agg(F.count("*").alias("n"))
+    n_live = live.agg(F.count("*").alias("m"))
+    bad_heads = (
+        n_heads.join(n_live)
+        .filter((F.col("m") > 0) & (F.col("n") != 1))
+        .select(
+            F.lit("NEO_STORE").alias("record_type"),
+            F.lit("propertyChainHeadCount").alias("rule"),
+            F.lit(0).cast("long").alias("entity_id"),
+            F.col("n").cast("string").alias("detail"),
+        )
+    )
+    out.append(bad_heads)
+    # ownership: every record must belong to the graph singleton
+    out.append(
+        _violation(
+            live.filter((F.col("owner_kind") != "graph") | (F.col("owner_id") != 0)),
+            "NEO_STORE",
+            "propertyForOtherOwner",
+            "id",
+            F.col("owner_id"),
+        )
+    )
+    # prev/next symmetry — same unpivoted one-join shape as check_properties
+    target = live.select(
+        F.col("id").alias("t_id"),
+        F.col("prev_prop").alias("t_prev"),
+        F.col("next_prop").alias("t_next"),
+    )
+    ptrs = live.select(
+        "id",
+        F.expr(
+            "stack(2, "
+            "'prevNotInUse', 'previousDoesNotReferenceBack', prev_prop, 'next', "
+            "'nextNotInUse', 'nextDoesNotReferenceBack', next_prop, 'prev') "
+            "AS (rule_niu, rule_back, ptr, back_dir)"
+        ),
+    ).filter(F.col("ptr") != NO_POINTER)
+    j = ptrs.join(target, ptrs["ptr"] == target["t_id"], "left")
+    back = F.when(F.col("back_dir") == "next", F.col("t_next")).otherwise(F.col("t_prev"))
+    rule = F.when(F.col("t_id").isNull(), F.col("rule_niu")).when(
+        back != F.col("id"), F.col("rule_back")
+    )
+    out.append(
+        j.withColumn("__rule", rule)
+        .filter(F.col("__rule").isNotNull())
+        .select(
+            F.lit("NEO_STORE").alias("record_type"),
+            F.col("__rule").alias("rule"),
+            F.col("id").cast("long").alias("entity_id"),
+            F.col("ptr").cast("string").alias("detail"),
+        )
+    )
+    # key validity against the dictionary
+    live_keys = g.property_keys.filter(F.col("in_use")).select(F.col("id").alias("key_id"))
+    out.append(
+        _violation(
+            live.join(F.broadcast(live_keys), "key_id", "left_anti"),
+            "NEO_STORE",
+            "keyNotInUse",
+            "id",
+            F.col("key_id"),
+        )
+    )
+    # typed-value shape (same invariant as check_properties)
+    bad_value = (
+        (F.col("vtype") == "INT")
+        & (F.col("value_long").isNull() | F.col("value_string").isNotNull() | F.col("value_array").isNotNull())
+    ) | (
+        (F.col("vtype") == "STRING")
+        & (F.col("value_string").isNull() | F.col("value_long").isNotNull() | F.col("value_array").isNotNull())
+    ) | (
+        (F.col("vtype") == "ARRAY")
+        & (F.col("value_array").isNull() | F.col("value_long").isNotNull() | F.col("value_string").isNotNull())
+    )
+    out.append(
+        _violation(live.filter(bad_value), "NEO_STORE", "invalidPropertyValue", "id", F.col("vtype"))
+    )
+    return reduce(DataFrame.unionByName, out)
+
+
 def validate(g: PropertyGraph, eager: bool = True) -> DataFrame:
     """FullCheck (`FullCheck.java:71-123`): the whole checker.
 
@@ -356,6 +451,7 @@ def validate(g: PropertyGraph, eager: bool = True) -> DataFrame:
         check_properties(g),
         check_ownership(g),
         check_dictionaries(g),
+        check_graph_props(g),
     ]
     if eager:
         from concurrent.futures import ThreadPoolExecutor

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..graph.derive import RELS_SQL, derived_nodes, derived_rels, graph_cte
+from ..graph.derive import ORDER_OFF as ORDER_OFF_SQL
 from ..operators import reads, traversal, validation
 from ..operators.diff import snapshot_added
 from . import register
@@ -764,6 +765,76 @@ def traverse_dfs_preorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_branch_divergence",
+    """
+    WITH a_nodes AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS id FROM orders
+      WHERE o_orderdate < DATE '1997-01-01'),
+    b_nodes AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS id FROM orders
+      WHERE o_orderdate < DATE '1996-10-01'),
+    a_props AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS id,
+             CAST(FLOOR(o_totalprice) AS BIGINT) AS v
+      FROM orders WHERE o_orderdate < DATE '1997-01-01'),
+    b_props AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS id,
+             CAST(FLOOR(o_totalprice) AS BIGINT)
+             + CASE WHEN o_orderdate >= DATE '1996-07-01' THEN 1 ELSE 0 END AS v
+      FROM orders WHERE o_orderdate < DATE '1996-10-01')
+    SELECT 'nodes' AS store, 'only_a' AS side,
+           (SELECT COUNT(*) FROM (SELECT * FROM a_nodes EXCEPT ALL SELECT * FROM b_nodes)) AS n_rows
+    UNION ALL
+    SELECT 'nodes', 'only_b',
+           (SELECT COUNT(*) FROM (SELECT * FROM b_nodes EXCEPT ALL SELECT * FROM a_nodes))
+    UNION ALL
+    SELECT 'properties', 'only_a',
+           (SELECT COUNT(*) FROM (SELECT * FROM a_props EXCEPT ALL SELECT * FROM b_props))
+    UNION ALL
+    SELECT 'properties', 'only_b',
+           (SELECT COUNT(*) FROM (SELECT * FROM b_props EXCEPT ALL SELECT * FROM a_props))
+    ORDER BY store, side
+    """,
+    doc="M4 branched-data detection (`BranchedDataPolicy.java:30-66`): "
+    "two snapshot lineages fork — lineage A keeps committing through "
+    "1996, lineage B stops in 1996-10 but rewrote totals from 1996-07 "
+    "(the branched writes). The two-sided per-store EXCEPT ALL diff "
+    "quantifies the divergence; all-zero would mean prefix-consistent.",
+)
+def snapshot_branch_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.model import PropertyGraph
+    from ..sources.snapshot import detect_divergence
+
+    o = load_table(spark, sf_dir, "orders")
+
+    def lineage(cutoff: str, branched_from: str | None) -> PropertyGraph:
+        sel = o.filter(F.col("o_orderdate") < F.lit(cutoff).cast("date"))
+        v = F.floor(F.col("o_totalprice")).cast("long")
+        if branched_from is not None:
+            v = v + F.when(
+                F.col("o_orderdate") >= F.lit(branched_from).cast("date"), 1
+            ).otherwise(0)
+        nodes = sel.select(F.col("o_orderkey").cast("long").alias("id"))
+        props = sel.select(
+            F.col("o_orderkey").cast("long").alias("id"), v.alias("v")
+        )
+        empty = nodes.limit(0)
+        return PropertyGraph(
+            nodes=nodes,
+            relationships=empty,
+            properties=props,
+            relationship_types=empty,
+            property_keys=empty,
+        )
+
+    a = lineage("1997-01-01", None)
+    b = lineage("1996-10-01", "1996-07-01")
+    return detect_divergence(a, b, tables=("nodes", "properties")).orderBy(
+        "store", "side"
+    )
+
+
+@register(
     "txlog_replay_lww",
     """
     WITH writes AS (
@@ -1399,4 +1470,140 @@ def index_lookup_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.join(nodes, hits["entity_id"] == nodes["id"])
         .select("id", "name")
         .orderBy("id")
+    )
+
+
+@register(
+    "property_stats_histogram",
+    """
+    WITH props AS (
+      SELECT CAST(c_custkey AS BIGINT) AS owner_id, 'STRING' AS vtype FROM customer
+      UNION ALL
+      SELECT CAST(c_custkey AS BIGINT), 'STRING' FROM customer
+      UNION ALL
+      SELECT CAST(c_custkey AS BIGINT), 'INT' FROM customer
+      UNION ALL
+      SELECT CAST(o_orderkey + 1000000 AS BIGINT), 'INT' FROM orders
+      UNION ALL
+      SELECT CAST(o_orderkey + 1000000 AS BIGINT), 'STRING' FROM orders
+      UNION ALL
+      SELECT CAST(l_orderkey + 1000000 AS BIGINT), 'INT' FROM lineitem),
+    chain_lens AS (
+      SELECT owner_id, COUNT(*) AS n_props FROM props GROUP BY owner_id),
+    size_hist AS (
+      SELECT 'chain_len' AS metric, CAST(n_props AS VARCHAR) AS bucket,
+             COUNT(*) AS n
+      FROM chain_lens GROUP BY n_props),
+    type_hist AS (
+      SELECT 'vtype' AS metric, vtype AS bucket, COUNT(*) AS n
+      FROM props GROUP BY vtype)
+    SELECT metric, bucket, n FROM size_hist
+    UNION ALL
+    SELECT metric, bucket, n FROM type_hist
+    ORDER BY metric, bucket
+    """,
+    doc="A3's literal reference shape (`PropertyStats.java:37-52`): the "
+    "property store's blocks-per-record size histogram plus the per-"
+    "PropertyType histogram, over the derived property store (customer "
+    "props + order props + one per-lineitem block, so chain lengths "
+    "vary 1..9). Both histograms in one pass: two map-side-combinable "
+    "aggregations over a narrow union.",
+)
+def property_stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    oid = (F.col("o_orderkey") + ORDER_OFF_SQL).cast("long")
+    lid = (F.col("l_orderkey") + ORDER_OFF_SQL).cast("long")
+    cid = F.col("c_custkey").cast("long")
+    props = (
+        c.select(cid.alias("owner_id"), F.lit("STRING").alias("vtype"))
+        .unionByName(c.select(cid.alias("owner_id"), F.lit("STRING").alias("vtype")))
+        .unionByName(c.select(cid.alias("owner_id"), F.lit("INT").alias("vtype")))
+        .unionByName(o.select(oid.alias("owner_id"), F.lit("INT").alias("vtype")))
+        .unionByName(o.select(oid.alias("owner_id"), F.lit("STRING").alias("vtype")))
+        .unionByName(li.select(lid.alias("owner_id"), F.lit("INT").alias("vtype")))
+    )
+    size_hist = (
+        props.groupBy("owner_id")
+        .agg(F.count("*").alias("n_props"))
+        .groupBy("n_props")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("chain_len").alias("metric"),
+            F.col("n_props").cast("string").alias("bucket"),
+            "n",
+        )
+    )
+    type_hist = props.groupBy("vtype").agg(F.count("*").alias("n")).select(
+        F.lit("vtype").alias("metric"), F.col("vtype").alias("bucket"), "n"
+    )
+    return size_hist.unionByName(type_hist).orderBy("metric", "bucket")
+
+
+@register(
+    "index_put_if_absent",
+    """
+    WITH existing AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS value,
+             CAST(-c_custkey AS BIGINT) AS winner_id
+      FROM customer WHERE c_custkey % 2 = 0),
+    batch AS (
+      SELECT CAST(o_custkey AS VARCHAR) AS value,
+             CAST(o_orderkey AS BIGINT) AS entity_id
+      FROM orders),
+    first_writer AS (
+      SELECT value, MIN(entity_id) AS first_entity FROM batch GROUP BY value),
+    final AS (
+      SELECT fw.value, COALESCE(e.winner_id, fw.first_entity) AS winner_id
+      FROM first_writer fw LEFT JOIN existing e ON e.value = fw.value),
+    conflicts AS (
+      SELECT b.value, COUNT(*) AS n FROM batch b
+      JOIN final f ON b.value = f.value AND b.entity_id <> f.winner_id
+      GROUP BY b.value)
+    SELECT CAST(f.value AS BIGINT) AS cust, f.winner_id,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_conflicts
+    FROM final f LEFT JOIN conflicts c ON c.value = f.value
+    WHERE CAST(f.value AS BIGINT) <= 200
+    ORDER BY cust
+    """,
+    doc="S7 unique-entity putIfAbsent (`CommonJobs.java:928`, "
+    "`MasterImpl.java:524-535` index write locks → windowed "
+    "first-writer-wins): even customers pre-claim their slot, every "
+    "order races to claim its customer's; the oracle replays the merge "
+    "and conflict counts in plain SQL.",
+)
+def index_put_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import index as idx
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    existing = c.filter(F.col("c_custkey") % 2 == 0).select(
+        F.lit("cust_claims").alias("index_name"),
+        F.lit("cust").alias("key"),
+        F.col("c_custkey").cast("string").alias("value"),
+        (-F.col("c_custkey")).cast("long").alias("entity_id"),
+    )
+    batch = o.select(
+        F.lit("cust_claims").alias("index_name"),
+        F.lit("cust").alias("key"),
+        F.col("o_custkey").cast("string").alias("value"),
+        F.col("o_orderkey").cast("long").alias("entity_id"),
+        F.col("o_orderkey").cast("long").alias("tx_id"),
+    )
+    merged, conflicts = idx.put_if_absent(existing, batch)
+    attempted = batch.select("index_name", "key", "value").distinct()
+    winners = merged.join(attempted, ["index_name", "key", "value"]).select(
+        "value", F.col("entity_id").alias("winner_id")
+    )
+    ncf = conflicts.groupBy("value").agg(F.count("*").alias("n"))
+    return (
+        winners.join(ncf, "value", "left")
+        .select(
+            F.col("value").cast("long").alias("cust"),
+            "winner_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_conflicts"),
+        )
+        .filter(F.col("cust") <= 200)
+        .orderBy("cust")
     )

@@ -68,6 +68,42 @@ def lookup(
     )
 
 
+def put_if_absent(existing: DataFrame, batch: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Batch ``putIfAbsent``: merge candidate entries into the index with
+    first-writer-wins per (index_name, key, value) — the unique-entity
+    creation pattern the reference runs under index write locks
+    (`ha/src/test/java/slavetest/CommonJobs.java:928` putIfAbsent;
+    `MasterImpl.java:524-535` acquireIndexWriteLock). In batch dataflow
+    the lock dissolves into a windowed argmin: the lowest-``tx_id``
+    candidate per key wins, unless the key already exists.
+
+    ``existing``: (index_name, key, value, entity_id), assumed unique per
+    (index_name, key, value). ``batch``: same + ``tx_id`` ordering the
+    writers. Returns ``(merged, conflicts)``: merged = existing ∪ winning
+    inserts (same schema as existing); conflicts = losing batch rows with
+    a ``winner_id`` column (what putIfAbsent returns to the loser).
+
+    Scale: the window and every join key on (index_name, key, value) —
+    one shuffle each, co-partitioned; no driver round-trips.
+    """
+    from pyspark.sql.window import Window
+
+    keys = ["index_name", "key", "value"]
+    w = Window.partitionBy(*keys).orderBy("tx_id", "entity_id")
+    first = (
+        batch.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(*keys, "entity_id")
+    )
+    inserted = first.join(existing.select(*keys), keys, "left_anti")
+    merged = existing.unionByName(inserted)
+    winners = merged.select(*keys, F.col("entity_id").alias("winner_id"))
+    conflicts = batch.join(winners, keys).filter(
+        F.col("entity_id") != F.col("winner_id")
+    )
+    return merged, conflicts
+
+
 def default_index_dir(sf_dir: str) -> str:
     import tempfile
 

@@ -55,6 +55,81 @@ def incremental_backup(
     return slice_
 
 
+BRANCH_PREFIX = "branched_"
+
+
+def detect_divergence(
+    a: PropertyGraph,
+    b: PropertyGraph,
+    tables: tuple[str, ...] = ("nodes", "relationships", "properties"),
+) -> DataFrame:
+    """Branched-data detection (`BranchedDataPolicy.java:30-66` — a slave
+    store that no longer prefix-matches the master's is 'branched'):
+    two-sided per-store diff between two snapshot lineages. Returns one
+    row per (store, side) with the count of rows present on that side
+    only — all-zero means the lineages agree.
+
+    One Catalyst plan: each side is a full-row EXCEPT ALL (a hash
+    anti-join keyed on the whole row) + a count aggregate; the unions
+    are narrow. No driver-side comparisons.
+    """
+    from functools import reduce
+
+    parts = []
+    for name in tables:
+        ta, tb = a.tables()[name], b.tables()[name]
+        for side, d in (("only_a", ta.exceptAll(tb)), ("only_b", tb.exceptAll(ta))):
+            parts.append(
+                d.agg(F.count(F.lit(1)).alias("n_rows")).select(
+                    F.lit(name).alias("store"),
+                    F.lit(side).alias("side"),
+                    F.col("n_rows").cast("long").alias("n_rows"),
+                )
+            )
+    return reduce(DataFrame.unionByName, parts)
+
+
+def apply_branch_policy(backup_dir: str, policy: str, stamp: str) -> list[str]:
+    """`BranchedDataPolicy` keep_all | keep_last | keep_none
+    (`BranchedDataPolicy.java:30-66`): what to do with the local store
+    once it is known to have branched.
+
+    - ``keep_all``: archive the current store (every ``v*`` dir + meta)
+      under ``branched_<stamp>/``, alongside earlier archives.
+    - ``keep_last``: archive, then prune every older archive.
+    - ``keep_none``: delete the current store, no archive.
+
+    Returns the surviving archive dir names (sorted). Driver-side
+    filesystem bookkeeping by design — the reference moves store files,
+    it does not rewrite data.
+    """
+    import shutil
+
+    if policy not in ("keep_all", "keep_last", "keep_none"):
+        raise ValueError(f"unknown branched-data policy: {policy}")
+    stores = [
+        d
+        for d in os.listdir(backup_dir)
+        if d.startswith("v") or d == _META
+    ]
+    if policy == "keep_none":
+        for d in stores:
+            p = os.path.join(backup_dir, d)
+            shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+    else:
+        dest = os.path.join(backup_dir, f"{BRANCH_PREFIX}{stamp}")
+        os.makedirs(dest, exist_ok=True)
+        for d in stores:
+            shutil.move(os.path.join(backup_dir, d), os.path.join(dest, d))
+        if policy == "keep_last":
+            for d in os.listdir(backup_dir):
+                if d.startswith(BRANCH_PREFIX) and d != f"{BRANCH_PREFIX}{stamp}":
+                    shutil.rmtree(os.path.join(backup_dir, d))
+    return sorted(
+        d for d in os.listdir(backup_dir) if d.startswith(BRANCH_PREFIX)
+    )
+
+
 def restore(
     spark: SparkSession, backup_dir: str, verify: bool = True
 ) -> PropertyGraph:

@@ -189,3 +189,37 @@ def test_validate_aggregates_all(clean):
     rules = _rules(rc.validate(g))
     assert rules["illegalLabel"] == 1
     assert rules["emptyName"] == 1
+
+
+def test_graph_props_clean_and_corrupted(clean):
+    # clean singleton chain: no NEO_STORE violations
+    assert rc.check_graph_props(clean).count() == 0
+
+    # broken next pointer: dangling reference fires
+    g = PropertyGraph(**{**clean.tables(),
+                         "graph_props": _set(clean.graph_props, "id", 0,
+                                             next_prop=99)})
+    rules = _rules(rc.check_graph_props(g))
+    assert rules.get("nextNotInUse", 0) == 1
+
+    # two heads (chain split): head-count rule fires
+    g2 = PropertyGraph(**{**clean.tables(),
+                          "graph_props": _set(clean.graph_props, "id", 1,
+                                              prev_prop=NO_POINTER)})
+    rules2 = _rules(rc.check_graph_props(g2))
+    assert rules2.get("propertyChainHeadCount", 0) == 1
+
+    # foreign owner: ownership rule fires
+    g3 = PropertyGraph(**{**clean.tables(),
+                          "graph_props": _set(clean.graph_props, "id", 0,
+                                              owner_kind="node")})
+    assert _rules(rc.check_graph_props(g3)).get("propertyForOtherOwner", 0) == 1
+
+    # bad dictionary key fires
+    g4 = PropertyGraph(**{**clean.tables(),
+                          "graph_props": _set(clean.graph_props, "id", 0,
+                                              key_id=99)})
+    assert _rules(rc.check_graph_props(g4)).get("keyNotInUse", 0) == 1
+
+    # the full suite folds the family in and stays clean on the fixture
+    assert rc.validate(clean).count() == 0

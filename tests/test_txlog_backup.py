@@ -5,6 +5,8 @@ from __future__ import annotations
 import os
 import time
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from neo4j_enterprise_spark.graph.generator import generate_graph
@@ -237,3 +239,63 @@ def test_interval_join_streams_pairs_within_bound(spark, tmp_path):
     q.awaitTermination(180)
     got = {(r["key"], r["view_ts"]) for r in spark.sql("SELECT * FROM ij").collect()}
     assert got == {(1, base), (2, base + dt.timedelta(minutes=9))}
+
+
+def test_branch_policies_on_forked_lineage(spark, tmp_path):
+    from neo4j_enterprise_spark.graph.generator import generate_graph
+    from neo4j_enterprise_spark.sources.snapshot import (
+        apply_branch_policy,
+        detect_divergence,
+        full_backup,
+    )
+
+    g = generate_graph(spark, node_count=50)
+    root = str(tmp_path / "store")
+    full_backup(g, root, last_tx=0)
+
+    # keep_all archives the store and leaves earlier archives alone
+    archives = apply_branch_policy(root, "keep_all", "t1")
+    assert archives == ["branched_t1"]
+    assert not any(d.startswith("v") for d in os.listdir(root))
+    full_backup(g, root, last_tx=1)
+    archives = apply_branch_policy(root, "keep_all", "t2")
+    assert archives == ["branched_t1", "branched_t2"]
+
+    # keep_last prunes older archives
+    full_backup(g, root, last_tx=2)
+    archives = apply_branch_policy(root, "keep_last", "t3")
+    assert archives == ["branched_t3"]
+
+    # keep_none deletes the store without archiving
+    full_backup(g, root, last_tx=3)
+    archives = apply_branch_policy(root, "keep_none", "t4")
+    assert archives == ["branched_t3"]
+    assert not any(d.startswith("v") for d in os.listdir(root))
+
+    with pytest.raises(ValueError):
+        apply_branch_policy(root, "keep_some", "t5")
+
+
+def test_detect_divergence_identical_and_forked(spark):
+    from neo4j_enterprise_spark.graph.generator import generate_graph
+    from neo4j_enterprise_spark.sources.snapshot import detect_divergence
+    from pyspark.sql import functions as F
+
+    g = generate_graph(spark, node_count=30)
+    same = {
+        (r["store"], r["side"]): r["n_rows"]
+        for r in detect_divergence(g, g).collect()
+    }
+    assert all(n == 0 for n in same.values())
+
+    import dataclasses
+
+    forked = dataclasses.replace(
+        g, nodes=g.nodes.withColumn("in_use", ~F.col("in_use"))
+    )
+    diff = {
+        (r["store"], r["side"]): r["n_rows"]
+        for r in detect_divergence(g, forked).collect()
+    }
+    assert diff[("nodes", "only_a")] == 30 and diff[("nodes", "only_b")] == 30
+    assert diff[("properties", "only_a")] == 0
