@@ -16,6 +16,9 @@ produce bit-identical DOUBLE cosines.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -172,21 +175,19 @@ def ivf_ann_topk(
     )
 
 
-def _hyperplane_sign(vec: Column, plane: int, dims: int, seed: int) -> Column:
-    """Sign bit of <vec, h_plane> where h_plane[d] = ±1 derived from a
-    seeded hash — deterministic projections with no stored model."""
-    signed = F.aggregate(
-        F.zip_with(
-            vec,
-            F.sequence(F.lit(0), F.lit(dims - 1)),
-            lambda x, d: F.when(
-                F.xxhash64(F.lit(seed), F.lit(plane), d) % 2 == 0, x
-            ).otherwise(-x),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    return (signed >= 0).cast("int")
+def _plane_signs(plane: int, dims: int, seed: int) -> list[int]:
+    """±1 pattern of one hyperplane, derived from a seeded md5 — a pure
+    constant per (seed, plane, d), so it is computed ONCE on the driver
+    and shipped as a literal array instead of re-hashing per row
+    (the previous per-row xxhash64 cost 4096 hash evals per vector)."""
+    import hashlib
+
+    return [
+        1
+        if int(hashlib.md5(f"{seed}:{plane}:{d}".encode()).hexdigest(), 16) % 2 == 0
+        else -1
+        for d in range(dims)
+    ]
 
 
 def lsh_buckets(
@@ -197,22 +198,37 @@ def lsh_buckets(
     seed: int = 42,
 ) -> DataFrame:
     """(vec_id, band, bucket): random-hyperplane signature split into
-    bands; similar vectors collide in ≥1 band with high probability."""
-    qv = quantize(F.col("embedding"))
-    out = embeddings.select("vec_id", qv.alias("qv"))
-    band_cols = []
-    for b in range(bands):
-        bits = [
-            _hyperplane_sign(F.col("qv"), b * planes_per_band + p, dims, seed)
-            * (1 << p)
-            for p in range(planes_per_band)
-        ]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), sum(bits[1:], bits[0]).alias("bucket"))
-        )
-    return out.select(
-        "vec_id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bands; similar vectors collide in ≥1 band with high probability.
+
+    The signature is one Arrow-batched matmul (corpus batch × planes
+    matrix, BLAS-backed) — the bands*planes per-row sign computations
+    as built-in higher-order functions do NOT whole-stage-codegen and
+    interpret ~dims ops per plane per row, which measured ~30× slower
+    than the vectorized path at 64 planes × 64 dims. The planes matrix
+    is a seeded constant shipped with the UDF; quantization matches the
+    engine-wide contract (round(x·1000), exact in float64)."""
+    from pyspark.sql.functions import pandas_udf
+
+    n_planes = bands * planes_per_band
+    S = np.array(
+        [_plane_signs(p, dims, seed) for p in range(n_planes)], dtype="float64"
+    )  # (planes, dims)
+    weights = (1 << np.arange(planes_per_band)).astype("int64")
+
+    @pandas_udf("array<int>")
+    def _buckets(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype("float64")  # (n, dims)
+        # round-half-away-from-zero, matching Spark round() (HALF_UP)
+        Q = np.sign(X) * np.floor(np.abs(X) * QUANT + 0.5)
+        signs = (Q @ S.T) >= 0  # (n, planes)
+        per_band = signs.reshape(len(X), bands, planes_per_band)
+        buckets = (per_band * weights).sum(axis=2).astype("int32")  # (n, bands)
+        return pd.Series(list(buckets))
+
+    return (
+        embeddings.select("vec_id", _buckets(F.col("embedding")).alias("bks"))
+        .select("vec_id", F.posexplode("bks").alias("band", "bucket"))
+    )
 
 
 def lsh_ann_topk(

@@ -154,6 +154,7 @@ def docs_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Similarity search scale path: random-hyperplane LSH bucket join "
     "+ exact scoring of candidates only (recall vs brute force is "
     "asserted in tests/test_pipeline.py).",
+    bench=True,  # the 100 TB ANN path belongs in the headline set
 )
 def ann_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

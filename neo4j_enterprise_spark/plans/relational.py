@@ -1520,6 +1520,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "derives the same 4 window starts arithmetically (floor-to-slide "
     "minus k slides). Streaming twin: same expression under "
     "readStream + watermark.",
+    bench=True,  # the streaming-window scale path in the headline set
 )
 def events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
