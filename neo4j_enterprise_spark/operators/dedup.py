@@ -55,22 +55,37 @@ def shingles(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
     return docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
-def minhash_signatures(
-    sh: DataFrame, num_hashes: int = 32, seed: int = 42
-) -> DataFrame:
-    """MinHash signature per doc: (doc_id, sig ARRAY<BIGINT>[num_hashes]).
-
-    Permutations h_i(x) = (a_i * x + b_i) mod M over xxhash64(shingle);
-    min per hash via groupBy — all JVM-side, no UDFs. One shuffle on
-    doc_id.
-    """
+def minhash_params(num_hashes: int = 32, seed: int = 42) -> list[tuple[int, int]]:
+    """The (a_i, b_i) permutation constants — exposed so the DuckDB
+    oracle can embed the identical family as a VALUES list."""
     import random
 
     rnd = random.Random(seed)
-    params = [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
-    hashed = sh.select(
-        "doc_id", F.abs(F.xxhash64(F.col("shingle"))).alias("hx")
+    return [
+        (rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 32, seed: int = 42, portable: bool = False
+) -> DataFrame:
+    """MinHash signature per doc: (doc_id, sig ARRAY<BIGINT>[num_hashes]).
+
+    Permutations h_i(x) = (a_i * x + b_i) mod M over the shingle hash;
+    min per hash via groupBy — all JVM-side, no UDFs. One shuffle on
+    doc_id. ``portable=True`` swaps the xxhash64 base hash for a 60-bit
+    md5-derived one (bit-identical across engines, so the whole
+    signature family is SQL-oracle-checkable; xxhash64 stays the faster
+    production default).
+    """
+    params = minhash_params(num_hashes, seed)
+    base = (
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+        if portable
+        else F.abs(F.xxhash64(F.col("shingle")))
     )
+    hashed = sh.select("doc_id", base.alias("hx"))
     mins = [
         F.min(
             (F.col("hx") % F.lit(_MERSENNE) * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)
@@ -90,6 +105,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 16,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
@@ -97,14 +113,21 @@ def minhash_lsh_pairs(
     band hash become a candidate pair. The band-bucket self-join touches
     only colliding buckets — this is the O(n·collisions) scale path, not
     O(n²). Returns (doc_a, doc_b) with doc_a < doc_b, distinct.
+
+    ``portable=True`` uses the md5 base hash and keeps the band bucket
+    as the raw joined signature string (no re-hash), so every step has
+    an exact SQL twin.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(shingles(docs, text_col, k), num_hashes, seed)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(F.concat_ws(",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)])).alias("bucket"),
+    sig = minhash_signatures(shingles(docs, text_col, k), num_hashes, seed, portable)
+    def _bucket(b: int) -> F.Column:
+        joined = F.concat_ws(
+            ",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)]
         )
+        return joined if portable else F.xxhash64(joined).cast("string")
+
+    band_cols = [
+        F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
         for b in range(bands)
     ]
     buckets = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(

@@ -186,6 +186,57 @@ def docs_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs).orderBy("doc_a", "doc_b")
 
 
+def _minhash_oracle_sql() -> str:
+    """Embed the identical permutation family as a VALUES list so the
+    full shingle → minhash → band-bucket pipeline has an exact SQL twin
+    (md5 base hash, M = 2^31-1 keeps every product within BIGINT)."""
+    from ..operators.dedup import minhash_params
+
+    perms = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_params(32, 42))
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE doc_id < 200),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 5, 0) + 2),
+                                     i -> array_to_string(t[i:i+4], ' '))) AS shingle
+        FROM toks)),
+    hx AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS hx FROM sh),
+    perms(i, a, b) AS (VALUES {perms}),
+    mins AS (
+      SELECT doc_id, p.i,
+             MIN((hx % 2147483647 * p.a + p.b) % 2147483647) AS mh
+      FROM hx CROSS JOIN perms p GROUP BY doc_id, p.i),
+    bands AS (
+      SELECT doc_id, i // 2 AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
+      FROM mins GROUP BY doc_id, i // 2)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+    WHERE a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "docs_minhash_md5_candidates",
+    _minhash_oracle_sql(),
+    doc="Banded MinHash-LSH with the portable md5 base hash: the entire "
+    "dedup candidate pipeline (word 5-shingles → 32 affine permutations "
+    "mod 2^31-1 → 16 two-row band buckets → bucket self-join) is "
+    "oracle-checked end-to-end. `docs_minhash_lsh_candidates` keeps the "
+    "faster xxhash64 base for production.",
+)
+def docs_minhash_md5_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.minhash_lsh_pairs(docs, portable=True).orderBy("doc_a", "doc_b")
+
+
 @register(
     "docs_ngram_jaccard_pairs",
     r"""
