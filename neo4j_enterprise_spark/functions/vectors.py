@@ -25,3 +25,14 @@ def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
     )
+
+
+def dot_double(a: Column, b: Column) -> Column:
+    """Dot product with a DOUBLE accumulator — for mixed or float-typed
+    arrays (e.g. Lloyd-refined centroids, which are per-cell means and
+    no longer integers)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )

@@ -208,7 +208,7 @@ def cypher_match(
 
 
 _KW_SPLIT_RE = re.compile(
-    r"\b(OPTIONAL\s+MATCH|MATCH|WHERE|RETURN|ORDER\s+BY|LIMIT)\b", re.I
+    r"\b(OPTIONAL\s+MATCH|MATCH|WHERE|RETURN|ORDER\s+BY|SKIP|LIMIT)\b", re.I
 )
 _COND_RE = re.compile(
     r"^(\w+)(?:\.(\w+))?\s*"
@@ -235,11 +235,11 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
 
         MATCH <pattern>
         [WHERE <var>[.<prop>] <op> <literal> [AND ...]]
-        [RETURN <item> [, ...]]      item: var | var.prop | count(*) |
+        [RETURN [DISTINCT] <item> [, ...]]   item: var | var.prop | count(*) |
                                      count([DISTINCT] var) |
                                      sum/min/max/avg(var.prop), all [AS alias]
         [ORDER BY <alias> [ASC|DESC] [, ...]]
-        [LIMIT <n>]
+        [SKIP <n>] [LIMIT <n>]
 
     The clause pipeline maps 1:1 onto Spark relational ops — pattern →
     joins (``cypher_match``), WHERE → Column predicates (pushed down by
@@ -275,7 +275,12 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
             conds.append((m.group(1), m.group(2), m.group(3), _parse_literal(m.group(4))))
 
     items = []  # (kind, var, prop, distinct, alias) kind in {plain, agg:<fn>}
+    return_distinct = False
     if clauses.get("RETURN"):
+        body = clauses["RETURN"]
+        if re.match(r"^DISTINCT\s", body, re.I):
+            return_distinct = True
+            clauses["RETURN"] = body = re.sub(r"^DISTINCT\s+", "", body, flags=re.I)
         for one in clauses["RETURN"].split(","):
             one = one.strip()
             alias = None
@@ -355,6 +360,10 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
             out = out.groupBy(*key_cols).agg(*agg_cols) if key_cols else out.agg(*agg_cols)
         else:
             out = out.select(*key_cols)
+            if return_distinct:
+                # RETURN DISTINCT — dedupe the projection (aggregated
+                # RETURNs are already grouped, so DISTINCT is a no-op)
+                out = out.distinct()
 
     if clauses.get("ORDER BY"):
         order_cols = []
@@ -365,6 +374,10 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
             c = F.col(om.group(1))
             order_cols.append(c.desc() if (om.group(2) or "").upper() == "DESC" else c)
         out = out.orderBy(*order_cols)
+    if clauses.get("SKIP"):
+        # Cypher SKIP = relational OFFSET; composes with the sort and
+        # LIMIT into one TakeOrdered-style plan under AQE
+        out = out.offset(int(clauses["SKIP"]))
     if clauses.get("LIMIT"):
         out = out.limit(int(clauses["LIMIT"]))
     return out

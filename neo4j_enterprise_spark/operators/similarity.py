@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import QUANT, dot as _dot, quantize
+from ..functions.vectors import QUANT, dot as _dot, dot_double as _dot_d, quantize
 
 
 def cosine_topk_bruteforce(
@@ -100,21 +100,80 @@ def ivf_assign(
     vecs = embeddings.select(
         "vec_id", quantize(F.col("embedding")).alias("qv")
     ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))
+    assignments = _assign_to_centroids(vecs, centroids)
+    return centroids, assignments
+
+
+def _assign_to_centroids(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cell_id): nearest centroid by quantized cosine — one
+    broadcast join + per-vector argmin window (partitioned by vec_id)."""
     scored = vecs.join(F.broadcast(centroids)).select(
         "vec_id",
         "cell_id",
         (
-            _dot(F.col("qv"), F.col("ccv")).cast("double")
-            / F.sqrt((F.col("qn") * F.col("ccn")).cast("double"))
+            _dot_d(F.col("qv"), F.col("ccv"))
+            / F.sqrt(F.col("qn").cast("double") * F.col("ccn").cast("double"))
         ).alias("cscore"),
     )
     w_best = Window.partitionBy("vec_id").orderBy(F.desc("cscore"), F.asc("cell_id"))
-    assignments = (
+    return (
         scored.withColumn("rk", F.row_number().over(w_best))
         .filter(F.col("rk") == 1)
         .select("vec_id", "cell_id")
     )
-    return centroids, assignments
+
+
+def ivf_train_kmeans(
+    embeddings: DataFrame, n_cells: int = 16, iters: int = 2
+) -> DataFrame:
+    """Lloyd refinement of the hash-sampled IVF centroids, as pure
+    DataFrame ops (the offline training job a real IVF index runs):
+
+    per iteration — assign every vector to its nearest centroid
+    (broadcast join), then recompute each centroid as the per-dimension
+    mean of its members (posexplode to (cell, dim, x), one partial-agg
+    shuffle, re-assembled with sort_array-of-structs so the array order
+    is by dimension). Empty cells keep their previous centroid. Cost:
+    one n×dims-row shuffle per iteration — offline-train territory,
+    never on the query path.
+
+    Returns centroids(cell_id, ccv array<double>, ccn) compatible with
+    ``ivf_ann_topk``'s probe flow.
+    """
+    centroids, _ = ivf_assign(embeddings, n_cells)
+    vecs = embeddings.select(
+        "vec_id", quantize(F.col("embedding")).alias("qv")
+    ).withColumn("qn", _dot(F.col("qv"), F.col("qv"))).persist()
+    centroids = centroids.select(
+        "cell_id", F.col("ccv").cast("array<double>").alias("ccv"), "ccn"
+    )
+    for _ in range(iters):
+        assignments = _assign_to_centroids(vecs, centroids)
+        member = assignments.join(vecs, "vec_id").select(
+            "cell_id", F.posexplode("qv").alias("d", "x")
+        )
+        means = (
+            member.groupBy("cell_id", "d")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "m"))),
+                    lambda s: s["m"],
+                ).alias("new_ccv")
+            )
+        )
+        centroids = (
+            centroids.join(means, "cell_id", "left")
+            .select(
+                "cell_id",
+                F.coalesce(F.col("new_ccv"), F.col("ccv")).alias("ccv"),
+            )
+            .withColumn("ccn", _dot_d(F.col("ccv"), F.col("ccv")))
+            .localCheckpoint(eager=True)
+        )
+    vecs.unpersist()
+    return centroids
 
 
 def ivf_ann_topk(
@@ -123,12 +182,23 @@ def ivf_ann_topk(
     k: int = 5,
     n_cells: int = 16,
     n_probe: int = 4,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF probe: score each seed only against vectors in its ``n_probe``
     closest cells. Same output contract as the brute-force/LSH variants;
     recall grows with n_probe (n_probe = n_cells degenerates to exact).
+    ``kmeans_iters > 0`` refines the hash-sampled centroids with Lloyd
+    iterations first (``ivf_train_kmeans``) — tighter cells, better
+    recall at the same n_probe.
     """
-    centroids, assignments = ivf_assign(embeddings, n_cells)
+    if kmeans_iters > 0:
+        centroids = ivf_train_kmeans(embeddings, n_cells, kmeans_iters)
+        vecs = embeddings.select(
+            "vec_id", quantize(F.col("embedding")).alias("qv")
+        ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))
+        assignments = _assign_to_centroids(vecs, centroids)
+    else:
+        centroids, assignments = ivf_assign(embeddings, n_cells)
     q = seeds.select(
         F.col("vec_id").alias("seed"), quantize(F.col("embedding")).alias("qv")
     ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))
@@ -136,8 +206,8 @@ def ivf_ann_topk(
         "seed",
         "cell_id",
         (
-            _dot(F.col("qv"), F.col("ccv")).cast("double")
-            / F.sqrt((F.col("qn") * F.col("ccn")).cast("double"))
+            _dot_d(F.col("qv"), F.col("ccv"))
+            / F.sqrt(F.col("qn").cast("double") * F.col("ccn").cast("double"))
         ).alias("cscore"),
     )
     w_probe = Window.partitionBy("seed").orderBy(F.desc("cscore"), F.asc("cell_id"))

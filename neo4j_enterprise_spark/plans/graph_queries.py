@@ -1287,6 +1287,61 @@ def cypher_where_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cypher_skip_page",
+    f"""
+    {graph_cte(rels=False)}
+    SELECT name AS customer_name FROM nodes
+    WHERE kind = 'customer' AND in_use = true
+    ORDER BY customer_name LIMIT 10 OFFSET 25
+    """,
+    doc="Cypher pagination: MATCH (c:customer) WHERE c.in_use = true "
+    "RETURN c.name ORDER BY ... SKIP 25 LIMIT 10 — SKIP compiles to "
+    "relational OFFSET inside the same single plan.",
+)
+def cypher_skip_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pattern import cypher_query
+
+    nodes = derived_nodes(spark, sf_dir)
+    rels = derived_rels(spark, sf_dir)
+    return cypher_query(
+        nodes,
+        rels,
+        "MATCH (c:customer) WHERE c.in_use = true "
+        "RETURN c.name AS customer_name "
+        "ORDER BY customer_name SKIP 25 LIMIT 10",
+    )
+
+
+@register(
+    "cypher_return_distinct",
+    f"""
+    {graph_cte()}
+    SELECT DISTINCT n.name AS nation_name
+    FROM rels e
+    JOIN nodes c ON c.id = e.src AND c.kind = 'customer'
+    JOIN nodes n ON n.id = e.dst AND n.kind = 'nation'
+    WHERE e.type_name = 'IN_NATION' AND c.name < 'Customer#000000200'
+    ORDER BY nation_name
+    """,
+    doc="Cypher RETURN DISTINCT: MATCH (c:customer)-[:IN_NATION]->"
+    "(n:nation) WHERE c.name < ... RETURN DISTINCT n.name — the "
+    "projection dedupe in the clause pipeline.",
+)
+def cypher_return_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pattern import cypher_query
+
+    nodes = derived_nodes(spark, sf_dir)
+    rels = derived_rels(spark, sf_dir)
+    return cypher_query(
+        nodes,
+        rels,
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation) "
+        "WHERE c.name < 'Customer#000000200' "
+        "RETURN DISTINCT n.name AS nation_name ORDER BY nation_name",
+    )
+
+
+@register(
     "cypher_optional_match",
     f"""
     {graph_cte()},

@@ -779,6 +779,80 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_QUERY_SEQ = iter(range(1, 1 << 30))
+
+
+@register(
+    "events_stream_hourly_rollup",
+    """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="R2/R4 as a DRIVEN streaming query: the same hourly rollup run "
+    "through Structured Streaming end-to-end — readStream file source → "
+    "watermarked window aggregate → memory sink, Trigger.AvailableNow "
+    "micro-batches to completion — then hash-compared against the BATCH "
+    "oracle. Proves stream/batch parity of the windowed aggregation "
+    "path (the same plan a 100 TB ingest would run continuously; "
+    "`UpdatePuller.java:57-96` pull-apply shape).",
+    bench=True,  # B7: streaming micro-batch throughput in the headline set
+)
+def events_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    path = os.path.join(sf_dir, "events.parquet")
+    # the file-stream source only accepts directories; stage the table
+    # file behind a symlink dir (a real ingest would watch a landing dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    stage = os.path.join(tempfile.gettempdir(), f"nes_stream_events_{tag}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(stage)
+    ts_type = dict(stream.dtypes).get("ts", "")
+    if ts_type in ("bigint", "long"):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+        )
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    rolled = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+    )
+    qn = f"events_stream_rollup_{next(_STREAM_QUERY_SEQ)}"
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(qn)
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("hour_epoch", "event_type")
+    )
+
+
 @register(
     "events_session_windows",
     """

@@ -53,6 +53,33 @@ def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
     assert exact == full_probe  # probing every cell degenerates to exact
 
 
+def test_ivf_kmeans_refined_recall_and_full_probe(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    seeds = emb.filter(F.col("vec_id") < 5)
+    exact = sorted(
+        (r["seed"], r["rk"], r["neighbor"])
+        for r in similarity.cosine_topk_bruteforce(emb, seeds, k=3).collect()
+    )
+    # Lloyd-refined centroids with full probe still degenerate to exact
+    full_probe = sorted(
+        (r["seed"], r["rk"], r["neighbor"])
+        for r in similarity.ivf_ann_topk(
+            emb, seeds, k=3, n_cells=4, n_probe=4, kmeans_iters=2
+        ).collect()
+    )
+    assert exact == full_probe
+    # refined partial probe keeps useful recall
+    approx = {
+        (r["seed"], r["neighbor"])
+        for r in similarity.ivf_ann_topk(
+            emb, seeds, k=3, n_cells=8, n_probe=4, kmeans_iters=2
+        ).collect()
+    }
+    exact_pairs = {(s, n) for s, _, n in exact}
+    recall = len(exact_pairs & approx) / len(exact_pairs)
+    assert recall >= 0.4, f"refined IVF recall too low: {recall}"
+
+
 def test_minhash_detects_near_duplicates(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(50)
     # append near-duplicates of 5 docs (append one token)
