@@ -36,13 +36,25 @@ def _h(seed: int, *cols) -> F.Column:
     return F.abs(F.xxhash64(F.lit(seed), *cols))
 
 
+def _h_md5(seed: int, *cols) -> F.Column:
+    """Portable 60-bit hash stream: md5 of ':'-joined string casts —
+    bit-identical in DuckDB (``('0x' || substr(md5(...), 1, 15))::BIGINT``),
+    so a portable-mode graph is SQL-oracle-checkable value-for-value."""
+    parts = [F.lit(str(seed))] + [c.cast("string") if hasattr(c, "cast") else F.lit(str(c)) for c in cols]
+    return F.conv(F.substring(F.md5(F.concat_ws(":", *parts)), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
 def generate_graph(
     spark: SparkSession,
     node_count: int = 1000,
     rel_specs: dict[str, int] | None = None,
     prop_specs: dict[str, int] | None = None,
     seed: int = 42,
+    portable: bool = False,
 ) -> PropertyGraph:
+    h = _h_md5 if portable else _h
     rel_specs = rel_specs if rel_specs is not None else {"FOO": 2, "BAR": 1}
     prop_specs = (
         prop_specs if prop_specs is not None else {"INTEGER": 2, "STRING": 1, "ARRAY": 1}
@@ -77,7 +89,7 @@ def generate_graph(
             F.lit(True).alias("in_use"),
             "src",
             # dst uniform over nodes, seeded per rel id (DataGenerator.java:173-188)
-            (_h(seed, F.col("src") * R + F.col("slot")) % node_count).alias("dst"),
+            (h(seed, F.col("src") * R + F.col("slot")) % node_count).alias("dst"),
             "type_id",
         )
     )
@@ -119,7 +131,7 @@ def generate_graph(
             "vtype",
         )
     )
-    hv = _h(seed + 1, F.col("id"))
+    hv = h(seed + 1, F.col("id"))
     str_len = (hv % 71 + 50).cast("int")  # 50..120 (PropertyGenerator.java:45-52)
     # deterministic lowercase content: repeat the hex of the hash
     str_val = F.substring(
@@ -127,7 +139,7 @@ def generate_graph(
     ).substr(F.lit(1), str_len)
     arr_val = F.transform(
         F.sequence(F.lit(0), F.lit(49)),
-        lambda i: (_h(seed + 2, F.col("id"), i) % 256).cast("int"),
+        lambda i: (h(seed + 2, F.col("id"), i) % 256).cast("int"),
     )
     props = props.select(
         "id",
