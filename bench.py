@@ -65,10 +65,24 @@ def main() -> None:
     timings: dict[str, float] = {}
     phases = []
     for name, q in sorted(queries.items()):
-        t0 = time.perf_counter()
-        df = q.spark(spark, sf_dir)
-        n = df.count()  # full materialization
-        dt = time.perf_counter() - t0
+        # median of 3 timed runs: a single sample conflates the query's
+        # steady-state cost with one-off AQE/GC/scheduler jitter (measured
+        # at 3-4x on this rig — see BASELINE.md appendix); the median is
+        # the honest steady-state number the reference's TimingProgress
+        # also reports after its warmup.
+        samples = []
+        n = 0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df = q.spark(spark, sf_dir)
+            n = df.count()  # full materialization
+            samples.append(time.perf_counter() - t0)
+            if samples[0] > 5.0:
+                # long throughput-bound phases (B1 suite) aren't
+                # jitter-dominated; one run is representative
+                break
+        samples.sort()
+        dt = samples[len(samples) // 2]
         timings[name] = round(dt, 3)
         phases.append(
             {
@@ -78,7 +92,11 @@ def main() -> None:
                 "recordsPerSecond": round(n / dt) if dt > 0 else 0,
             }
         )
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        print(
+            f"# {name}: {n} rows in {timings[name]}s "
+            f"(samples: {[round(s, 3) for s in samples]})",
+            file=sys.stderr,
+        )
 
     total_sec = round(sum(timings.values()), 3)
     total_rows = sum(p["elementCount"] for p in phases)

@@ -184,7 +184,8 @@ def generate_graph(
     # typed per the first two dictionary keys (same vtype mapping as
     # node properties above).
     gp_rows = []
-    for gp_id, (k_i, k) in enumerate(list(enumerate(key_names))[:2]):
+    gp_keys = list(enumerate(key_names))[:2]
+    for gp_id, (k_i, k) in enumerate(gp_keys):
         vtype = {"INTEGER": "INT", "STRING": "STRING", "ARRAY": "ARRAY"}.get(k, "INT")
         gp_rows.append(
             (
@@ -199,7 +200,7 @@ def generate_graph(
                 f"graph-prop-{gp_id}" if vtype == "STRING" else None,
                 [1, 2, 3] if vtype == "ARRAY" else None,
                 gp_id - 1 if gp_id > 0 else NO_POINTER,
-                gp_id + 1 if gp_id + 1 < 2 else NO_POINTER,
+                gp_id + 1 if gp_id + 1 < len(gp_keys) else NO_POINTER,
             )
         )
     graph_props = spark.createDataFrame(

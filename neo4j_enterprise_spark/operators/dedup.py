@@ -208,6 +208,66 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return agg.select("doc_id", sim.alias("simhash"))
 
 
+def simhash_banded_pairs(
+    signatures: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 60,
+) -> DataFrame:
+    """Ladder step 3's retrieval half: near-dup *pairs* from simhash
+    signatures via banded hamming lookup (`dedup.py` module docstring).
+
+    The signature is split into ``bands`` contiguous chunks; candidate
+    pairs are docs agreeing on AT LEAST ONE band (equi-join on
+    ``(band, chunk value)`` — never an all-pairs comparison), then
+    verified with ``bit_count(a XOR b) <= max_hamming``. By pigeonhole
+    the retrieval is EXACT whenever ``max_hamming < bands`` (≤ k bit
+    flips cannot touch all b > k bands), which the default 3/4 config
+    satisfies — the standard 64-bit/k=3 production setting. Scale shape:
+    one explode (×bands), one equi-join on the band key whose cost is
+    O(collisions), one aggregate to dedupe multi-band matches.
+
+    Input: (doc_id, simhash). Returns (doc_a, doc_b, hamming) with
+    doc_a < doc_b, sorted output left to the caller.
+    """
+    band_width = bits // bands
+    mask = (1 << band_width) - 1
+    banded = signatures.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * band_width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("doc_id", "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    left = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "chunk"
+    )
+    right = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "chunk"
+    )
+    cand = (
+        left.join(right, ["band", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")  # a pair can collide in several bands
+        .agg(F.first("sim_a").alias("sim_a"), F.first("sim_b").alias("sim_b"))
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
 def simhash_md5_60(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """60-bit SimHash with a *portable* token hash: the top 15 hex chars
     of md5 (md5 is bit-identical across engines, so the full bit-vote

@@ -143,10 +143,25 @@ def dfs_preorder(
     direction: str = "out",
     types: Iterable[str] | None = None,
 ) -> DataFrame:
-    """T2 DFS order: per-seed preorder ranks of nodes reachable within
-    ≤ k hops, children expanded in ascending node-id order — the DFS
-    half of the legacy ``Traverser``'s ``Order.BREADTH_FIRST |
-    DEPTH_FIRST`` surface (`LockableNode.java:178-201`).
+    """T2 DFS order: per-seed preorder ranks of EVERY node reachable by a
+    simple path of ≤ k hops, children expanded in ascending node-id
+    order — the DFS half of the legacy ``Traverser``'s
+    ``Order.BREADTH_FIRST | DEPTH_FIRST`` surface
+    (`LockableNode.java:178-201`).
+
+    SEMANTICS NOTE (deliberate divergence): a sequential NODE_GLOBAL
+    visited-set DFS with a depth cap can MISS nodes — in the diamond
+    0→1, 1→2, 2→3, 0→2 with k=2, it visits 2 at depth 2 via the 0-1-2
+    branch (cap reached, 3 not expanded) and later skips 2 on the 0-2
+    branch because it is already visited, so 3 is never discovered.
+    Whether 3 is visited depends on child expansion ORDER, i.e. on
+    sequential mutable state that has no deterministic dataflow
+    rendering. This operator instead ranks ALL nodes having a ≤ k-hop
+    simple path (3 IS ranked, via 0-2-3), ordering them by their
+    lexicographically-minimal simple path — a superset of any
+    sequential depth-limited DFS visit set and equal to it when k is at
+    least the longest lex-min simple path (e.g. k ≥ |V|-1).
+    ``tests/test_traversal.py`` pins the diamond case.
 
     Declarative rendering: with sorted child expansion, DFS discovery
     order equals the lexicographic order of each node's MINIMAL simple
@@ -295,7 +310,10 @@ def pagerank(
 
     Pure DataFrame iteration: contributions = rank/out_degree joined to
     edges, aggregated by destination — one shuffle per iteration, lineage
-    checkpointed.
+    checkpointed. The per-iteration dangling-mass SCALAR stays inside the
+    plan: the 1-row aggregate is broadcast-crossJoined onto the rank
+    update instead of ``.collect()``-ed, so no driver action runs between
+    iterations (one job per checkpoint cadence, not per iteration).
     """
     nodes = (
         rels.select(F.col("src").alias("node_id"))
@@ -319,18 +337,22 @@ def pagerank(
             .groupBy("node_id")
             .agg(F.sum("contrib").alias("in_contrib"))
         )
-        dangling = (
-            ranks.join(out_deg, "node_id", "left_anti").agg(F.sum("rank")).collect()[0][0]
-            or 0.0
+        dangling_1row = (
+            ranks.join(out_deg, "node_id", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass"))
         )
         ranks = (
             nodes.join(contribs, "node_id", "left")
+            .crossJoin(F.broadcast(dangling_1row))
             .select(
                 "node_id",
                 (
                     F.lit(1.0 - damping)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("in_contrib"), F.lit(0.0)) + F.lit(dangling / n_total))
+                    * (
+                        F.coalesce(F.col("in_contrib"), F.lit(0.0))
+                        + F.col("dangling_mass") / F.lit(float(n_total))
+                    )
                 ).alias("rank"),
             )
         )

@@ -316,6 +316,53 @@ def docs_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_simhash_neardup_pairs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents WHERE doc_id < 200),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+    votes AS (
+      SELECT doc_id, bit,
+             SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h, (SELECT unnest(range(0, 60)) AS bit) bits
+      GROUP BY doc_id, bit),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS chunk
+      FROM sig, (SELECT unnest(range(0, 4)) AS band) bands),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.chunk = b.chunk
+                   AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= 3
+    ORDER BY doc_a, doc_b
+    """,
+    doc="SimHash ladder step 3 RETRIEVAL: banded hamming-ball lookup over "
+    "the portable md5 60-bit signatures — 4×15-bit bands, equi-join on "
+    "any band, verify bit_count(xor) <= 3. Exact by pigeonhole (3 < 4 "
+    "bands); the oracle re-implements the identical banding so the "
+    "candidate-generation plan itself is hash-checked end-to-end.",
+)
+def docs_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sig = dedup.simhash_md5_60(docs)
+    return dedup.simhash_banded_pairs(sig, max_hamming=3, bands=4, bits=60).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@register(
     "docs_lang_id",
     r"""
     WITH base AS (

@@ -782,6 +782,48 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_QUERY_SEQ = iter(range(1, 1 << 30))
 
 
+def _staged_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage ``events.parquet`` behind a symlink dir and open it as a
+    normalized (UTC, µs-timestamp ``ts``) streaming DataFrame.
+
+    Self-contained: pins ``session.timeZone=UTC`` and the legacy
+    nanos-as-long parquet conf itself rather than relying on an earlier
+    ``load_table('events')`` call having set them as side effects. The
+    stage dir is keyed on a hash of the ABSOLUTE sf_dir (two datasets with
+    the same basename under different parents must not share a stage), and
+    a stale/dangling symlink is replaced rather than silently reused.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.realpath(os.path.join(sf_dir, "events.parquet"))
+    # the file-stream source only accepts directories; stage the table
+    # file behind a symlink dir (a real ingest would watch a landing dir)
+    tag = hashlib.md5(path.encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"nes_stream_events_{tag}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if os.path.lexists(link):
+        if os.path.islink(link) and os.readlink(link) != path:
+            os.unlink(link)
+            os.symlink(path, link)
+    else:
+        os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(stage)
+    ts_type = dict(stream.dtypes).get("ts", "")
+    if ts_type in ("bigint", "long"):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+        )
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
 @register(
     "events_stream_hourly_rollup",
     """
@@ -798,32 +840,14 @@ _STREAM_QUERY_SEQ = iter(range(1, 1 << 30))
     "watermarked window aggregate → memory sink, Trigger.AvailableNow "
     "micro-batches to completion — then hash-compared against the BATCH "
     "oracle. Proves stream/batch parity of the windowed aggregation "
-    "path (the same plan a 100 TB ingest would run continuously; "
-    "`UpdatePuller.java:57-96` pull-apply shape).",
+    "path (`UpdatePuller.java:57-96` pull-apply shape). PARITY HARNESS "
+    "ONLY: complete-mode + memory sink retains all aggregate state — the "
+    "production path is `events_stream_hourly_append` (watermark-evicted "
+    "append mode to a file sink).",
     bench=True,  # B7: streaming micro-batch throughput in the headline set
 )
 def events_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-
-    path = os.path.join(sf_dir, "events.parquet")
-    # the file-stream source only accepts directories; stage the table
-    # file behind a symlink dir (a real ingest would watch a landing dir)
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    stage = os.path.join(tempfile.gettempdir(), f"nes_stream_events_{tag}")
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
-    schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(schema).parquet(stage)
-    ts_type = dict(stream.dtypes).get("ts", "")
-    if ts_type in ("bigint", "long"):
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
-        )
-    elif ts_type == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = _staged_events_stream(spark, sf_dir)
     rolled = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -851,6 +875,134 @@ def events_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_epoch", "event_type")
     )
+
+
+def _staged_events_append_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage dir for the APPEND-mode streaming rollup: the real events
+    file (batch 1) plus a one-row SENTINEL file whose ``ts`` is 10 hours
+    past the real maximum (batch 2, via ``maxFilesPerTrigger=1`` and a
+    later mtime). Processing the sentinel advances the watermark past
+    every real window, so append mode emits ALL of them and evicts their
+    state; the sentinel's own window never closes and is never emitted.
+    This is how a production ingest drains: the watermark, not the query
+    shutdown, decides when a window is final."""
+    import datetime
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.realpath(os.path.join(sf_dir, "events.parquet"))
+    tag = hashlib.md5(path.encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"nes_stream_append_{tag}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "aa_events.parquet")
+    if os.path.lexists(link):
+        if os.path.islink(link) and os.readlink(link) != path:
+            os.unlink(link)
+            os.symlink(path, link)
+    else:
+        os.symlink(path, link)
+    sentinel = os.path.join(stage, "zz_sentinel.parquet")
+    if not os.path.exists(sentinel):
+        sch = pq.read_schema(path)
+        max_ts = pc.max(pq.read_table(path, columns=["ts"])["ts"]).as_py()
+        arrays = []
+        for f in sch:
+            if f.name == "ts":
+                if isinstance(max_ts, datetime.datetime):
+                    val = max_ts + datetime.timedelta(hours=10)
+                else:  # int64 nanos vintage
+                    val = max_ts + 10 * 3600 * 1_000_000_000
+                arrays.append(pa.array([val], type=f.type))
+            else:
+                arrays.append(pa.array([None], type=f.type))
+        pq.write_table(pa.Table.from_arrays(arrays, schema=sch), sentinel)
+        main_mtime = os.stat(path).st_mtime
+        os.utime(sentinel, (main_mtime + 3600, main_mtime + 3600))
+    return stage
+
+
+def run_events_append_rollup(spark: SparkSession, sf_dir: str):
+    """Run the append-mode hourly rollup to completion against a file
+    sink. Returns ``(result_df, last_progress_dict)`` — the progress dict
+    carries the state-store metrics the eviction test asserts on."""
+    import os
+    import tempfile
+
+    stage = _staged_events_append_dir(spark, sf_dir)
+    tag = os.path.basename(stage).rsplit("_", 1)[-1]
+    out_dir = os.path.join(tempfile.gettempdir(), f"nes_append_out_{tag}")
+    ck_dir = os.path.join(tempfile.gettempdir(), f"nes_append_ck_{tag}")
+    schema = spark.read.parquet(os.path.join(stage, "aa_events.parquet")).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    ts_type = dict(stream.dtypes).get("ts", "")
+    if ts_type in ("bigint", "long"):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+        )
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    rolled = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    q = (
+        rolled.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.recentProgress[-1] if q.recentProgress else {}
+    result = (
+        spark.read.parquet(out_dir)
+        .filter(F.col("event_type").isNotNull())  # drop sentinel remnants
+        .orderBy("hour_epoch", "event_type")
+    )
+    return result, progress
+
+
+@register(
+    "events_stream_hourly_append",
+    """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="PRODUCTION twin of `events_stream_hourly_rollup`: outputMode("
+    "append) + watermark EVICTION to a parquet file sink — state is "
+    "dropped as windows close instead of held forever (complete mode is "
+    "kept only as the parity harness). A sentinel micro-batch advances "
+    "the watermark past the last real window so every closed window is "
+    "emitted exactly once; output hash-matches the batch oracle. "
+    "`tests/test_streaming_append.py` asserts the state store holds only "
+    "open windows at termination.",
+)
+def events_stream_hourly_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    result, _ = run_events_append_rollup(spark, sf_dir)
+    return result
 
 
 @register(

@@ -123,6 +123,35 @@ def test_simhash_near_dup_small_hamming(spark, sf_dir):
     assert ham <= 8, f"near-dup hamming distance too large: {ham}"
 
 
+def test_simhash_banded_pairs_exact_within_band_bound(spark, sf_dir):
+    """Pigeonhole exactness: with max_hamming < bands, banded retrieval
+    must return EXACTLY the pairs a brute-force hamming scan finds."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    # inject two near-dups of doc 0 (1-2 token edits → tiny hamming)
+    d1 = docs.filter(F.col("doc_id") == 0).withColumn(
+        "doc_id", F.lit(700_000).cast("long")
+    ).withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    d2 = docs.filter(F.col("doc_id") == 1).withColumn(
+        "doc_id", F.lit(700_001).cast("long")
+    ).withColumn("text", F.concat(F.lit("head "), F.col("text")))
+    corpus = docs.unionByName(d1).unionByName(d2)
+    sig = dedup.simhash_md5_60(corpus)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_banded_pairs(sig, max_hamming=3, bands=4).collect()
+    }
+    sigs = {r["doc_id"]: r["simhash"] for r in sig.collect()}
+    ids = sorted(sigs)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    assert got == want
+    assert (0, 700_000) in got, "injected near-dup not retrieved"
+
+
 def test_embedding_near_dup_lsh_recall_and_precision(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     exact = {

@@ -188,3 +188,21 @@ def test_dfs_preorder_chain_vs_branch(spark):
         for r in traversal.dfs_preorder(rels, seeds, k=3).collect()
     }
     assert got == {0: 1, 1: 2, 9: 3}
+
+
+def test_dfs_preorder_ranks_all_within_k_on_depth_cap_diamond(spark):
+    """Pins the documented divergence from a sequential visited-set DFS.
+
+    Diamond 0→1, 1→2, 2→3, 0→2 at k=2: a sequential depth-capped DFS
+    visits 2 at the cap via 0-1-2 and never discovers 3 (2 already
+    visited when the 0-2 branch is tried). dfs_preorder deliberately
+    ranks ALL nodes with a ≤ k-hop simple path — 3 is ranked via 0-2-3 —
+    ordered by lex-min simple path: 0 < 0-1 < 0-1-2 < 0-2-3.
+    """
+    rels = _edges_df(spark, [(0, 1), (1, 2), (2, 3), (0, 2)])
+    seeds = spark.createDataFrame([(0,)], "seed long")
+    got = {
+        r["node_id"]: r["preorder"]
+        for r in traversal.dfs_preorder(rels, seeds, k=2).collect()
+    }
+    assert got == {0: 1, 1: 2, 2: 3, 3: 4}
