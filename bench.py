@@ -52,6 +52,10 @@ def main() -> None:
     fixture_graph(spark, node_count=100_000)
 
     queries = {n: q for n, q in all_queries().items() if q.bench}
+    # B1 is reported as per-store phases (the reference's 9 scan tasks,
+    # one recordsPerSecond per record type) instead of one opaque blob —
+    # timed separately below, so drop the single-query entry here.
+    b1_split = queries.pop("graph_validation_suite_100k", None) is not None
 
     # One un-timed pass over every headline query first: JIT-compiles the
     # whole-stage-codegen classes and loads shuffle/join code paths so the
@@ -65,14 +69,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     phases = []
     for name, q in sorted(queries.items()):
-        # median of 3 timed runs: a single sample conflates the query's
+        # median of 5 timed runs: a single sample conflates the query's
         # steady-state cost with one-off AQE/GC/scheduler jitter (measured
         # at 3-4x on this rig — see BASELINE.md appendix); the median is
         # the honest steady-state number the reference's TimingProgress
         # also reports after its warmup.
         samples = []
         n = 0
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             df = q.spark(spark, sf_dir)
             n = df.count()  # full materialization
@@ -97,6 +101,35 @@ def main() -> None:
             f"(samples: {[round(s, 3) for s in samples]})",
             file=sys.stderr,
         )
+
+    if b1_split:
+        # B1 per-store phases: mirror FullCheck's sequential store scans.
+        # elementCount = records of the family's primary store (the
+        # reference's recordsPerSecond denominator), not violation rows.
+        from neo4j_enterprise_spark.operators import record_checks as rc
+
+        g = fixture_graph(spark, node_count=100_000)
+        counts = rc.family_element_counts(g)
+        # warmup pass (plans JIT-compiled once, like the query warmup)
+        for df in rc.check_families(g).values():
+            df.count()
+        b1_total = 0.0
+        for fam, df in rc.check_families(g).items():
+            t0 = time.perf_counter()
+            df.count()
+            dt = time.perf_counter() - t0
+            b1_total += dt
+            n_rec = counts[fam]
+            phases.append(
+                {
+                    "name": f"b1_check_{fam}",
+                    "elementCount": n_rec,
+                    "time": round(dt * 1000),
+                    "recordsPerSecond": round(n_rec / dt) if dt > 0 else 0,
+                }
+            )
+            print(f"# b1_check_{fam}: {n_rec} records in {round(dt, 3)}s", file=sys.stderr)
+        timings["graph_validation_suite_100k"] = round(b1_total, 3)
 
     total_sec = round(sum(timings.values()), 3)
     total_rows = sum(p["elementCount"] for p in phases)

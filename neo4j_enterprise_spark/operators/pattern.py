@@ -207,8 +207,13 @@ def cypher_match(
     return out
 
 
+# STARTS WITH / ENDS WITH are matched BEFORE the bare WITH alternative so
+# the WITH inside a string predicate never splits a clause; the pair-builder
+# below re-merges them into the preceding clause body.
 _KW_SPLIT_RE = re.compile(
-    r"\b(OPTIONAL\s+MATCH|MATCH|WHERE|RETURN|ORDER\s+BY|SKIP|LIMIT)\b", re.I
+    r"\b(OPTIONAL\s+MATCH|MATCH|WHERE|STARTS\s+WITH|ENDS\s+WITH|WITH|RETURN|"
+    r"ORDER\s+BY|SKIP|LIMIT)\b",
+    re.I,
 )
 _COND_RE = re.compile(
     r"^(\w+)(?:\.(\w+))?\s*"
@@ -217,7 +222,8 @@ _COND_RE = re.compile(
     re.I,
 )
 _AGG_RE = re.compile(
-    r"^(count|sum|min|max|avg)\s*\(\s*(\*|(?:DISTINCT\s+)?\w+(?:\.\w+)?)\s*\)$", re.I
+    r"^(count|sum|min|max|avg|collect)\s*\(\s*(\*|(?:DISTINCT\s+)?\w+(?:\.\w+)?)\s*\)$",
+    re.I,
 )
 _AS_RE = re.compile(r"^(.*?)\s+AS\s+(\w+)$", re.I | re.S)
 
@@ -230,25 +236,159 @@ def _parse_literal(raw: str):
     return float(raw) if "." in raw else int(raw)
 
 
+def _parse_conds(body: str):
+    conds = []
+    for one in re.split(r"\bAND\b", body, flags=re.I):
+        m = _COND_RE.match(one.strip())
+        if not m:
+            raise ValueError(f"unsupported WHERE condition: {one.strip()!r}")
+        conds.append((m.group(1), m.group(2), m.group(3), _parse_literal(m.group(4))))
+    return conds
+
+
+def _parse_items(body: str):
+    """Parse a WITH / RETURN item list → (items, distinct_flag). Items:
+    (kind, var, prop, distinct, alias) with kind in {plain, agg:<fn>}."""
+    distinct_flag = False
+    if re.match(r"^DISTINCT\s", body, re.I):
+        distinct_flag = True
+        body = re.sub(r"^DISTINCT\s+", "", body, flags=re.I)
+    items = []
+    for one in body.split(","):
+        one = one.strip()
+        alias = None
+        am = _AS_RE.match(one)
+        if am:
+            one, alias = am.group(1).strip(), am.group(2)
+        gm = _AGG_RE.match(one)
+        if gm:
+            fn = gm.group(1).lower()
+            arg = gm.group(2)
+            distinct = bool(re.match(r"DISTINCT\s", arg, re.I))
+            arg = re.sub(r"^DISTINCT\s+", "", arg, flags=re.I)
+            var, prop = (arg.split(".") + [None])[:2] if arg != "*" else (None, None)
+            items.append((f"agg:{fn}", var, prop, distinct, alias or fn))
+        else:
+            pm = re.match(r"^(\w+)(?:\.(\w+))?$", one)
+            if not pm:
+                raise ValueError(f"unsupported projection item: {one!r}")
+            var, prop = pm.group(1), pm.group(2)
+            default = f"{var}_{prop}" if prop else var
+            items.append(("plain", var, prop, False, alias or default))
+    return items, distinct_flag
+
+
+def _apply_conds(out: DataFrame, conds) -> DataFrame:
+    methods = {"=": "__eq__", "<>": "__ne__", "<": "__lt__", "<=": "__le__",
+               ">": "__gt__", ">=": "__ge__", "STARTS WITH": "startswith",
+               "ENDS WITH": "endswith", "CONTAINS": "contains"}
+    for var, prop, op, lit in conds:
+        name = f"{var}_{prop}" if prop else var
+        if prop and name not in out.columns and var in out.columns:
+            # carried scalar aliased like a var — fall through to var
+            name = var
+        col = F.col(name)
+        opn = re.sub(r"\s+", " ", op.upper())
+        out = out.filter(getattr(col, methods[opn])(F.lit(lit)))
+    return out
+
+
+def _project_items(out: DataFrame, items, distinct_flag: bool) -> DataFrame:
+    """Compile a WITH / RETURN item list: plain items become grouping
+    keys when aggregates are present, else a projection. ``collect()``
+    compiles to ``sort_array(collect_list(...))`` — Cypher's collect()
+    is unordered, the sorted rendering makes results deterministic (and
+    SQL-oracle-comparable via DuckDB's ``list_sort(list(...))``)."""
+    keys = [(v, p, a) for k, v, p, _, a in items if k == "plain"]
+    aggs = [(k.split(":")[1], v, p, d, a) for k, v, p, d, a in items if k != "plain"]
+    key_cols = []
+    for v, p, a in keys:
+        name = f"{v}_{p}" if p else v
+        if p and name not in out.columns and v in out.columns:
+            name = v
+        key_cols.append(F.col(name).alias(a))
+    if aggs:
+        agg_cols = []
+        for fn, var, prop, distinct, alias in aggs:
+            if var is None:
+                agg_cols.append(F.count(F.lit(1)).alias(alias))
+                continue
+            name = f"{var}_{prop}" if prop else var
+            if prop and name not in out.columns and var in out.columns:
+                name = var
+            col = F.col(name)
+            if fn == "count" and distinct:
+                agg_cols.append(F.count_distinct(col).alias(alias))
+            elif fn == "collect":
+                if distinct:
+                    agg_cols.append(
+                        F.sort_array(F.collect_set(col)).alias(alias)
+                    )
+                else:
+                    agg_cols.append(
+                        F.sort_array(F.collect_list(col)).alias(alias)
+                    )
+            else:
+                agg_cols.append(getattr(F, fn)(col).alias(alias))
+        return out.groupBy(*key_cols).agg(*agg_cols) if key_cols else out.agg(*agg_cols)
+    out = out.select(*key_cols)
+    if distinct_flag:
+        # DISTINCT — dedupe the projection (aggregated projections are
+        # already grouped, so DISTINCT there is a no-op)
+        out = out.distinct()
+    return out
+
+
+def _compile_stage(nodes, rels, match_body, opt_body, attach):
+    """Compile one MATCH [+ OPTIONAL MATCH] pattern group, attaching the
+    requested var properties. OPTIONAL MATCH compiles to a LEFT OUTER
+    join on the shared variables (Cypher semantics: unmatched rows keep
+    NULL bindings; count(var) then skips them)."""
+    main_vars = {m[0] for m in _NODE_RE.findall(match_body) if m[0]}
+    attach_main = {v: ps for v, ps in attach.items() if v in main_vars}
+    attach_opt = {}
+    if opt_body:
+        opt_vars = {m[0] for m in _NODE_RE.findall(opt_body) if m[0]}
+        attach_opt = {
+            v: ps for v, ps in attach.items()
+            if v not in main_vars and v in opt_vars
+        }
+    out = cypher_match(nodes, rels, match_body, attach=attach_main or None)
+    if opt_body:
+        opt = cypher_match(nodes, rels, opt_body, attach=attach_opt or None)
+        shared = [c for c in out.columns if c in set(opt.columns)]
+        if not shared:
+            raise ValueError("OPTIONAL MATCH must share a variable with MATCH")
+        out = out.join(opt, shared, "left")
+    return out, main_vars | ({m[0] for m in _NODE_RE.findall(opt_body) if m[0]} if opt_body else set())
+
+
 def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
     """Cypher-ish read query compiled to one DataFrame plan::
 
         MATCH <pattern>
         [WHERE <var>[.<prop>] <op> <literal> [AND ...]]
-        [RETURN [DISTINCT] <item> [, ...]]   item: var | var.prop | count(*) |
-                                     count([DISTINCT] var) |
-                                     sum/min/max/avg(var.prop), all [AS alias]
+        [WITH [DISTINCT] <item> [, ...] [WHERE ...] MATCH ... [WHERE ...]]*
+        [RETURN [DISTINCT] <item> [, ...]]
         [ORDER BY <alias> [ASC|DESC] [, ...]]
         [SKIP <n>] [LIMIT <n>]
 
+    items: var | var.prop | count(*) | count([DISTINCT] var) |
+    sum/min/max/avg(var.prop) | collect([DISTINCT] var[.prop]), each
+    optionally ``AS alias``.
+
     The clause pipeline maps 1:1 onto Spark relational ops — pattern →
     joins (``cypher_match``), WHERE → Column predicates (pushed down by
-    Catalyst into the pattern joins), RETURN aggregates → groupBy over
-    the non-aggregated items, ORDER BY/LIMIT → TakeOrderedAndProject —
-    so the whole query stays one Catalyst-optimized plan; the DSL adds
-    zero custom execution. Property references auto-attach the needed
-    node columns (id-keyed joins). Conjunctions only; ops
-    ``= <> < <= > >=``; literals as in inline property maps.
+    Catalyst into the pattern joins), aggregates → groupBy over the
+    non-aggregated items, ORDER BY/LIMIT → TakeOrderedAndProject. Each
+    ``WITH`` is a pipeline BARRIER (Cypher's horizon): items are
+    projected/aggregated, a WHERE after WITH filters the projected rows
+    (Cypher's HAVING idiom), and a following MATCH joins its pattern on
+    the variables shared with the carried rows — one equi-join, so a
+    multi-stage pipeline is still a single Catalyst plan with no
+    intermediate materialization. ``collect()`` renders as
+    ``sort_array(collect_list)`` for deterministic output. Conjunctions
+    only; ops ``= <> < <= > >= STARTS WITH/ENDS WITH/CONTAINS``.
 
     The Cypher read surface of the reference's embedded API
     (`LockableNode.java:178-201` navigation + property reads), expressed
@@ -257,127 +397,156 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
     parts = _KW_SPLIT_RE.split(query)
     if parts[0].strip():
         raise ValueError(f"query must start with MATCH: {query!r}")
-    clauses: dict[str, str] = {}
+    pairs: list[tuple[str, str]] = []
     for kw, body in zip(parts[1::2], parts[2::2]):
         key = re.sub(r"\s+", " ", kw.upper())
-        if key in clauses:
-            raise ValueError(f"duplicate {key} clause")
-        clauses[key] = body.strip()
-    if "MATCH" not in clauses:
-        raise ValueError("missing MATCH clause")
-
-    conds = []
-    if clauses.get("WHERE"):
-        for one in re.split(r"\bAND\b", clauses["WHERE"], flags=re.I):
-            m = _COND_RE.match(one.strip())
-            if not m:
-                raise ValueError(f"unsupported WHERE condition: {one.strip()!r}")
-            conds.append((m.group(1), m.group(2), m.group(3), _parse_literal(m.group(4))))
-
-    items = []  # (kind, var, prop, distinct, alias) kind in {plain, agg:<fn>}
-    return_distinct = False
-    if clauses.get("RETURN"):
-        body = clauses["RETURN"]
-        if re.match(r"^DISTINCT\s", body, re.I):
-            return_distinct = True
-            clauses["RETURN"] = body = re.sub(r"^DISTINCT\s+", "", body, flags=re.I)
-        for one in clauses["RETURN"].split(","):
-            one = one.strip()
-            alias = None
-            am = _AS_RE.match(one)
-            if am:
-                one, alias = am.group(1).strip(), am.group(2)
-            gm = _AGG_RE.match(one)
-            if gm:
-                fn = gm.group(1).lower()
-                arg = gm.group(2)
-                distinct = bool(re.match(r"DISTINCT\s", arg, re.I))
-                arg = re.sub(r"^DISTINCT\s+", "", arg, flags=re.I)
-                var, prop = (arg.split(".") + [None])[:2] if arg != "*" else (None, None)
-                items.append((f"agg:{fn}", var, prop, distinct, alias or fn))
-            else:
-                pm = re.match(r"^(\w+)(?:\.(\w+))?$", one)
-                if not pm:
-                    raise ValueError(f"unsupported RETURN item: {one!r}")
-                var, prop = pm.group(1), pm.group(2)
-                default = f"{var}_{prop}" if prop else var
-                items.append(("plain", var, prop, False, alias or default))
-
-    # auto-attach every referenced property
-    attach: dict[str, list[str]] = {}
-    for var, prop, _, _ in conds:
-        if prop:
-            attach.setdefault(var, []).append(prop)
-    for _, var, prop, _, _ in items:
-        if prop:
-            attach.setdefault(var, []).append(prop)
-    attach = {v: sorted(set(ps)) for v, ps in attach.items()}
-
-    # OPTIONAL MATCH compiles to a LEFT OUTER join on the shared
-    # variables (Cypher semantics: unmatched rows keep NULL bindings;
-    # count(var) then skips them). Props of vars bound only by the
-    # optional pattern attach inside it so they stay nullable.
-    opt_body = clauses.get("OPTIONAL MATCH")
-    main_vars = {m[0] for m in _NODE_RE.findall(clauses["MATCH"]) if m[0]}
-    attach_main = {v: ps for v, ps in attach.items() if v in main_vars}
-    attach_opt = {v: ps for v, ps in attach.items() if v not in main_vars}
-    if attach_opt and not opt_body:
-        unknown = sorted(attach_opt)
-        raise ValueError(f"unbound variables referenced: {unknown}")
-
-    out = cypher_match(nodes, rels, clauses["MATCH"], attach=attach_main or None)
-    if opt_body:
-        opt = cypher_match(nodes, rels, opt_body, attach=attach_opt or None)
-        shared = [c for c in out.columns if c in set(opt.columns)]
-        if not shared:
-            raise ValueError("OPTIONAL MATCH must share a variable with MATCH")
-        out = out.join(opt, shared, "left")
-
-    methods = {"=": "__eq__", "<>": "__ne__", "<": "__lt__", "<=": "__le__",
-               ">": "__gt__", ">=": "__ge__", "STARTS WITH": "startswith",
-               "ENDS WITH": "endswith", "CONTAINS": "contains"}
-    for var, prop, op, lit in conds:
-        col = F.col(f"{var}_{prop}" if prop else var)
-        opn = re.sub(r"\s+", " ", op.upper())
-        pred = getattr(col, methods[opn])(F.lit(lit))
-        out = out.filter(pred)
-
-    if items:
-        keys = [(v, p, a) for k, v, p, _, a in items if k == "plain"]
-        aggs = [(k.split(":")[1], v, p, d, a) for k, v, p, d, a in items if k != "plain"]
-        key_cols = [F.col(f"{v}_{p}" if p else v).alias(a) for v, p, a in keys]
-        if aggs:
-            agg_cols = []
-            for fn, var, prop, distinct, alias in aggs:
-                if var is None:
-                    agg_cols.append(F.count(F.lit(1)).alias(alias))
-                    continue
-                col = F.col(f"{var}_{prop}" if prop else var)
-                if fn == "count" and distinct:
-                    agg_cols.append(F.count_distinct(col).alias(alias))
-                else:
-                    agg_cols.append(getattr(F, fn)(col).alias(alias))
-            out = out.groupBy(*key_cols).agg(*agg_cols) if key_cols else out.agg(*agg_cols)
+        if key in ("STARTS WITH", "ENDS WITH"):
+            # not a clause boundary — a string predicate split by the
+            # tokenizer; glue it back onto the clause it belongs to
+            if not pairs:
+                raise ValueError(f"{key} outside a clause: {query!r}")
+            pkw, pbody = pairs[-1]
+            pairs[-1] = (pkw, f"{pbody} {key} {body.strip()}".strip())
         else:
-            out = out.select(*key_cols)
-            if return_distinct:
-                # RETURN DISTINCT — dedupe the projection (aggregated
-                # RETURNs are already grouped, so DISTINCT is a no-op)
-                out = out.distinct()
+            pairs.append((key, body.strip()))
 
-    if clauses.get("ORDER BY"):
+    # ---- split the clause stream into WITH-delimited stages ----------
+    stages = []  # {post_where, match, opt, where, with_items, with_distinct}
+    cur = {"post_where": [], "match": None, "opt": None, "where": [],
+           "with_items": None, "with_distinct": False}
+    tail: dict[str, str] = {}  # RETURN / ORDER BY / SKIP / LIMIT
+    seen_return = False
+    for kw, body in pairs:
+        if seen_return:
+            if kw in ("ORDER BY", "SKIP", "LIMIT") and kw not in tail:
+                tail[kw] = body
+                continue
+            raise ValueError(f"unexpected {kw} after RETURN")
+        if kw == "MATCH":
+            if cur["match"] is not None:
+                raise ValueError("second MATCH without WITH — use WITH to chain")
+            cur["match"] = body
+        elif kw == "OPTIONAL MATCH":
+            if cur["match"] is None:
+                raise ValueError("OPTIONAL MATCH before MATCH")
+            if cur["opt"] is not None:
+                raise ValueError("one OPTIONAL MATCH per stage")
+            cur["opt"] = body
+        elif kw == "WHERE":
+            (cur["where"] if cur["match"] is not None else cur["post_where"]).append(body)
+        elif kw == "WITH":
+            items, dist = _parse_items(body)
+            cur["with_items"], cur["with_distinct"] = items, dist
+            stages.append(cur)
+            cur = {"post_where": [], "match": None, "opt": None, "where": [],
+                   "with_items": None, "with_distinct": False}
+        elif kw == "RETURN":
+            tail["RETURN"] = body
+            seen_return = True
+        else:
+            raise ValueError(f"unexpected {kw} before RETURN")
+    stages.append(cur)
+    if stages[0]["match"] is None:
+        raise ValueError("missing MATCH clause")
+    if stages[0]["post_where"]:
+        raise ValueError("WHERE before the first MATCH")
+
+    # ---- execute stages ---------------------------------------------
+    carried: DataFrame | None = None
+    carried_node_vars: set[str] = set()  # plain vars still bound to node ids
+    for si, stage in enumerate(stages):
+        is_final = si == len(stages) - 1
+        items = None
+        distinct_flag = False
+        if not is_final:
+            items, distinct_flag = stage["with_items"], stage["with_distinct"]
+        elif tail.get("RETURN"):
+            items, distinct_flag = _parse_items(tail["RETURN"])
+
+        conds = [c for b in stage["where"] for c in _parse_conds(b)]
+        post_conds = [c for b in stage["post_where"] for c in _parse_conds(b)]
+
+        # every var.prop referenced this stage needs the node column
+        attach: dict[str, list[str]] = {}
+        for var, prop, _, _ in conds:
+            if prop:
+                attach.setdefault(var, []).append(prop)
+        for _, var, prop, _, _ in items or []:
+            if prop:
+                attach.setdefault(var, []).append(prop)
+        attach = {v: sorted(set(ps)) for v, ps in attach.items()}
+
+        if carried is not None and post_conds:
+            carried = _apply_conds(carried, post_conds)
+
+        pattern_vars: set[str] = set()
+        if stage["match"] is not None:
+            pattern_attach = {
+                v: ps for v, ps in attach.items() if v not in carried_node_vars
+            }
+            df_stage, pattern_vars = _compile_stage(
+                nodes, rels, stage["match"], stage["opt"], pattern_attach
+            )
+            bad = set(pattern_attach) - pattern_vars - carried_node_vars
+            if bad:
+                raise ValueError(f"unbound variables referenced: {sorted(bad)}")
+            if carried is None:
+                out = df_stage
+            else:
+                shared = [c for c in carried.columns if c in set(df_stage.columns)]
+                if not shared:
+                    raise ValueError(
+                        "MATCH after WITH must share a variable with the "
+                        "carried rows"
+                    )
+                out = carried.join(df_stage, shared)
+        else:
+            if carried is None:
+                raise ValueError("missing MATCH clause")
+            out = carried
+
+        # props of carried node vars attach via an id-keyed join here
+        for var in sorted(set(attach) & carried_node_vars - pattern_vars):
+            want = [p for p in attach[var] if f"{var}_{p}" not in out.columns]
+            missing = [p for p in want if p not in nodes.columns]
+            if missing:
+                raise ValueError(f"attach: unknown node columns {missing}")
+            if want:
+                proj = nodes.select(
+                    F.col("id").alias(var),
+                    *[F.col(p).alias(f"{var}_{p}") for p in want],
+                )
+                out = out.join(proj, var)
+
+        out = _apply_conds(out, conds)
+
+        if items is not None:
+            out = _project_items(out, items, distinct_flag)
+            if not is_final:
+                carried = out
+                carried_node_vars = {
+                    a for k, v, p, _, a in items
+                    if k == "plain" and p is None
+                    and (v in pattern_vars or v in carried_node_vars)
+                }
+        elif not is_final:
+            carried = out  # WITH with no items can't happen (parser), safety
+        if is_final:
+            break
+
+    if tail.get("ORDER BY"):
         order_cols = []
-        for one in clauses["ORDER BY"].split(","):
+        for one in tail["ORDER BY"].split(","):
             om = re.match(r"^(\w+)(?:\s+(ASC|DESC))?$", one.strip(), re.I)
             if not om:
                 raise ValueError(f"unsupported ORDER BY item: {one.strip()!r}")
             c = F.col(om.group(1))
             order_cols.append(c.desc() if (om.group(2) or "").upper() == "DESC" else c)
         out = out.orderBy(*order_cols)
-    if clauses.get("SKIP"):
+    if tail.get("SKIP"):
         # Cypher SKIP = relational OFFSET; composes with the sort and
         # LIMIT into one TakeOrdered-style plan under AQE
-        out = out.offset(int(clauses["SKIP"]))
-    if clauses.get("LIMIT"):
-        out = out.limit(int(clauses["LIMIT"]))
+        out = out.offset(int(tail["SKIP"]))
+    if tail.get("LIMIT"):
+        out = out.limit(int(tail["LIMIT"]))
     return out

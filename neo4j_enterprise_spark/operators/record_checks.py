@@ -424,6 +424,45 @@ def check_graph_props(g: PropertyGraph) -> DataFrame:
     return reduce(DataFrame.unionByName, out)
 
 
+def check_families(g: PropertyGraph) -> dict[str, DataFrame]:
+    """The checker as named per-store scan tasks — the reference's 9
+    sequential store scans (`FullCheck.java:96-123`); its JSON report
+    carries one phase per task with elementCount/time/recordsPerSecond
+    (`JsonReportWriter.java:106-131`). bench.py times each family
+    separately to produce the same per-phase metric shape."""
+    return {
+        "nodes": check_nodes(g),
+        "relationships": check_relationships(g),
+        "first_property": check_primitive_first_property(g),
+        "properties": check_properties(g),
+        "ownership": check_ownership(g),
+        "dictionaries": check_dictionaries(g),
+        "graph_props": check_graph_props(g),
+    }
+
+
+def family_element_counts(g: PropertyGraph) -> dict[str, int]:
+    """Record count of each family's PRIMARY scanned store — the
+    denominator of the reference's per-phase recordsPerSecond."""
+    n_nodes = g.nodes.count()
+    n_rels = g.relationships.count()
+    n_props = g.properties.count()
+    n_dict = (
+        g.relationship_types.count()
+        + g.property_keys.count()
+    )
+    n_gp = g.graph_props.count()
+    return {
+        "nodes": n_nodes,
+        "relationships": n_rels,
+        "first_property": n_nodes + n_rels,
+        "properties": n_props,
+        "ownership": n_props,
+        "dictionaries": n_dict,
+        "graph_props": n_gp,
+    }
+
+
 def validate(g: PropertyGraph, eager: bool = True) -> DataFrame:
     """FullCheck (`FullCheck.java:71-123`): the whole checker.
 
@@ -444,15 +483,7 @@ def validate(g: PropertyGraph, eager: bool = True) -> DataFrame:
     keeps the fully-lazy single plan (fine for small fixtures, composes
     with further transformations).
     """
-    families = [
-        check_nodes(g),
-        check_relationships(g),
-        check_primitive_first_property(g),
-        check_properties(g),
-        check_ownership(g),
-        check_dictionaries(g),
-        check_graph_props(g),
-    ]
+    families = list(check_families(g).values())
     if eager:
         from concurrent.futures import ThreadPoolExecutor
 

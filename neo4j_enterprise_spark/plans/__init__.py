@@ -67,6 +67,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q8_market_share",
     "q9_profit_by_nation_year",
     "q10_returned_items",
+    "q11_part_value_threshold",
+    "q12_delay_class_priority",
     "q13_customer_distribution",
     "q14_promo_effect",
     "q15_top_supplier",
@@ -74,6 +76,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
     "q19_disjunctive_revenue",
+    "q20_supplier_part_share",
+    "q21_sole_late_supplier",
     "q22_global_sales_opportunity",
     # relational extras — never driver-checked
     "top_orders_per_customer",
@@ -128,6 +132,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "docs_filter_pipeline",
     "docs_term_lift_by_source",
     "docs_lang_source_rollup",
+    # round-3 additions — never driver-checked
+    "cypher_with_having",
+    "cypher_with_collect",
+    "ann_lsh_md5_top5",
 )
 
 

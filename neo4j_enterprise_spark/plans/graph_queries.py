@@ -1287,6 +1287,98 @@ def cypher_where_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cypher_with_having",
+    f"""
+    {graph_cte()},
+    heavy AS (
+      SELECT src AS c, COUNT(*) AS n_orders
+      FROM rels WHERE type_name = 'PLACED'
+      GROUP BY src HAVING COUNT(*) >= 12),
+    in_nation AS (SELECT src AS c, dst AS n FROM rels
+                  WHERE type_name = 'IN_NATION')
+    SELECT nd.name AS nation_name,
+           COUNT(*) AS n_heavy_customers,
+           CAST(SUM(h.n_orders) AS BIGINT) AS total_orders
+    FROM heavy h
+    JOIN in_nation i ON i.c = h.c
+    JOIN nodes nd ON nd.id = i.n
+    GROUP BY nd.name ORDER BY nation_name
+    """,
+    doc="Cypher WITH chaining — the HAVING idiom plus a second MATCH "
+    "(`pattern.cypher_query` staged compilation): MATCH (c:customer)-"
+    "[:PLACED]->(o) WITH c, count(*) AS n_orders WHERE n_orders >= 12 "
+    "MATCH (c)-[:IN_NATION]->(n) RETURN n.name, count(*), "
+    "sum(n_orders). Each WITH is one aggregate barrier; the follow-up "
+    "MATCH equi-joins on the carried variable, so the whole pipeline is "
+    "still a single Catalyst plan (multi-stage `WITH` is the most "
+    "common real-Cypher idiom over the reference's traversal surface, "
+    "`LockableNode.java:178-201`).",
+)
+def cypher_with_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pattern import cypher_query
+
+    nodes = derived_nodes(spark, sf_dir)
+    rels = derived_rels(spark, sf_dir)
+    return cypher_query(
+        nodes,
+        rels,
+        "MATCH (c:customer)-[:PLACED]->(o) "
+        "WITH c, count(*) AS n_orders "
+        "WHERE n_orders >= 12 "
+        "MATCH (c)-[:IN_NATION]->(n) "
+        "RETURN n.name AS nation_name, count(*) AS n_heavy_customers, "
+        "sum(n_orders) AS total_orders "
+        "ORDER BY nation_name",
+    )
+
+
+@register(
+    "cypher_with_collect",
+    f"""
+    {graph_cte()},
+    in_region AS (SELECT src AS n, dst AS r FROM rels
+                  WHERE type_name = 'IN_REGION')
+    SELECT rn.name AS region_name,
+           array_to_string(list_sort(list(nn.name)), '|') AS nation_names,
+           COUNT(*) AS n_nations
+    FROM in_region ir
+    JOIN nodes nn ON nn.id = ir.n
+    JOIN nodes rn ON rn.id = ir.r
+    GROUP BY rn.name
+    HAVING COUNT(*) >= 5
+    ORDER BY region_name
+    """,
+    doc="Cypher collect() aggregation through a WITH barrier: MATCH "
+    "(n:nation)-[:IN_REGION]->(r:region) WITH r, collect(n.name) AS "
+    "names, count(*) AS n_nations WHERE n_nations >= 5 RETURN r.name, "
+    "names, n_nations. collect() compiles to sort_array(collect_list) "
+    "(deterministic rendering of Cypher's unordered collect); the "
+    "carried node variable r attaches its name via an id-keyed join in "
+    "the final stage. Output pipes the list through concat_ws so the "
+    "value-hash is engine-portable.",
+)
+def cypher_with_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pattern import cypher_query
+
+    nodes = derived_nodes(spark, sf_dir)
+    rels = derived_rels(spark, sf_dir)
+    out = cypher_query(
+        nodes,
+        rels,
+        "MATCH (n:nation)-[:IN_REGION]->(r:region) "
+        "WITH r, collect(n.name) AS names, count(*) AS n_nations "
+        "WHERE n_nations >= 5 "
+        "RETURN r.name AS region_name, names, n_nations "
+        "ORDER BY region_name",
+    )
+    return out.select(
+        "region_name",
+        F.concat_ws("|", F.col("names")).alias("nation_names"),
+        "n_nations",
+    )
+
+
+@register(
     "cypher_skip_page",
     f"""
     {graph_cte(rels=False)}

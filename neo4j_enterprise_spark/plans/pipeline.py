@@ -162,6 +162,72 @@ def ann_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(emb, seeds, k=5).orderBy("seed", "rk")
 
 
+def _lsh_oracle_sql(bands: int, planes_per_band: int, dims: int, seed: int) -> str:
+    """Oracle SQL for the SMALL-CONFIG LSH-ANN: the md5-derived hyperplane
+    sign matrix is a pure constant per (seed, plane, dim), so it embeds in
+    the SQL as a VALUES list — the SAME banding/bucketing/verify pipeline
+    the Spark operator runs, re-implemented relationally. Retires the
+    "LSH is not SQL-expressible" caveat at small config (the production
+    16-band/64-plane twin `ann_lsh_top5` stays rows-only)."""
+    from ..operators.similarity import _plane_signs
+
+    n_planes = bands * planes_per_band
+    rows = ",\n      ".join(
+        f"({p}, {_plane_signs(p, dims, seed)})" for p in range(n_planes)
+    )
+    return f"""
+    WITH q AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+               FROM embeddings),
+    planes AS (SELECT * FROM (VALUES
+      {rows}) AS t(plane, signs)),
+    sig AS (
+      SELECT q.vec_id, p.plane,
+             CASE WHEN list_dot_product(q.qv, p.signs) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM q CROSS JOIN planes p),
+    buckets AS (
+      SELECT vec_id, plane // {planes_per_band} AS band,
+             CAST(SUM(bit << (plane % {planes_per_band})) AS INTEGER) AS bucket
+      FROM sig GROUP BY vec_id, plane // {planes_per_band}),
+    seedb AS (SELECT vec_id AS seed, band, bucket FROM buckets WHERE vec_id < 20),
+    cand AS (SELECT DISTINCT s.seed, b.vec_id AS neighbor
+             FROM seedb s JOIN buckets b
+               ON s.band = b.band AND s.bucket = b.bucket
+             WHERE b.vec_id <> s.seed),
+    scored AS (
+      SELECT c.seed, c.neighbor,
+             list_dot_product(qs.qv, qc.qv)
+             / sqrt(list_dot_product(qs.qv, qs.qv) * list_dot_product(qc.qv, qc.qv)) AS score
+      FROM cand c
+      JOIN q qs ON qs.vec_id = c.seed
+      JOIN q qc ON qc.vec_id = c.neighbor)
+    SELECT seed, neighbor, score, rk FROM (
+      SELECT seed, neighbor, score,
+             ROW_NUMBER() OVER (PARTITION BY seed ORDER BY score DESC, neighbor) AS rk
+      FROM scored)
+    WHERE rk <= 5 ORDER BY seed, rk
+    """
+
+
+@register(
+    "ann_lsh_md5_top5",
+    _lsh_oracle_sql(bands=4, planes_per_band=4, dims=64, seed=42),
+    doc="LSH-ANN with a fully ORACLE-CHECKED candidate pipeline at small "
+    "config (4 bands × 4 planes): the seeded-md5 hyperplane signs embed "
+    "in the oracle SQL as constants, so signature → band-bucket join → "
+    "exact verify is hash-compared end-to-end against DuckDB running "
+    "the identical algorithm (same trick as docs_minhash_md5_candidates)."
+    " The production config stays `ann_lsh_top5` (rows-only + recall "
+    "tests).",
+)
+def ann_lsh_md5_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 20)
+    return similarity.lsh_ann_topk(
+        emb, seeds, k=5, planes_per_band=4, bands=4, dims=64, seed=42
+    ).orderBy("seed", "rk")
+
+
 @register(
     "ann_ivf_top5",
     None,  # IVF candidate generation → rows-only (recall asserted in tests)

@@ -718,6 +718,194 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q11_part_value_threshold",
+    """
+    WITH ns AS (SELECT s_suppkey FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_3'),
+    val AS (SELECT l_partkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS v
+            FROM lineitem JOIN ns ON l_suppkey = ns.s_suppkey
+            GROUP BY l_partkey),
+    tot AS (SELECT SUM(v) AS t FROM val)
+    SELECT l_partkey AS partkey, CAST(v AS DOUBLE) AS part_value
+    FROM val, tot
+    -- v > 0.001 * t without decimal division: v * 1000 > t (exact)
+    WHERE v * 1000 > t
+    ORDER BY part_value DESC, partkey
+    """,
+    doc="TPC-H Q11 shape (testdata has no partsupp — supplied value from "
+    "lineitem instead of ps_supplycost*ps_availqty, same plan): group "
+    "value per part for one nation's suppliers, keep parts above a "
+    "fraction of the nation total. The scalar subquery is a broadcast "
+    "crossJoin of the 1-row total (no second fact scan; q8/q15 pattern); "
+    "threshold compared division-free in exact DECIMAL.",
+)
+def q11_part_value_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    ns = (
+        s.join(F.broadcast(n.filter(F.col("n_name") == "NATION_3")),
+               s["s_nationkey"] == n["n_nationkey"])
+        .select("s_suppkey")
+    )
+    rev = _d("l_extendedprice") * (F.lit(1) - _d("l_discount"))
+    val = (
+        li.join(F.broadcast(ns), li["l_suppkey"] == ns["s_suppkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(rev).alias("v"))
+    )
+    tot = val.agg(F.sum("v").alias("t"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("v") * 1000 > F.col("t"))
+        .select(F.col("l_partkey").alias("partkey"), F.col("v").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "partkey")
+    )
+
+
+@register(
+    "q12_delay_class_priority",
+    """
+    SELECT delay_class,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_line_count
+    FROM (
+      SELECT o_orderpriority,
+             CASE WHEN l_shipdate >= o_orderdate + INTERVAL 60 DAY
+                  THEN 'LATE' ELSE 'ONTIME' END AS delay_class
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01')
+    GROUP BY delay_class ORDER BY delay_class
+    """,
+    doc="TPC-H Q12 shape (testdata has no l_shipmode/receiptdate — the "
+    "category is the ship-delay class, lateness = shipdate 60+ days "
+    "after orderdate): fact join + conditional CASE aggregation into "
+    "high/low priority counts per class, the exact Q12 plan.",
+)
+def q12_delay_class_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.when(late, F.lit("LATE")).otherwise(F.lit("ONTIME")).alias("delay_class"),
+            F.when(high, 1).otherwise(0).alias("is_high"),
+        )
+        .groupBy("delay_class")
+        .agg(
+            F.sum("is_high").alias("high_line_count"),
+            F.sum(F.lit(1) - F.col("is_high")).alias("low_line_count"),
+        )
+        .orderBy("delay_class")
+    )
+
+
+@register(
+    "q20_supplier_part_share",
+    """
+    WITH bolt AS (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt'),
+    sp AS (SELECT l_partkey, l_suppkey,
+                  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+           FROM lineitem JOIN bolt ON l_partkey = p_partkey
+           GROUP BY l_partkey, l_suppkey),
+    ptot AS (SELECT l_partkey, SUM(q) AS tq FROM sp GROUP BY l_partkey)
+    SELECT DISTINCT s_suppkey AS suppkey, s_name AS supp_name
+    FROM sp
+    JOIN ptot USING (l_partkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    -- q > 0.1 * tq without decimal division: q * 10 > tq (exact)
+    WHERE q * 10 > tq
+    ORDER BY suppkey
+    """,
+    doc="TPC-H Q20 shape (no partsupp — shipped quantity instead of "
+    "availqty, same plan): suppliers providing >10%% of a filtered part "
+    "family's volume. Name-filtered parts broadcast into the fact agg; "
+    "the half-of-total comparison joins the per-(part,supplier) "
+    "aggregate against its per-part rollup — one fact shuffle, then a "
+    "semi-join-shaped DISTINCT projection onto supplier.",
+)
+def q20_supplier_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").endswith("bolt"))
+    s = load_table(spark, sf_dir, "supplier")
+    sp = (
+        li.join(F.broadcast(p.select("p_partkey")), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_d("l_quantity")).alias("q"))
+    )
+    ptot = sp.groupBy(F.col("l_partkey").alias("pk")).agg(F.sum("q").alias("tq"))
+    return (
+        sp.join(ptot, sp["l_partkey"] == ptot["pk"])
+        .filter(F.col("q") * 10 > F.col("tq"))
+        .join(s, sp["l_suppkey"] == s["s_suppkey"])
+        .select(F.col("s_suppkey").alias("suppkey"), F.col("s_name").alias("supp_name"))
+        .distinct()
+        .orderBy("suppkey")
+    )
+
+
+@register(
+    "q21_sole_late_supplier",
+    """
+    WITH ol AS (
+      SELECT l_orderkey, l_suppkey,
+             CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    agg AS (SELECT l_orderkey, l_suppkey, MAX(late) AS late
+            FROM ol GROUP BY l_orderkey, l_suppkey),
+    per_order AS (SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late
+                  FROM agg GROUP BY l_orderkey)
+    SELECT a.l_suppkey AS suppkey, COUNT(*) AS numwait
+    FROM agg a JOIN per_order p USING (l_orderkey)
+    WHERE a.late = 1 AND p.n_supp > 1 AND p.n_late = 1
+    GROUP BY a.l_suppkey
+    ORDER BY numwait DESC, suppkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 shape (no receipt/commit dates — late = shipped 90+ "
+    "days after order date): suppliers who were the SOLE late supplier "
+    "on a multi-supplier order. The correlated EXISTS / NOT-EXISTS pair "
+    "of the reference SQL re-expressed Spark-first as per-(order,"
+    "supplier) then per-order aggregates joined back — two narrow "
+    "shuffles on the same key (AQE-local), no correlated re-scans of "
+    "the fact table.",
+    bench=True,  # the EXISTS/NOT-EXISTS→aggregate rendering is a scale path
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    agg = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select("l_orderkey", "l_suppkey", F.when(late, 1).otherwise(0).alias("late"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("late"))
+    )
+    per_order = agg.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count("*").alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    return (
+        agg.join(per_order, agg["l_orderkey"] == per_order["ok"])
+        .filter((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "suppkey")
+        .limit(20)
+    )
+
+
+@register(
     "pricing_rollup_subtotals",
     """
     SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
@@ -857,14 +1045,24 @@ def events_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     qn = f"events_stream_rollup_{next(_STREAM_QUERY_SEQ)}"
-    q = (
-        rolled.writeStream.format("memory")
-        .queryName(qn)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state-store partition count is pinned from shuffle.partitions at
+    # query start: 32 stores for a few thousand groups is pure per-batch
+    # setup/commit overhead (measured ~2x on the micro-batch wall clock).
+    # 8 is right for this state size; a real 100 TB ingest would size it
+    # to the key cardinality instead.
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            rolled.writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return (
         spark.table(qn)
         .select(
@@ -928,17 +1126,25 @@ def _staged_events_append_dir(spark: SparkSession, sf_dir: str) -> str:
     return stage
 
 
-def run_events_append_rollup(spark: SparkSession, sf_dir: str):
+def run_events_append_rollup(spark: SparkSession, sf_dir: str, fresh: bool = False):
     """Run the append-mode hourly rollup to completion against a file
-    sink. Returns ``(result_df, last_progress_dict)`` — the progress dict
-    carries the state-store metrics the eviction test asserts on."""
+    sink. Returns ``(result_df, progress_dict)`` — the progress dict is
+    the last micro-batch progress carrying state-store metrics (None on
+    a fully-caught-up rerun, where the checkpoint makes the whole run a
+    no-op and the previous output is simply re-read — the idempotent
+    re-invocation path the bench/driver exercise). ``fresh=True`` wipes
+    the checkpoint + output first, forcing a real processing run."""
     import os
+    import shutil
     import tempfile
 
     stage = _staged_events_append_dir(spark, sf_dir)
     tag = os.path.basename(stage).rsplit("_", 1)[-1]
     out_dir = os.path.join(tempfile.gettempdir(), f"nes_append_out_{tag}")
     ck_dir = os.path.join(tempfile.gettempdir(), f"nes_append_ck_{tag}")
+    if fresh:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ck_dir, ignore_errors=True)
     schema = spark.read.parquet(os.path.join(stage, "aa_events.parquet")).schema
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
     ts_type = dict(stream.dtypes).get("ts", "")
@@ -962,16 +1168,26 @@ def run_events_append_rollup(spark: SparkSession, sf_dir: str):
             "total_value",
         )
     )
-    q = (
-        rolled.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ck_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    # see events_stream_hourly_rollup: 8 state stores fit this state size
+    # (on a restarted checkpoint Spark pins the original count itself)
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            rolled.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    progress = next(
+        (p for p in reversed(q.recentProgress) if p.get("stateOperators")),
+        None,
     )
-    q.awaitTermination()
-    progress = q.recentProgress[-1] if q.recentProgress else {}
     result = (
         spark.read.parquet(out_dir)
         .filter(F.col("event_type").isNotNull())  # drop sentinel remnants

@@ -14,7 +14,7 @@ from neo4j_enterprise_spark.plans.relational import run_events_append_rollup
 
 
 def test_append_rollup_matches_batch_and_evicts_state(spark, sf_dir):
-    result, progress = run_events_append_rollup(spark, sf_dir)
+    result, progress = run_events_append_rollup(spark, sf_dir, fresh=True)
     got = [
         (r["hour_epoch"], r["event_type"], r["n_events"], round(r["total_value"], 2))
         for r in result.collect()
@@ -43,6 +43,7 @@ def test_append_rollup_matches_batch_and_evicts_state(spark, sf_dir):
     # own window, within the 2h watermark delay of it) may remain in the
     # state store — closed real windows must have been dropped. Complete
     # mode by contrast would retain every (window, event_type) group.
+    assert progress is not None, "fresh run must report state metrics"
     ops = progress.get("stateOperators") or []
     assert ops, f"no state operator metrics in progress: {progress}"
     rows_total = ops[0]["numRowsTotal"]
