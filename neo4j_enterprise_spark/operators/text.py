@@ -254,3 +254,38 @@ def filter_verdicts(
     return docs.select(
         "doc_id", n.cast("long").alias("n_tokens"), verdict.alias("verdict")
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    token-window chunks of ``window`` tokens advancing by ``stride``
+    (overlap = window - stride) — the context-length packing precursor
+    every LLM training pipeline runs between cleaning and tokenization.
+
+    Shuffle-free: chunk starts, slices and texts are all array-domain
+    higher-order functions fused into the documents scan; the only
+    row-expansion is the posexplode of the per-doc chunk list (bounded
+    by ceil(n_tokens/stride) per row). Returns (doc_id, chunk_id,
+    chunk_text, n_tokens) — chunk_id dense from 0, last chunk may be
+    short (standard sliding-window semantics; callers drop tails with a
+    filter if their packer requires full windows).
+    """
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(tokens)
+    n_chunks = F.floor((n - 1).cast("double") / stride).cast("int") + 1
+    starts = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    chunks = F.transform(starts, lambda i: F.slice(tokens, i * stride + 1, window))
+    out = docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_id", "chunk_tokens")
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.concat_ws(" ", F.col("chunk_tokens")).alias("chunk_text"),
+        F.size("chunk_tokens").cast("long").alias("n_tokens"),
+    )

@@ -85,6 +85,7 @@ def traverse(
     types: Iterable[str] | None = None,
     prune=None,
     emit=None,
+    cache_edges: bool = True,
 ) -> DataFrame:
     """T2/X1: the legacy ``Traverser`` surface —
     ``traverse(BFS, StopEvaluator, ReturnableEvaluator, types...)``
@@ -98,7 +99,10 @@ def traverse(
     passed the same way (the UDF is evaluated once per frontier batch).
     """
     edges = _edges(rels, direction, types)
-    if k > 1:
+    if cache_edges and k > 1:
+        # pass cache_edges=False when ``rels`` is already persisted
+        # upstream: a second persist here is a per-invocation cache-entry
+        # leak (each call makes a new DataFrame → a new storage entry)
         edges = edges.persist()
     node_attrs = nodes
     reached = seeds.select(
@@ -142,6 +146,7 @@ def dfs_preorder(
     k: int,
     direction: str = "out",
     types: Iterable[str] | None = None,
+    cache_edges: bool = True,
 ) -> DataFrame:
     """T2 DFS order: per-seed preorder ranks of EVERY node reachable by a
     simple path of ≤ k hops, children expanded in ascending node-id
@@ -177,7 +182,7 @@ def dfs_preorder(
     Returns (seed, node_id, preorder) with preorder = 1-based rank.
     """
     edges = _edges(rels, direction, types)
-    if k > 1:
+    if cache_edges and k > 1:
         edges = edges.persist()
 
     def _enc(c) -> F.Column:

@@ -108,6 +108,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # docs / ANN family — never driver-checked (oracle-bearing first)
     "docs_fingerprints",
     "docs_token_stats",
+    "docs_chunk_windows",
     "ann_cosine_top5",
     "docs_minhash_md5_candidates",
     "docs_simhash_md5",

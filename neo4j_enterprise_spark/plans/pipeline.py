@@ -429,6 +429,35 @@ def docs_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_chunk_windows",
+    r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents),
+    starts AS (
+      SELECT doc_id, t,
+             unnest(range(0, CAST(floor((len(t) - 1) / 48.0) AS BIGINT) + 1)) AS i
+      FROM base)
+    SELECT doc_id,
+           i AS chunk_id,
+           array_to_string(list_slice(t, i * 48 + 1, i * 48 + 64), ' ') AS chunk_text,
+           CAST(len(list_slice(t, i * 48 + 1, i * 48 + 64)) AS BIGINT) AS n_tokens
+    FROM starts ORDER BY doc_id, chunk_id
+    """,
+    doc="Sliding-window chunking (`text.chunk_documents`, 64-token "
+    "windows / 48-token stride): the context-length packing precursor, "
+    "computed shuffle-free with array-domain HOFs fused into the scan — "
+    "the only row expansion is the per-doc chunk posexplode. Oracle "
+    "replays it with list_slice over a generate_series of starts.",
+)
+def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_documents(docs, window=64, stride=48).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+@register(
     "docs_lang_id",
     r"""
     WITH base AS (

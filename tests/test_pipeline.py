@@ -231,3 +231,28 @@ def test_filter_verdicts_first_failing_rule_wins(spark):
     assert out[2] == "too_repetitive"
     assert out[3] == "keep"
     assert out[4] == "bad_token_shape"
+
+
+def test_chunk_documents_window_stride_semantics(spark):
+    from neo4j_enterprise_spark.operators import text as text_ops
+
+    words = " ".join(f"w{i}" for i in range(100))  # 100 tokens
+    docs = spark.createDataFrame(
+        [(1, words), (2, "a b c"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in text_ops.chunk_documents(docs, window=64, stride=48).collect()
+    }
+    # doc 1: starts at 0, 48, 96 → chunks of 64, 52, 4 tokens
+    assert rows[(1, 0)][1] == 64 and rows[(1, 0)][0].startswith("w0 w1 ")
+    assert rows[(1, 1)][1] == 52 and rows[(1, 1)][0].startswith("w48 ")
+    assert rows[(1, 2)][1] == 4 and rows[(1, 2)][0] == "w96 w97 w98 w99"
+    # overlap: chunk 1 re-covers tokens 48..63
+    assert "w63" in rows[(1, 0)][0] and "w63" in rows[(1, 1)][0]
+    # short docs → single chunk, all tokens
+    assert rows[(2, 0)] == ("a b c", 3)
+    assert rows[(3, 0)] == ("solo", 1)
+    assert {k[0] for k in rows} == {1, 2, 3}
+    assert len([k for k in rows if k[0] == 1]) == 3
