@@ -176,6 +176,22 @@ def ivf_train_kmeans(
     return centroids
 
 
+def ivf_fixed_centroids(embeddings: DataFrame, n_cells: int) -> DataFrame:
+    """PORTABLE centroid selection: the first ``n_cells`` vectors by id,
+    cell_id = vec_id. Hash-sampling (``ivf_assign``) is the production
+    default, but xxhash64 has no DuckDB twin — this variant makes the
+    whole IVF pipeline (assign → probe → verify) SQL-expressible so the
+    oracle can replay it end-to-end."""
+    return (
+        embeddings.filter(F.col("vec_id") < n_cells)
+        .select(
+            F.col("vec_id").cast("int").alias("cell_id"),
+            quantize(F.col("embedding")).alias("ccv"),
+        )
+        .withColumn("ccn", _dot(F.col("ccv"), F.col("ccv")))
+    )
+
+
 def ivf_ann_topk(
     embeddings: DataFrame,
     seeds: DataFrame,
@@ -183,15 +199,23 @@ def ivf_ann_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     kmeans_iters: int = 0,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF probe: score each seed only against vectors in its ``n_probe``
     closest cells. Same output contract as the brute-force/LSH variants;
     recall grows with n_probe (n_probe = n_cells degenerates to exact).
     ``kmeans_iters > 0`` refines the hash-sampled centroids with Lloyd
     iterations first (``ivf_train_kmeans``) — tighter cells, better
-    recall at the same n_probe.
+    recall at the same n_probe. An explicit ``centroids`` DataFrame
+    (cell_id, ccv, ccn) overrides selection entirely (e.g. the portable
+    ``ivf_fixed_centroids``, or offline-trained centroids).
     """
-    if kmeans_iters > 0:
+    if centroids is not None:
+        vecs = embeddings.select(
+            "vec_id", quantize(F.col("embedding")).alias("qv")
+        ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))
+        assignments = _assign_to_centroids(vecs, centroids)
+    elif kmeans_iters > 0:
         centroids = ivf_train_kmeans(embeddings, n_cells, kmeans_iters)
         vecs = embeddings.select(
             "vec_id", quantize(F.col("embedding")).alias("qv")

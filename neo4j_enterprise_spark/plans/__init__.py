@@ -92,6 +92,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_sliding_rollup",
     "events_stream_hourly_rollup",
     "events_stream_hourly_append",
+    "events_stream_sessions_append",
     "events_session_windows",
     "events_asof_attribution",
     "events_errors_per_session",
@@ -137,6 +138,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cypher_with_having",
     "cypher_with_collect",
     "ann_lsh_md5_top5",
+    "ann_ivf_fixed_top5",
 )
 
 

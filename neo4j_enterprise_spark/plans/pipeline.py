@@ -229,6 +229,67 @@ def ann_lsh_md5_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_fixed_top5",
+    """
+    WITH q AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+               FROM embeddings),
+    cent AS (SELECT CAST(vec_id AS INTEGER) AS cell_id, qv AS ccv
+             FROM q WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT v.vec_id, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_dot_product(v.qv, c.ccv)
+                 / sqrt(CAST(list_dot_product(v.qv, v.qv) AS DOUBLE)
+                        * CAST(list_dot_product(c.ccv, c.ccv) AS DOUBLE)) DESC,
+                 c.cell_id) AS rk
+        FROM q v CROSS JOIN cent c)
+      WHERE rk = 1),
+    probes AS (
+      SELECT seed, cell_id FROM (
+        SELECT s.vec_id AS seed, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+                 list_dot_product(s.qv, c.ccv)
+                 / sqrt(CAST(list_dot_product(s.qv, s.qv) AS DOUBLE)
+                        * CAST(list_dot_product(c.ccv, c.ccv) AS DOUBLE)) DESC,
+                 c.cell_id) AS rk
+        FROM q s CROSS JOIN cent c WHERE s.vec_id < 20)
+      WHERE rk <= 3),
+    cand AS (SELECT DISTINCT p.seed, a.vec_id AS neighbor
+             FROM probes p JOIN assign a USING (cell_id)
+             WHERE a.vec_id <> p.seed),
+    scored AS (
+      SELECT c.seed, c.neighbor,
+             list_dot_product(qs.qv, qc.qv)
+             / sqrt(list_dot_product(qs.qv, qs.qv) * list_dot_product(qc.qv, qc.qv)) AS score
+      FROM cand c
+      JOIN q qs ON qs.vec_id = c.seed
+      JOIN q qc ON qc.vec_id = c.neighbor)
+    SELECT seed, neighbor, score, rk FROM (
+      SELECT seed, neighbor, score,
+             ROW_NUMBER() OVER (PARTITION BY seed ORDER BY score DESC, neighbor) AS rk
+      FROM scored)
+    WHERE rk <= 5 ORDER BY seed, rk
+    """,
+    doc="IVF-ANN with a fully ORACLE-CHECKED pipeline at small config "
+    "(8 fixed cells / 3 probes): portable first-K centroids "
+    "(`similarity.ivf_fixed_centroids`) make assign → probe → verify "
+    "SQL-expressible, so DuckDB replays the identical algorithm and the "
+    "hash-compare covers candidate generation end-to-end (the "
+    "hash-sampled production config stays `ann_ivf_top5`, rows-only + "
+    "recall tests).",
+)
+def ann_ivf_fixed_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 20)
+    cent = similarity.ivf_fixed_centroids(emb, n_cells=8)
+    return similarity.ivf_ann_topk(
+        emb, seeds, k=5, n_probe=3, centroids=cent
+    ).orderBy("seed", "rk")
+
+
+@register(
     "ann_ivf_top5",
     None,  # IVF candidate generation → rows-only (recall asserted in tests)
     doc="Similarity search scale path #2: IVF coarse quantizer — "

@@ -1222,6 +1222,105 @@ def events_stream_hourly_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_stream_sessions_append",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), g AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    )
+    SELECT user_id,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+           CAST(epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS BIGINT) AS session_end_us,
+           COUNT(*) AS n_events
+    FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_us
+    """,
+    doc="DRIVEN STREAMING session windows: readStream → "
+    "session_window(ts, 30 min) groupBy user_id → append mode + "
+    "watermark eviction to a file sink, sentinel micro-batch closing "
+    "every real session — hash-matched against the BATCH gap-session "
+    "oracle (the same lag/sum-over SQL as `events_session_windows`). "
+    "Proves the streaming session-MERGE state machine agrees with the "
+    "batch definition, exactly-once, with state dropped at the "
+    "watermark — the second driven streaming parity query beside the "
+    "hourly rollup.",
+)
+def events_stream_sessions_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    result, _ = run_events_sessions_append(spark, sf_dir)
+    return result
+
+
+def run_events_sessions_append(
+    spark: SparkSession, sf_dir: str, fresh: bool = False
+):
+    """Append-mode streaming session windows to completion against a file
+    sink; same staging/sentinel/progress contract as
+    ``run_events_append_rollup``."""
+    import os
+    import shutil
+    import tempfile
+
+    stage = _staged_events_append_dir(spark, sf_dir)
+    tag = os.path.basename(stage).rsplit("_", 1)[-1]
+    out_dir = os.path.join(tempfile.gettempdir(), f"nes_sess_out_{tag}")
+    ck_dir = os.path.join(tempfile.gettempdir(), f"nes_sess_ck_{tag}")
+    if fresh:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ck_dir, ignore_errors=True)
+    schema = spark.read.parquet(os.path.join(stage, "aa_events.parquet")).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    ts_type = dict(stream.dtypes).get("ts", "")
+    if ts_type in ("bigint", "long"):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+        )
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    sessions = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    progress = next(
+        (p for p in reversed(q.recentProgress) if p.get("stateOperators")),
+        None,
+    )
+    result = (
+        spark.read.parquet(out_dir)
+        .filter(F.col("user_id").isNotNull())  # drop sentinel remnants
+        .orderBy("user_id", "session_start_us")
+    )
+    return result, progress
+
+
+@register(
     "events_session_windows",
     """
     WITH s AS (

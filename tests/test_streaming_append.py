@@ -58,3 +58,50 @@ def test_append_rollup_matches_batch_and_evicts_state(spark, sf_dir):
         f"state rows ({rows_total}) not smaller than total closed "
         f"groups ({closed_groups})"
     )
+
+
+def test_session_append_matches_batch_and_evicts_state(spark, sf_dir):
+    from neo4j_enterprise_spark.plans.relational import run_events_sessions_append
+
+    result, progress = run_events_sessions_append(spark, sf_dir, fresh=True)
+    got = [
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in result.collect()
+    ]
+    assert got, "session output must be non-empty"
+    # batch reference: gap sessions via lag/cumsum
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    s = ev.withColumn("prev_us", F.lag(F.unix_micros("ts")).over(w)).withColumn(
+        "new_s",
+        F.when(
+            F.col("prev_us").isNull()
+            | (F.unix_micros("ts") - F.col("prev_us") > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    g = s.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    want = [
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in (
+            g.groupBy("user_id", "sid")
+            .agg(
+                F.min(F.unix_micros("ts")).alias("session_start_us"),
+                (F.max(F.unix_micros("ts")) + gap_us).alias("session_end_us"),
+                F.count("*").alias("n_events"),
+            )
+            .orderBy("user_id", "session_start_us")
+        ).collect()
+    ]
+    assert got == want, "streaming session merge must equal batch gap sessions"
+    # eviction: only the sentinel's open session may remain in state
+    assert progress is not None
+    rows_total = progress["stateOperators"][0]["numRowsTotal"]
+    assert rows_total < len(got), (
+        f"state rows ({rows_total}) not smaller than closed sessions ({len(got)})"
+    )
