@@ -80,13 +80,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q21_sole_late_supplier",
     "q22_global_sales_opportunity",
     # relational extras — never driver-checked
-    "top_orders_per_customer",
     "election_winner_per_nation",
-    "record_counts_per_table",
-    "property_projection_default",
     "pricing_rollup_subtotals",
     "orders_price_quartiles",
-    "orders_cube_pricing",
     # events family — never driver-checked
     "events_hourly_rollup",
     "events_sliding_rollup",
@@ -106,7 +102,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_funnel_signup_purchase",
     "events_retention_cohorts",
     "events_per_user_cap",
-    # docs / ANN family — never driver-checked (oracle-bearing first)
+    # docs / ANN family — never driver-checked (dedup ladder first: the
+    # LLM-pipeline surface deserves driver slots over trivial projections)
     "docs_fingerprints",
     "docs_token_stats",
     "docs_chunk_windows",
@@ -115,6 +112,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "docs_simhash_md5",
     "docs_simhash_neardup_pairs",
     "docs_ngram_jaccard_pairs",
+    # demoted extras (still ahead of the twice-green graph family;
+    # top_orders_per_customer duplicates driver-green priority_take_k's
+    # rank-window shape)
+    "top_orders_per_customer",
+    "record_counts_per_table",
+    "property_projection_default",
+    "orders_cube_pricing",
     "docs_embedding_near_dup",
     "docs_neardup_clusters",
     "docs_lang_id",
