@@ -45,6 +45,36 @@ def dedup_keep_first(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return w_hash.join(keep, ["content_hash", "doc_id"], "left_semi").drop("content_hash")
 
 
+def dedup_incremental(
+    new_docs: DataFrame,
+    corpus_index: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """INCREMENTAL exact dedup — the production ingest path: a new batch
+    is deduped against the standing corpus's fingerprint INDEX instead of
+    re-scanning the corpus. ``corpus_index`` is (content_hash) — the
+    persisted digest table a 100 TB pipeline maintains (one row per
+    distinct document ever seen; kilobytes per million docs vs re-reading
+    the corpus).
+
+    Two steps, both narrow: (1) in-batch dedup (keep min doc_id per
+    digest — same rule as ``dedup_keep_first`` so re-runs are
+    idempotent), (2) anti-join the survivors against the index. Returns
+    the accepted new docs; appending their digests to the index is the
+    caller's write (exactly the base/delta contract of the snapshot
+    diff operators).
+    """
+    hashed = new_docs.withColumn("content_hash", F.md5(F.col(text_col)))
+    in_batch = hashed.join(
+        hashed.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id")),
+        ["content_hash", "doc_id"],
+        "left_semi",
+    )
+    return in_batch.join(
+        corpus_index.select("content_hash"), "content_hash", "left_anti"
+    ).drop("content_hash")
+
+
 def shingles(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
     """Word k-shingles per doc: (doc_id, shingle). Tokenization is a pure
     column expression; the explode is the only row-expansion."""

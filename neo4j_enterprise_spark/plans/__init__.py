@@ -143,6 +143,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cypher_with_collect",
     "ann_lsh_md5_top5",
     "ann_ivf_fixed_top5",
+    "docs_incremental_dedup",
+    "graph_harmonic_centrality",
 )
 
 

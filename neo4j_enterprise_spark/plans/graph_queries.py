@@ -958,6 +958,57 @@ def bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_harmonic_centrality",
+    f"""
+    {graph_cte(nodes=False)},
+    seeds AS (SELECT src AS seed FROM rels WHERE src <= 20 GROUP BY src),
+    hop1 AS (SELECT s.seed, r.dst AS node_id FROM seeds s
+             JOIN rels r ON r.src = s.seed GROUP BY s.seed, r.dst),
+    hop2 AS (SELECT h.seed, r.dst AS node_id FROM hop1 h
+             JOIN rels r ON r.src = h.node_id GROUP BY h.seed, r.dst),
+    hop3 AS (SELECT h.seed, r.dst AS node_id FROM hop2 h
+             JOIN rels r ON r.src = h.node_id GROUP BY h.seed, r.dst),
+    reach AS (
+      SELECT seed, node_id, 1 AS hops FROM hop1
+      UNION ALL SELECT seed, node_id, 2 FROM hop2
+      UNION ALL SELECT seed, node_id, 3 FROM hop3),
+    minr AS (SELECT seed, node_id, MIN(hops) AS hops
+             FROM reach GROUP BY seed, node_id)
+    SELECT seed,
+           CAST(SUM(CASE hops WHEN 1 THEN 6 WHEN 2 THEN 3 ELSE 2 END)
+                AS BIGINT) AS harmonic_x6,
+           COUNT(*) AS n_reached
+    FROM minr WHERE node_id <> seed
+    GROUP BY seed ORDER BY seed
+    """,
+    doc="Harmonic centrality (bounded radius 3) per seed: sum of 1/d "
+    "over reachable nodes, scaled by lcm(1..3)=6 so the score is an "
+    "exact BIGINT on both engines (6/d in {{6,3,2}} — no float-summation "
+    "order dependence). Spark side reuses `bfs_reachable`'s frontier "
+    "joins (min-hop contract); the oracle unrolls the three hops as "
+    "DISTINCT-per-level CTEs. Centrality family beside "
+    "pagerank/components (SURVEY §2.9 ext.).",
+)
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rels = derived_rels(spark, sf_dir)
+    seeds = rels.filter(F.col("src") <= 20).select(F.col("src").alias("seed")).distinct()
+    reached = traversal.bfs_reachable(rels, seeds, k=3, direction="out", cache_edges=False)
+    return (
+        reached.filter(F.col("hops") > 0)
+        .groupBy("seed")
+        .agg(
+            F.sum(
+                F.when(F.col("hops") == 1, 6)
+                .when(F.col("hops") == 2, 3)
+                .otherwise(2)
+            ).cast("long").alias("harmonic_x6"),
+            F.count("*").alias("n_reached"),
+        )
+        .orderBy("seed")
+    )
+
+
+@register(
     "parts_copurchase_top20",
     """
     SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders

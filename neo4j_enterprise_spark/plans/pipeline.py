@@ -490,6 +490,65 @@ def docs_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_incremental_dedup",
+    """
+    WITH corpus AS (SELECT DISTINCT md5(text) AS content_hash
+                    FROM documents WHERE doc_id < 400),
+    newb AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 400
+      UNION ALL
+      SELECT doc_id + 1000, text FROM documents WHERE doc_id < 5
+      UNION ALL
+      SELECT doc_id + 2000, text FROM documents WHERE doc_id = 400),
+    hashed AS (SELECT doc_id, md5(text) AS content_hash FROM newb),
+    in_batch AS (
+      SELECT h.doc_id, h.content_hash
+      FROM hashed h
+      JOIN (SELECT content_hash, MIN(doc_id) AS doc_id
+            FROM hashed GROUP BY content_hash) k
+        ON h.content_hash = k.content_hash AND h.doc_id = k.doc_id)
+    SELECT b.doc_id
+    FROM in_batch b
+    WHERE b.content_hash NOT IN (SELECT content_hash FROM corpus)
+    ORDER BY b.doc_id
+    """,
+    doc="INCREMENTAL dedup (`dedup.dedup_incremental`) — the production "
+    "ingest path: a new batch (docs >= 400, plus injected cross-batch "
+    "copies of corpus docs and one in-batch duplicate) deduped against "
+    "the standing corpus's fingerprint INDEX (docs < 400), never "
+    "re-scanning the corpus itself. In-batch min-id rule then one "
+    "anti-join against the index; cross-batch copies and the in-batch "
+    "duplicate must both be rejected.",
+)
+def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_index = (
+        docs.filter(F.col("doc_id") < 400)
+        .select(F.md5("text").alias("content_hash"))
+        .distinct()
+    )
+    newb = (
+        docs.filter(F.col("doc_id") >= 400)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") < 5).select(
+                (F.col("doc_id") + 1000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") == 400).select(
+                (F.col("doc_id") + 2000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return (
+        dedup.dedup_incremental(newb, corpus_index)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "docs_chunk_windows",
     r"""
     WITH base AS (

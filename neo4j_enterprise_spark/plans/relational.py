@@ -189,7 +189,13 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
     """,
-    doc="TPC-H Q4 shape: EXISTS = left-semi join.",
+    doc="TPC-H Q4 shape: EXISTS(l.shipdate > o.orderdate) rewritten as "
+    "max(l_shipdate) per order > o_orderdate — the correlated semi-join "
+    "becomes one map-side-combinable fact aggregation plus an EQUI-join "
+    "where the small (date-filtered orders) side broadcasts. The naive "
+    "left-semi form makes the optimizer broadcast the FACT side (its "
+    "non-equi term blocks pre-reduction) — wrong at 100 TB and the "
+    "source of 0.6-4.7 s jitter under driver memory pressure.",
     bench=True,
 )
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,13 +204,12 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-07-01").cast("date"))
     )
     li = load_table(spark, sf_dir, "lineitem")
-    semi = o.join(
-        li,
-        (o["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > o["o_orderdate"]),
-        "left_semi",
-    )
+    lmax = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("max_ship"))
     return (
-        semi.groupBy("o_orderpriority")
+        F.broadcast(o)
+        .join(lmax, o["o_orderkey"] == lmax["l_orderkey"])
+        .filter(F.col("max_ship") > F.col("o_orderdate"))
+        .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
         .orderBy("o_orderpriority")
     )
