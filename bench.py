@@ -44,12 +44,6 @@ def main() -> None:
 
     derived_nodes(spark, sf_dir).count()  # materialize the memoized graph
     derived_rels(spark, sf_dir).count()
-    # Build the B1 consistency-check fixture un-timed, like the reference
-    # (store generation is a separate step from the timed FullCheck —
-    # `ConsistencyPerformanceCheck.java:76-140`).
-    from neo4j_enterprise_spark.graph.generator import fixture_graph
-
-    fixture_graph(spark, node_count=100_000)
 
     queries = {n: q for n, q in all_queries().items() if q.bench}
     # B1 is reported as per-store phases (the reference's 9 scan tasks,
@@ -63,8 +57,11 @@ def main() -> None:
     # reference's TimingProgress reports after its own store warmup), not
     # first-iteration JVM compilation, which dominates on a fresh JVM and
     # varies 3-4x with machine load.
+    warm: dict[str, float] = {}
     for name, q in sorted(queries.items()):
+        t0 = time.perf_counter()
         q.spark(spark, sf_dir).count()
+        warm[name] = time.perf_counter() - t0
 
     timings: dict[str, float] = {}
     phases = []
@@ -73,18 +70,19 @@ def main() -> None:
         # steady-state cost with one-off AQE/GC/scheduler jitter (measured
         # at 3-4x on this rig — see BASELINE.md appendix); the median is
         # the honest steady-state number the reference's TimingProgress
-        # also reports after its warmup.
+        # also reports after its warmup. Long throughput-bound phases
+        # aren't jitter-dominated; one run is representative — classified
+        # by the WARMUP duration, not the first timed sample (a one-off
+        # GC/AQE spike on sample 1 must not suppress the re-sampling that
+        # would absorb it).
+        runs = 1 if warm[name] > 5.0 else 5
         samples = []
         n = 0
-        for _ in range(5):
+        for _ in range(runs):
             t0 = time.perf_counter()
             df = q.spark(spark, sf_dir)
             n = df.count()  # full materialization
             samples.append(time.perf_counter() - t0)
-            if samples[0] > 5.0:
-                # long throughput-bound phases (B1 suite) aren't
-                # jitter-dominated; one run is representative
-                break
         samples.sort()
         dt = samples[len(samples) // 2]
         timings[name] = round(dt, 3)
@@ -106,6 +104,12 @@ def main() -> None:
         # B1 per-store phases: mirror FullCheck's sequential store scans.
         # elementCount = records of the family's primary store (the
         # reference's recordsPerSecond denominator), not violation rows.
+        # The 100k fixture is built HERE, un-timed, like the reference
+        # (store generation is separate from the timed FullCheck —
+        # `ConsistencyPerformanceCheck.java:76-140`) — and AFTER the
+        # headline loop, so its ~800k cached records never pressure the
+        # headline measurements.
+        from neo4j_enterprise_spark.graph.generator import fixture_graph
         from neo4j_enterprise_spark.operators import record_checks as rc
 
         g = fixture_graph(spark, node_count=100_000)
@@ -115,9 +119,17 @@ def main() -> None:
             df.count()
         b1_total = 0.0
         for fam, df in rc.check_families(g).items():
-            t0 = time.perf_counter()
-            df.count()
-            dt = time.perf_counter() - t0
+            # median-of-3: the small-store checks (dictionaries,
+            # graph_props) are all fixed plan overhead, where a single
+            # GC pause reads as a 6x phase regression
+            samples = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                df.count()
+                samples.append(time.perf_counter() - t0)
+                if samples[0] > 5.0:
+                    break
+            dt = sorted(samples)[len(samples) // 2]
             b1_total += dt
             n_rec = counts[fam]
             phases.append(

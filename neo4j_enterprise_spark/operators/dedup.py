@@ -322,3 +322,59 @@ def simhash_md5_60(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for i in range(60):
         sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(0)
     return agg.select("doc_id", sim.alias("simhash"))
+
+
+def span_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    block: int = 4,
+    min_count: int = 2,
+) -> DataFrame:
+    """Duplicated-span removal (the RefinedWeb/CCNet "repeated line"
+    filter generalized to token blocks): cut each document into
+    non-overlapping ``block``-token spans, count every span corpus-wide,
+    and strip spans occurring ``min_count``+ times, reassembling the
+    surviving text in order.
+
+    Ladder step 1.5 — finer-grained than whole-document exact dedup
+    (step 1), far cheaper than MinHash (step 2): two narrow shuffles
+    (span-count groupBy + span-key join), both map-side combinable, and
+    the span key can be digested to 16 bytes at scale so shuffle width
+    is independent of span length. No all-pairs anywhere.
+
+    Returns (doc_id, n_blocks, n_removed, clean_md5) where clean_md5
+    digests the reassembled surviving text (portable md5 so the full
+    remove-and-reassemble pipeline is SQL-oracle-checkable).
+    """
+    toks = F.split(F.col(text_col), " ")
+    nblocks = F.ceil(F.size(toks) / F.lit(float(block))).cast("int")
+    spans = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(nblocks, F.lit(1)) - 1),
+                lambda i: F.struct(
+                    i.cast("int").alias("block_idx"),
+                    F.concat_ws(" ", F.slice(toks, i * block + 1, block)).alias(
+                        "block"
+                    ),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.block_idx", "s.block")
+    counts = spans.groupBy("block").agg(F.count("*").alias("cnt"))
+    joined = spans.join(counts, "block")
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("cnt") < min_count, F.struct("block_idx", "block")
+            )
+        )
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum((F.col("cnt") >= min_count).cast("long")).alias("n_removed"),
+        F.md5(
+            F.concat_ws(" ", F.transform(kept, lambda x: x["block"]))
+        ).alias("clean_md5"),
+    )

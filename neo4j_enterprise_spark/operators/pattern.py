@@ -211,8 +211,8 @@ def cypher_match(
 # the WITH inside a string predicate never splits a clause; the pair-builder
 # below re-merges them into the preceding clause body.
 _KW_SPLIT_RE = re.compile(
-    r"\b(OPTIONAL\s+MATCH|MATCH|WHERE|STARTS\s+WITH|ENDS\s+WITH|WITH|RETURN|"
-    r"ORDER\s+BY|SKIP|LIMIT)\b",
+    r"\b(OPTIONAL\s+MATCH|MATCH|WHERE|STARTS\s+WITH|ENDS\s+WITH|WITH|UNWIND|"
+    r"RETURN|ORDER\s+BY|SKIP|LIMIT)\b",
     re.I,
 )
 _COND_RE = re.compile(
@@ -226,6 +226,8 @@ _AGG_RE = re.compile(
     re.I,
 )
 _AS_RE = re.compile(r"^(.*?)\s+AS\s+(\w+)$", re.I | re.S)
+_LENGTH_RE = re.compile(r"^length\(\s*(\w+)\s*\)$", re.I)
+_SHORTEST_RE = re.compile(r"^(\w+)\s*=\s*shortestPath\s*\(\s*(\(.*\))\s*\)\s*$", re.I | re.S)
 
 
 def _parse_literal(raw: str):
@@ -269,6 +271,14 @@ def _parse_items(body: str):
             var, prop = (arg.split(".") + [None])[:2] if arg != "*" else (None, None)
             items.append((f"agg:{fn}", var, prop, distinct, alias or fn))
         else:
+            lm = _LENGTH_RE.match(one)
+            if lm:
+                # length(p) over a shortestPath-bound variable: the path
+                # var IS its hop count relationally, so this is a plain
+                # projection of that column
+                var = lm.group(1)
+                items.append(("plain", var, None, False, alias or f"length_{var}"))
+                continue
             pm = re.match(r"^(\w+)(?:\.(\w+))?$", one)
             if not pm:
                 raise ValueError(f"unsupported projection item: {one!r}")
@@ -339,6 +349,91 @@ def _project_items(out: DataFrame, items, distinct_flag: bool) -> DataFrame:
     return out
 
 
+def _node_bound(nodes: DataFrame, var: str, kind: str | None, props: dict) -> DataFrame:
+    """Node ids satisfying a ``(var:kind {props})`` spec, aliased to var."""
+    cond = F.lit(True)
+    if kind is not None:
+        cond = cond & (F.col("kind") == kind)
+    for key, val in props.items():
+        if key not in nodes.columns:
+            raise ValueError(f"unknown node property {key!r} for ({var})")
+        cond = cond & (F.col(key) == F.lit(val))
+    return nodes.filter(cond).select(F.col("id").alias(var))
+
+
+def shortest_path_match(
+    nodes: DataFrame,
+    rels: DataFrame,
+    path_var: str,
+    inner: str,
+    attach: dict[str, list[str]] | None = None,
+) -> tuple[DataFrame, set[str]]:
+    """Compile ``p = shortestPath((a ...)-[:T*lo..hi]->(b ...))``.
+
+    Cypher's shortestPath binds ONE minimal-length path per endpoint
+    pair; its relational observable is the pair plus the minimal hop
+    count, so the compiled plan returns columns (a, b, p) with
+    ``p`` = min hops (`length(p)` projects it). Execution is the BFS
+    frontier of ``traversal.bfs_reachable`` — per-source first-seen
+    min via map-side-combinable groupBy-min, never an all-pairs join —
+    seeded from the left spec, endpoint-filtered by the right spec
+    (broadcast semi-join when the spec carries literal props).
+    """
+    m = _NODE_RE.match(inner)
+    if not m:
+        raise ValueError(f"shortestPath needs a node pattern: {inner!r}")
+    a_var, a_kind, a_props = m.group(1) or "a", m.group(2), _parse_props(m.group(3))
+    em = _EDGE_RE.match(inner, m.end())
+    if not em or em.group(3) is None:
+        raise ValueError(
+            f"shortestPath needs one variable-length edge (*lo..hi): {inner!r}"
+        )
+    left, type_name, lo, hi, right = em.groups()
+    direction = "in" if left == "<" and right != ">" else "out"
+    if (left == "<") == (right == ">"):
+        raise ValueError(f"edge needs exactly one arrow: {em.group(0)!r}")
+    nm = _NODE_RE.match(inner, em.end())
+    if not nm or inner[nm.end():].strip():
+        raise ValueError(f"shortestPath takes a single segment: {inner!r}")
+    b_var, b_kind, b_props = nm.group(1) or "b", nm.group(2), _parse_props(nm.group(3))
+    lo, hi = int(lo), int(hi)
+    if not 0 <= lo <= hi:
+        raise ValueError(f"bad quantifier *{lo}..{hi}")
+
+    from .traversal import bfs_reachable
+
+    seeds = _node_bound(nodes, a_var, a_kind, a_props).select(
+        F.col(a_var).alias("seed")
+    )
+    reach = bfs_reachable(
+        rels,
+        seeds,
+        k=hi,
+        direction=direction,
+        types=[type_name] if type_name else None,
+        cache_edges=hi > 1,
+    ).filter(F.col("hops") >= lo)
+    out = reach.select(
+        F.col("seed").alias(a_var),
+        F.col("node_id").alias(b_var),
+        F.col("hops").cast("int").alias(path_var),
+    )
+    if b_kind is not None or b_props:
+        bound = _node_bound(nodes, b_var, b_kind, b_props)
+        out = out.join(F.broadcast(bound) if b_props else bound, b_var, "left_semi")
+    for var, cols in (attach or {}).items():
+        if var not in (a_var, b_var):
+            raise ValueError(f"attach: {var!r} is not bound by shortestPath")
+        missing = [c for c in cols if c not in nodes.columns]
+        if missing:
+            raise ValueError(f"attach: unknown node columns {missing}")
+        proj = nodes.select(
+            F.col("id").alias(var), *[F.col(c).alias(f"{var}_{c}") for c in cols]
+        )
+        out = out.join(proj, var)
+    return out, {a_var, b_var, path_var}
+
+
 def _compile_stage(nodes, rels, match_body, opt_body, attach):
     """Compile one MATCH [+ OPTIONAL MATCH] pattern group, attaching the
     requested var properties. OPTIONAL MATCH compiles to a LEFT OUTER
@@ -368,10 +463,16 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
 
         MATCH <pattern>
         [WHERE <var>[.<prop>] <op> <literal> [AND ...]]
-        [WITH [DISTINCT] <item> [, ...] [WHERE ...] MATCH ... [WHERE ...]]*
+        [WITH [DISTINCT] <item> [, ...] [WHERE ...] [UNWIND <list var> AS x]
+         [MATCH ...] [WHERE ...]]*
         [RETURN [DISTINCT] <item> [, ...]]
         [ORDER BY <alias> [ASC|DESC] [, ...]]
         [SKIP <n>] [LIMIT <n>]
+
+    MATCH also accepts ``p = shortestPath((a ...)-[:T*lo..hi]->(b ...))``
+    (compiled to the BFS min-hops frontier; ``length(p)`` projects the
+    hop count). ``UNWIND`` explodes a carried ``collect()`` list back
+    into rows (property access on the unwound variable is not wired).
 
     items: var | var.prop | count(*) | count([DISTINCT] var) |
     sum/min/max/avg(var.prop) | collect([DISTINCT] var[.prop]), each
@@ -411,9 +512,9 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
             pairs.append((key, body.strip()))
 
     # ---- split the clause stream into WITH-delimited stages ----------
-    stages = []  # {post_where, match, opt, where, with_items, with_distinct}
-    cur = {"post_where": [], "match": None, "opt": None, "where": [],
-           "with_items": None, "with_distinct": False}
+    stages = []  # {post_where, unwind, match, opt, where, with_items, with_distinct}
+    cur = {"post_where": [], "unwind": [], "match": None, "opt": None,
+           "where": [], "with_items": None, "with_distinct": False}
     tail: dict[str, str] = {}  # RETURN / ORDER BY / SKIP / LIMIT
     seen_return = False
     for kw, body in pairs:
@@ -434,12 +535,21 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
             cur["opt"] = body
         elif kw == "WHERE":
             (cur["where"] if cur["match"] is not None else cur["post_where"]).append(body)
+        elif kw == "UNWIND":
+            um = _AS_RE.match(body)
+            if not um or not re.match(r"^\w+$", um.group(1).strip()):
+                raise ValueError(
+                    f"UNWIND supports '<carried list var> AS x': {body!r}"
+                )
+            if cur["match"] is not None:
+                raise ValueError("UNWIND must precede this stage's MATCH")
+            cur["unwind"].append((um.group(1).strip(), um.group(2)))
         elif kw == "WITH":
             items, dist = _parse_items(body)
             cur["with_items"], cur["with_distinct"] = items, dist
             stages.append(cur)
-            cur = {"post_where": [], "match": None, "opt": None, "where": [],
-                   "with_items": None, "with_distinct": False}
+            cur = {"post_where": [], "unwind": [], "match": None, "opt": None,
+                   "where": [], "with_items": None, "with_distinct": False}
         elif kw == "RETURN":
             tail["RETURN"] = body
             seen_return = True
@@ -478,15 +588,35 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
 
         if carried is not None and post_conds:
             carried = _apply_conds(carried, post_conds)
+        if stage["unwind"]:
+            # UNWIND <list var> AS x — explode a carried collect() list
+            # back into rows (Cypher's list→rows horizon). Row expansion
+            # happens where the list lives; no shuffle is introduced.
+            if carried is None:
+                raise ValueError("UNWIND before the first WITH is unsupported")
+            for src, alias in stage["unwind"]:
+                if src not in carried.columns:
+                    raise ValueError(f"UNWIND of unbound variable {src!r}")
+                carried = carried.withColumn(alias, F.explode(F.col(src)))
+                if alias != src:
+                    carried = carried.drop(src)
 
         pattern_vars: set[str] = set()
         if stage["match"] is not None:
             pattern_attach = {
                 v: ps for v, ps in attach.items() if v not in carried_node_vars
             }
-            df_stage, pattern_vars = _compile_stage(
-                nodes, rels, stage["match"], stage["opt"], pattern_attach
-            )
+            sp = _SHORTEST_RE.match(stage["match"])
+            if sp:
+                if stage["opt"]:
+                    raise ValueError("OPTIONAL MATCH with shortestPath unsupported")
+                df_stage, pattern_vars = shortest_path_match(
+                    nodes, rels, sp.group(1), sp.group(2), pattern_attach
+                )
+            else:
+                df_stage, pattern_vars = _compile_stage(
+                    nodes, rels, stage["match"], stage["opt"], pattern_attach
+                )
             bad = set(pattern_attach) - pattern_vars - carried_node_vars
             if bad:
                 raise ValueError(f"unbound variables referenced: {sorted(bad)}")

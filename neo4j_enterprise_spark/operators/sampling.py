@@ -296,3 +296,34 @@ def mixture_resample(
         .filter(F.col("rn") <= F.col("quota"))
         .drop("rn", "quota")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle: every row gets a
+    stable ``shard`` (``key % n_shards`` — static membership keeps data
+    locality across epochs) and a seed-dependent ``pos`` inside its
+    shard (rank by ``md5(seed|key)`` — a new seed is a new permutation).
+
+    Scale design: no global sort — the only wide op is one window
+    partitioned by shard, so shards permute independently and in
+    parallel; at 100 TB raise ``n_shards`` until a shard fits an
+    executor. Assignment depends only on (seed, key): re-runs and
+    retries are stable, and a reader streams epoch order by scanning
+    shards sorted by ``pos``.
+    """
+    from pyspark.sql import Window
+
+    key = F.col(key_col)
+    ord_key = F.md5(F.concat_ws("|", F.lit(str(seed)), key.cast("string")))
+    shard = (key % n_shards).cast("int")
+    w = Window.partitionBy(shard).orderBy(ord_key, key)
+    return df.select(
+        key_col,
+        shard.alias("shard"),
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    )

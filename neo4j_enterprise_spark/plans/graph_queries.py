@@ -1812,3 +1812,71 @@ def index_put_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cust") <= 200)
         .orderBy("cust")
     )
+
+
+@register(
+    "cypher_shortest_path",
+    f"""
+    {graph_cte()},
+    seeds AS (SELECT id AS seed FROM nodes WHERE kind = 'supplier'),
+    hop1 AS (SELECT s.seed, r.dst AS node_id FROM seeds s
+             JOIN rels r ON r.src = s.seed GROUP BY s.seed, r.dst),
+    hop2 AS (SELECT h.seed, r.dst AS node_id FROM hop1 h
+             JOIN rels r ON r.src = h.node_id GROUP BY h.seed, r.dst),
+    hop3 AS (SELECT h.seed, r.dst AS node_id FROM hop2 h
+             JOIN rels r ON r.src = h.node_id GROUP BY h.seed, r.dst),
+    reach AS (SELECT seed, node_id, 1 AS hops FROM hop1
+              UNION ALL SELECT seed, node_id, 2 FROM hop2
+              UNION ALL SELECT seed, node_id, 3 FROM hop3),
+    minr AS (SELECT seed, node_id, MIN(hops) AS hops
+             FROM reach GROUP BY seed, node_id)
+    SELECT m.seed AS a, m.node_id AS b, CAST(m.hops AS INT) AS hops
+    FROM minr m JOIN nodes n ON n.id = m.node_id AND n.kind = 'region'
+    ORDER BY a, b
+    """,
+    doc="Cypher shortestPath(): MATCH p = shortestPath((a {kind:'supplier'})"
+    "-[*1..3]->(b {kind:'region'})) RETURN a, b, length(p). Compiled to "
+    "the bfs_reachable frontier (per-source first-seen min hops), "
+    "endpoint-filtered — never an all-pairs product.",
+)
+def cypher_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pattern import cypher_query
+
+    nodes = derived_nodes(spark, sf_dir)
+    rels = derived_rels(spark, sf_dir)
+    return cypher_query(
+        nodes,
+        rels,
+        "MATCH p = shortestPath((a {kind: 'supplier'})-[*1..3]->(b {kind: 'region'})) "
+        "RETURN a, b, length(p) AS hops ORDER BY a, b",
+    )
+
+
+@register(
+    "cypher_collect_unwind",
+    f"""
+    {graph_cte()}
+    SELECT r.dst AS n, r.src AS m
+    FROM rels r JOIN nodes nn ON nn.id = r.dst AND nn.kind = 'nation'
+    WHERE r.type_name = 'SUPP_NATION'
+    ORDER BY n, m
+    """,
+    doc="Cypher collect()→UNWIND roundtrip: MATCH (n:nation)"
+    "<-[:SUPP_NATION]-(s) WITH n, collect(s) AS members UNWIND members "
+    "AS m RETURN n, m — the aggregate-then-explode horizon compiles to "
+    "collect_list + explode with no extra shuffle; the roundtrip is the "
+    "identity, which the flat-join oracle proves.",
+)
+def cypher_collect_unwind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pattern import cypher_query
+
+    nodes = derived_nodes(spark, sf_dir)
+    rels = derived_rels(spark, sf_dir)
+    return cypher_query(
+        nodes,
+        rels,
+        "MATCH (n:nation)<-[:SUPP_NATION]-(s) "
+        "WITH n, collect(s) AS members "
+        "UNWIND members AS m "
+        "RETURN n, m ORDER BY n, m",
+    )

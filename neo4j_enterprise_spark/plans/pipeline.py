@@ -1259,3 +1259,52 @@ def docs_term_lift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "term", "tf", "lift")
         .orderBy("source", F.desc("lift"), F.desc("tf"), "term")
     )
+
+
+@register(
+    "docs_span_dedup",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    b AS (SELECT doc_id, CAST(i AS INT) AS block_idx,
+                 array_to_string(toks[(i*4+1):(i*4+4)], ' ') AS block
+          FROM t, UNNEST(range(CAST(ceil(len(toks)/4.0) AS BIGINT))) AS u(i)),
+    c AS (SELECT block, COUNT(*) AS cnt FROM b GROUP BY block),
+    k AS (SELECT b.doc_id, b.block_idx, b.block, c.cnt
+          FROM b JOIN c USING (block))
+    SELECT doc_id,
+           COUNT(*) AS n_blocks,
+           CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           md5(coalesce(string_agg(CASE WHEN cnt < 2 THEN block END,
+                                   ' ' ORDER BY block_idx), '')) AS clean_md5
+    FROM k GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Duplicated-span removal (RefinedWeb repeated-line filter over "
+    "4-token blocks): corpus-wide span counts, strip spans seen 2+ "
+    "times, md5 the reassembled text. Two narrow map-side-combinable "
+    "shuffles; dedup-ladder step between exact and MinHash.",
+)
+def docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.span_dedup(docs, block=4, min_count=2).orderBy("doc_id")
+
+
+@register(
+    "docs_epoch_shuffle",
+    """
+    SELECT doc_id,
+           CAST(doc_id % 8 AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+                PARTITION BY doc_id % 8
+                ORDER BY md5('7|' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+                AS BIGINT) AS pos
+    FROM documents ORDER BY shard, pos
+    """,
+    doc="Deterministic epoch shuffle (training-order randomization): "
+    "static shard membership + seed-keyed md5 rank within shard; one "
+    "shard-partitioned window, no global sort.",
+)
+def docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.epoch_shuffle(docs, n_shards=8, seed=7).orderBy("shard", "pos")

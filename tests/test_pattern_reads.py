@@ -165,3 +165,57 @@ def test_cypher_var_length_typed_and_bad_quantifier(spark):
         cypher_match(nodes, rels, "(a)-[]->(b)")  # no type, no quantifier
     with _pytest.raises(ValueError):
         match_path(nodes, rels, [("X", "out", 2, 1)])  # hi < lo
+
+
+def test_cypher_shortest_path_min_hops_and_endpoint_filter(spark):
+    from neo4j_enterprise_spark.operators.pattern import cypher_query
+
+    nodes = spark.createDataFrame(
+        [(0, "s", True, "a"), (1, "m", True, "b"), (2, "t", True, "c"),
+         (3, "t", True, "d")],
+        "id long, kind string, in_use boolean, name string",
+    )
+    # 0->1->2 plus shortcut 0->2 (min hops 1); 3 unreachable from 0
+    rels = spark.createDataFrame(
+        [(0, 0, 1, "X"), (1, 1, 2, "X"), (2, 0, 2, "X")],
+        "id long, src long, dst long, type_name string",
+    )
+    out = cypher_query(
+        nodes, rels,
+        "MATCH p = shortestPath((a:s)-[*1..3]->(b:t)) "
+        "RETURN a, b, length(p) AS hops ORDER BY b",
+    )
+    assert [(r["a"], r["b"], r["hops"]) for r in out.collect()] == [(0, 2, 1)]
+
+    # direction reversal: <- walks the in-edges
+    rev = cypher_query(
+        nodes, rels,
+        "MATCH p = shortestPath((a:t)<-[*1..3]-(b:s)) "
+        "RETURN a, b, length(p) AS hops ORDER BY a",
+    )
+    assert [(r["a"], r["b"], r["hops"]) for r in rev.collect()] == [(2, 0, 1)]
+
+
+def test_cypher_unwind_explodes_collected_list(spark):
+    from neo4j_enterprise_spark.operators.pattern import cypher_query
+
+    nodes = spark.createDataFrame(
+        [(0, "g", True, "a"), (1, "x", True, "b"), (2, "x", True, "c")],
+        "id long, kind string, in_use boolean, name string",
+    )
+    rels = spark.createDataFrame(
+        [(0, 0, 1, "HAS"), (1, 0, 2, "HAS")],
+        "id long, src long, dst long, type_name string",
+    )
+    out = cypher_query(
+        nodes, rels,
+        "MATCH (g:g)-[:HAS]->(x) WITH g, collect(x) AS xs "
+        "UNWIND xs AS m RETURN g, m ORDER BY m",
+    )
+    assert [(r["g"], r["m"]) for r in out.collect()] == [(0, 1), (0, 2)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cypher_query(nodes, rels,
+                     "MATCH (g:g)-[:HAS]->(x) WITH g, collect(x) AS xs "
+                     "UNWIND nope AS m RETURN g, m")

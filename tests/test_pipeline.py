@@ -256,3 +256,29 @@ def test_chunk_documents_window_stride_semantics(spark):
     assert rows[(3, 0)] == ("solo", 1)
     assert {k[0] for k in rows} == {1, 2, 3}
     assert len([k for k in rows if k[0] == 1]) == 3
+
+
+def test_span_dedup_strips_repeated_blocks(spark):
+    # doc 0 and 1 share the block "a b c d"; doc 2 is all-unique;
+    # doc 3 is the shared block alone (everything removed -> md5(''))
+    rows = [
+        (0, "a b c d w x y z"),
+        (1, "a b c d p q r s"),
+        (2, "m n o p q r s t"),
+        (3, "a b c d"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.span_dedup(docs, block=4, min_count=2).collect()
+    }
+    assert out[0]["n_blocks"] == 2 and out[0]["n_removed"] == 1
+    assert out[1]["n_removed"] == 1
+    assert out[2]["n_removed"] == 0
+    # doc 3: its only block is shared -> empty survivor text
+    assert out[3]["n_removed"] == 1
+    import hashlib
+
+    assert out[3]["clean_md5"] == hashlib.md5(b"").hexdigest()
+    # survivors keep original order: doc 0 -> "w x y z"
+    assert out[0]["clean_md5"] == hashlib.md5(b"w x y z").hexdigest()

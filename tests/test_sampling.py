@@ -194,3 +194,22 @@ def test_mixture_resample_exact_proportions(spark):
         df.repartition(7), "lang", {"a": 3, "b": 2, "c": 1}
     ).collect()
     assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)
+
+
+def test_epoch_shuffle_deterministic_and_seed_sensitive(spark):
+    from neo4j_enterprise_spark.operators.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    a = {(r["doc_id"], r["shard"], r["pos"]) for r in epoch_shuffle(df, seed=1).collect()}
+    b = {(r["doc_id"], r["shard"], r["pos"]) for r in epoch_shuffle(df, seed=1).collect()}
+    c = {(r["doc_id"], r["shard"], r["pos"]) for r in epoch_shuffle(df, seed=2).collect()}
+    assert a == b  # re-run stable
+    assert a != c  # new seed = new permutation
+    # shard membership static across seeds; positions dense per shard
+    assert {(d, s) for d, s, _ in a} == {(d, s) for d, s, _ in c}
+    from collections import defaultdict
+
+    by_shard = defaultdict(set)
+    for _, s, p in a:
+        by_shard[s].add(p)
+    assert all(ps == set(range(len(ps))) for ps in by_shard.values())
