@@ -897,11 +897,17 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("late").alias("late"))
     )
-    per_order = agg.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.count("*").alias("n_supp"), F.sum("late").alias("n_late")
-    )
+    # per-order totals as a window over the (order, supplier) aggregate:
+    # the upstream join/agg already hash-partitioned on l_orderkey, which
+    # satisfies the window's clustering too — so the EXISTS/NOT-EXISTS
+    # pair costs no shuffle and no self-join at all (vs the former
+    # agg⟕per_order join: one extra aggregate + one extra exchange)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("l_orderkey")
     return (
-        agg.join(per_order, agg["l_orderkey"] == per_order["ok"])
+        agg.withColumn("n_supp", F.count("*").over(w))
+        .withColumn("n_late", F.sum("late").over(w))
         .filter((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
         .groupBy(F.col("l_suppkey").alias("suppkey"))
         .agg(F.count("*").alias("numwait"))
