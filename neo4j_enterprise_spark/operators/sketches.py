@@ -65,3 +65,78 @@ def merge_distinct_sketches(
     return state.groupBy(*keys).agg(
         F.hll_sketch_estimate(F.hll_union_agg("distinct_sketch")).alias(estimate_col)
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 16,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Misra-Gries heavy hitters: every value with (weighted) frequency
+    > N/k, found in one pass with k counters per partition.
+
+    Two-level plan (the classic distributed MG composition):
+    1. per-partition MG summaries via ``mapInPandas`` — each task keeps
+       at most ``k`` (value, weight) counters, decrementing all when a
+       new value arrives at capacity (Arrow-batched, no Python per-row
+       loop across batches beyond the counter dict);
+    2. merge = groupBy-sum of the surviving counters + top-k.
+
+    Guarantee (proved in tests, not oracle-checkable — candidate
+    UNDER-counts depend on partitioning): every true heavy hitter
+    survives — a value with true weight W keeps a merged counter
+    ≥ W - N/k > 0 when W > N/k — and reported counts never exceed true
+    counts. The exchange carries ≤ k rows per task regardless of data
+    size; the candidate set is verified exactly with one semi-join
+    re-scan (standard two-pass heavy-hitters at scale).
+    """
+    import pandas as pd
+
+    out_schema = f"value string, weight long"
+
+    def mg_partial(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            vals = pdf[col].astype(str)
+            wts = pdf[weight_col] if weight_col else pd.Series(1, index=pdf.index)
+            for v, w in zip(vals, wts):
+                w = int(w)
+                if v in counters:
+                    counters[v] += w
+                elif len(counters) < k:
+                    counters[v] = w
+                else:
+                    # decrement-all by the min survivor weight (batch
+                    # form of MG's decrement; preserves the invariant
+                    # count[v] >= true[v] - N/k)
+                    dec = min(w, min(counters.values()))
+                    counters = {
+                        c: n - dec for c, n in counters.items() if n - dec > 0
+                    }
+                    if w - dec > 0:
+                        counters[v] = w - dec
+        yield pd.DataFrame(
+            {"value": list(counters), "weight": list(counters.values())}
+        )
+
+    cols = [col] + ([weight_col] if weight_col else [])
+    partials = df.select(*cols).mapInPandas(mg_partial, out_schema)
+    return (
+        partials.groupBy("value")
+        .agg(F.sum("weight").alias("min_weight"))
+        .orderBy(F.desc("min_weight"), "value")
+        .limit(k)
+    )
+
+
+def verify_heavy_hitters(df: DataFrame, col: str, candidates: DataFrame) -> DataFrame:
+    """Second pass: exact counts for the candidate set only (broadcast
+    semi-join — the candidate set is ≤ k rows, so this re-scan counts a
+    handful of keys, never a full groupBy over all distinct values)."""
+    return (
+        df.select(F.col(col).cast("string").alias("value"))
+        .join(F.broadcast(candidates.select("value")), "value", "left_semi")
+        .groupBy("value")
+        .agg(F.count("*").alias("exact_count"))
+    )

@@ -1308,3 +1308,38 @@ def docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return sampling.epoch_shuffle(docs, n_shards=8, seed=7).orderBy("shard", "pos")
+
+
+@register(
+    "docs_heavy_hitter_terms",
+    """
+    WITH t AS (SELECT unnest(string_split(text, ' ')) AS value FROM documents),
+    c AS (SELECT value, COUNT(*) AS exact_count FROM t GROUP BY value),
+    tot AS (SELECT SUM(exact_count) AS n FROM c)
+    SELECT c.value, c.exact_count
+    FROM c, tot WHERE c.exact_count * 32 > tot.n
+    ORDER BY exact_count DESC, value
+    """,
+    doc="Two-pass Misra-Gries heavy hitters over document terms: "
+    "mapInPandas k-counter partials (<= k rows shuffled per task "
+    "regardless of input size) -> merged candidates -> exact verify of "
+    "the candidate set only (broadcast semi-join) -> threshold "
+    "exact_count*32 > N. The MG superset guarantee makes the FINAL "
+    "verified output exact, so the whole approximate pipeline is "
+    "oracle-checked (the sketch itself is bound-tested in "
+    "test_sketches).",
+)
+def docs_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+    cand = sketches.heavy_hitters(toks, "term", k=32)
+    exact = sketches.verify_heavy_hitters(toks, "term", cand)
+    total = toks.agg(F.count("*").alias("n"))
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("exact_count") * 32 > F.col("n"))
+        .select("value", "exact_count")
+        .orderBy(F.desc("exact_count"), "value")
+    )

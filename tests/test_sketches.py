@@ -112,3 +112,30 @@ def test_numeric_histogram_buckets_cover_range(spark):
     assert rows[0]["lo"] == 0.0 and rows[-1]["hi"] == 99.0
     # max value lands in the last bucket, not bucket 10
     assert rows[-1]["bucket"] == 9 and rows[-1]["n"] == 10
+
+
+def test_heavy_hitters_superset_and_undercount(spark):
+    from neo4j_enterprise_spark.operators.sketches import (
+        heavy_hitters,
+        verify_heavy_hitters,
+    )
+
+    # skewed stream: value "hot" = 40% of 2000 rows, "warm" = 20%,
+    # the rest spread over 200 cold values
+    rows = (
+        [("hot",)] * 800 + [("warm",)] * 400 + [(f"c{i % 200}",) for i in range(800)]
+    )
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    hh = heavy_hitters(df, "v", k=10)
+    got = {r["value"]: r["min_weight"] for r in hh.collect()}
+    # every value with freq > N/k = 200 MUST survive
+    assert "hot" in got and "warm" in got
+    # MG counters never exceed the true counts
+    assert got["hot"] <= 800 and got["warm"] <= 400
+    # and undercount by at most N/k per partition-merge bound
+    assert got["hot"] >= 800 - 2000 // 10
+    exact = {
+        r["value"]: r["exact_count"]
+        for r in verify_heavy_hitters(df, "v", hh).collect()
+    }
+    assert exact["hot"] == 800 and exact["warm"] == 400
