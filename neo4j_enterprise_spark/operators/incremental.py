@@ -60,3 +60,33 @@ def merge_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
         *[F.sum(c).alias(c) for c in value_cols]
     )
     return merged.filter(F.col(COUNT_COL) != 0)
+
+
+def join_delta(
+    base_left: DataFrame,
+    base_right: DataFrame,
+    delta_left: DataFrame,
+    delta_right: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Incremental JOIN maintenance: the delta of ``L ⋈ R`` when L gains
+    ``delta_left`` and R gains ``delta_right`` is::
+
+        ΔL ⋈ R  ∪  L ⋈ ΔR  ∪  ΔL ⋈ ΔR
+
+    (the classic counting/delta rule for inner equi-joins; insert-only
+    here — deletions compose via the negated-state convention of
+    ``merge_states`` when the join feeds an aggregate).
+
+    Scale shape: each term joins a DELTA (a day's ingest) against a
+    base — the bases never join each other again, so the daily cost is
+    O(|Δ| · matched), not O(|L ⋈ R|). With both bases bucketed on the
+    join key, the delta side alone shuffles; broadcast applies whenever
+    a delta is small enough.
+    """
+    new_view = (
+        delta_left.join(base_right, on)
+        .unionByName(base_left.join(delta_right, on))
+        .unionByName(delta_left.join(delta_right, on))
+    )
+    return new_view

@@ -2093,3 +2093,53 @@ def events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start_us", "event_type")
     )
+
+
+@register(
+    "orders_incremental_join_view",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Incremental JOIN-view maintenance (delta rule ΔL⋈R ∪ L⋈ΔR ∪ "
+    "ΔL⋈ΔR): the orders⋈lineitem revenue view absorbs a batch of new "
+    "orders (o_orderdate >= 1997-07-01) AND new lineitems (l_shipdate >= "
+    "1997-07-01) by joining only the deltas against the bases — the "
+    "bases never re-join — then merging the delta's aggregate state "
+    "into the old view's state (operators/incremental.py). The oracle "
+    "recomputes the view from scratch, proving old ∪ delta == full. "
+    "Prices quantized to cents so state sums are exact integers.",
+)
+def orders_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import incremental
+
+    cut = "1997-07-01"
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        "l_shipdate",
+    )
+    bo, do_ = o.filter(F.col("o_orderdate") < cut), o.filter(F.col("o_orderdate") >= cut)
+    bl, dl = (
+        li.filter(F.col("l_shipdate") < cut),
+        li.filter(F.col("l_shipdate") >= cut),
+    )
+    keep = ["k", "o_orderpriority", "price_cents"]
+    old_view = bo.join(bl, "k").select(*keep)
+    delta_view = incremental.join_delta(bo, bl, do_, dl, ["k"]).select(*keep)
+    old_state = incremental.sum_state(
+        old_view, ["o_orderpriority"], {"sum_price_cents": F.col("price_cents")}
+    )
+    delta_state = incremental.sum_state(
+        delta_view, ["o_orderpriority"], {"sum_price_cents": F.col("price_cents")}
+    )
+    return incremental.merge_states(
+        [old_state, delta_state], ["o_orderpriority"]
+    ).orderBy("o_orderpriority")

@@ -282,3 +282,23 @@ def test_span_dedup_strips_repeated_blocks(spark):
     assert out[3]["clean_md5"] == hashlib.md5(b"").hexdigest()
     # survivors keep original order: doc 0 -> "w x y z"
     assert out[0]["clean_md5"] == hashlib.md5(b"w x y z").hexdigest()
+
+
+def test_join_delta_equals_recompute(spark):
+    from neo4j_enterprise_spark.operators.incremental import join_delta
+
+    L0 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, l string")
+    R0 = spark.createDataFrame([(1, 10), (3, 30)], "k long, r long")
+    dL = spark.createDataFrame([(3, "c")], "k long, l string")
+    dR = spark.createDataFrame([(2, 20), (3, 31)], "k long, r long")
+
+    full_new = L0.unionByName(dL).join(R0.unionByName(dR), "k")
+    old = L0.join(R0, "k")
+    delta = join_delta(L0, R0, dL, dR, ["k"])
+    got = {tuple(r) for r in old.unionByName(delta).collect()}
+    want = {tuple(r) for r in full_new.collect()}
+    assert got == want
+    # the delta itself is exactly the difference
+    assert {tuple(r) for r in delta.collect()} == want - {
+        tuple(r) for r in old.collect()
+    }
