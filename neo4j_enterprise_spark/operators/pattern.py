@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 # type: "-[*1..2]->"
 _NODE_RE = re.compile(r"\(\s*(\w+)?\s*(?::\s*(\w+))?\s*(?:\{([^}]*)\})?\s*\)")
 _EDGE_RE = re.compile(
-    r"(<?)-\[\s*(?::\s*(\w+))?\s*(?:\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]-(>?)"
+    r"(<?)-\[\s*(\w+)?\s*(?::\s*(\w+))?\s*(?:\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]-(>?)"
 )
 _PROP_RE = re.compile(r"(\w+)\s*:\s*('[^']*'|\"[^\"]*\"|[\w.+-]+)")
 
@@ -50,6 +50,7 @@ def match_path(
     rels: DataFrame,
     steps: Sequence[tuple[str, str]],
     start_filter=None,
+    rel_vars: Sequence[str | None] | None = None,
 ) -> DataFrame:
     """Match a fixed-length path pattern.
 
@@ -76,12 +77,27 @@ def match_path(
     for i, step in enumerate(steps):
         type_name, direction = step[0], step[1]
         lo, hi = (step[2], step[3]) if len(step) > 2 else (1, 1)
+        rel_var = rel_vars[i] if rel_vars else None
         e = rels if type_name is None else rels.filter(F.col("type_name") == type_name)
         if direction == "out":
             edge = e.select(F.col("src").alias("__a"), F.col("dst").alias("__b"))
         else:
             edge = e.select(F.col("dst").alias("__a"), F.col("src").alias("__b"))
-        if (lo, hi) == (1, 1):
+        if rel_var is not None:
+            # bind the relationship id as a column (Cypher rel variable);
+            # a var on a quantified segment would bind a LIST — not wired
+            if (lo, hi) != (1, 1):
+                raise ValueError(
+                    f"rel variable {rel_var!r} on a *{lo}..{hi} segment "
+                    "is unsupported (it binds a path list in Cypher)"
+                )
+            edge = e.select(
+                F.col("src" if direction == "out" else "dst").alias("__a"),
+                F.col("dst" if direction == "out" else "src").alias("__b"),
+                F.col("id").alias(rel_var),
+            )
+            seg = edge
+        elif (lo, hi) == (1, 1):
             seg = edge
         else:
             if not 1 <= lo <= hi:
@@ -100,8 +116,13 @@ def match_path(
                 if k >= lo:
                     acc = level if acc is None else acc.unionByName(level)
             seg = acc.distinct()
+        extra = [rel_var] if rel_var is not None else []
         out = out.join(
-            seg.select(F.col("__a").alias(f"n{i}"), F.col("__b").alias(f"n{i + 1}")),
+            seg.select(
+                F.col("__a").alias(f"n{i}"),
+                F.col("__b").alias(f"n{i + 1}"),
+                *extra,
+            ),
             f"n{i}",
         )
     return out
@@ -146,6 +167,7 @@ def cypher_match(
         (m.group(1) or "n0", m.group(2), _parse_props(m.group(3)))
     ]
     steps: list[tuple[str, str]] = []
+    rel_vars: list[str | None] = []
     pos = m.end()
     while pos < len(pattern):
         em = _EDGE_RE.match(pattern, pos)
@@ -153,15 +175,15 @@ def cypher_match(
             if pattern[pos:].strip() == "":
                 break
             raise ValueError(f"expected edge at: {pattern[pos:]!r}")
-        left, type_name, lo, hi, right = em.groups()
+        left, rel_var, type_name, lo, hi, right = em.groups()
         if left == "<" and right != ">":
             direction = "in"
         elif right == ">" and left != "<":
             direction = "out"
         else:
             raise ValueError(f"edge needs exactly one arrow: {em.group(0)!r}")
-        if type_name is None and lo is None:
-            raise ValueError(f"edge needs a type or a quantifier: {em.group(0)!r}")
+        if type_name is None and lo is None and rel_var is None:
+            raise ValueError(f"edge needs a var, type or quantifier: {em.group(0)!r}")
         pos = em.end()
         nm = _NODE_RE.match(pattern, pos)
         if not nm:
@@ -171,9 +193,10 @@ def cypher_match(
             steps.append((type_name, direction))
         else:
             steps.append((type_name, direction, int(lo), int(hi)))
+        rel_vars.append(rel_var)
         pos = nm.end()
 
-    out = match_path(nodes, rels, steps)
+    out = match_path(nodes, rels, steps, rel_vars=rel_vars)
     for i, (var, _, _) in enumerate(vars_):
         out = out.withColumnRenamed(f"n{i}", var)
     for var, kind, props in vars_:
@@ -384,11 +407,11 @@ def shortest_path_match(
         raise ValueError(f"shortestPath needs a node pattern: {inner!r}")
     a_var, a_kind, a_props = m.group(1) or "a", m.group(2), _parse_props(m.group(3))
     em = _EDGE_RE.match(inner, m.end())
-    if not em or em.group(3) is None:
+    if not em or em.group(4) is None:
         raise ValueError(
             f"shortestPath needs one variable-length edge (*lo..hi): {inner!r}"
         )
-    left, type_name, lo, hi, right = em.groups()
+    left, _rel_var, type_name, lo, hi, right = em.groups()
     direction = "in" if left == "<" and right != ">" else "out"
     if (left == "<") == (right == ">"):
         raise ValueError(f"edge needs exactly one arrow: {em.group(0)!r}")

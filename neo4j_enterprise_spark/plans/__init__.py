@@ -145,6 +145,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_ivf_fixed_top5",
     "docs_incremental_dedup",
     "graph_harmonic_centrality",
+    "docs_span_dedup",
+    "docs_heavy_hitter_terms",
+    "docs_epoch_shuffle",
+    "orders_incremental_join_view",
+    "cypher_shortest_path",
+    "cypher_collect_unwind",
 )
 
 

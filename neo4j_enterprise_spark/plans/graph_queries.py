@@ -1880,3 +1880,35 @@ def cypher_collect_unwind(spark: SparkSession, sf_dir: str) -> DataFrame:
         "UNWIND members AS m "
         "RETURN n, m ORDER BY n, m",
     )
+
+
+@register(
+    "cypher_rel_var_counts",
+    f"""
+    {graph_cte()},
+    c AS (SELECT r.dst AS p, COUNT(r.id) AS n_lines
+          FROM rels r JOIN nodes n ON n.id = r.dst AND n.kind = 'part'
+          WHERE r.type_name = 'CONTAINS'
+          GROUP BY r.dst)
+    SELECT p, n_lines FROM c WHERE n_lines > 3
+    ORDER BY n_lines DESC, p LIMIT 20
+    """,
+    doc="Cypher relationship variables: MATCH (o:order)-[r:CONTAINS]->"
+    "(p:part) WITH p, count(r) AS n_lines WHERE n_lines > 3 — the rel "
+    "var binds the edge id as a column (one extra projected column in "
+    "the same hop join, no extra shuffle), so rel-entity aggregates "
+    "compile like node aggregates.",
+)
+def cypher_rel_var_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pattern import cypher_query
+
+    nodes = derived_nodes(spark, sf_dir)
+    rels = derived_rels(spark, sf_dir)
+    return cypher_query(
+        nodes,
+        rels,
+        "MATCH (o:order)-[r:CONTAINS]->(p:part) "
+        "WITH p, count(r) AS n_lines "
+        "WHERE n_lines > 3 "
+        "RETURN p, n_lines ORDER BY n_lines DESC, p LIMIT 20",
+    )

@@ -219,3 +219,32 @@ def test_cypher_unwind_explodes_collected_list(spark):
         cypher_query(nodes, rels,
                      "MATCH (g:g)-[:HAS]->(x) WITH g, collect(x) AS xs "
                      "UNWIND nope AS m RETURN g, m")
+
+
+def test_rel_variable_binds_edge_id(spark):
+    from neo4j_enterprise_spark.operators.pattern import cypher_match, cypher_query
+
+    nodes = spark.createDataFrame(
+        [(0, "g", True, "a"), (1, "x", True, "b"), (2, "x", True, "c")],
+        "id long, kind string, in_use boolean, name string",
+    )
+    rels = spark.createDataFrame(
+        [(10, 0, 1, "HAS"), (11, 0, 2, "HAS"), (12, 1, 2, "OTHER")],
+        "id long, src long, dst long, type_name string",
+    )
+    out = cypher_match(nodes, rels, "(a:g)-[r:HAS]->(b)")
+    assert {(row["a"], row["r"], row["b"]) for row in out.collect()} == {
+        (0, 10, 1), (0, 11, 2)
+    }
+    # untyped single hop with a var is legal; var-length with a var is not
+    assert cypher_match(nodes, rels, "(a)-[r]->(b)").count() == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cypher_match(nodes, rels, "(a)-[r*1..2]->(b)")
+    # rel var flows through the full query pipeline
+    q = cypher_query(
+        nodes, rels,
+        "MATCH (a:g)-[r:HAS]->(b) RETURN a, count(DISTINCT r) AS n_rels",
+    )
+    assert [(row["a"], row["n_rels"]) for row in q.collect()] == [(0, 2)]
