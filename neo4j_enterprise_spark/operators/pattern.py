@@ -271,6 +271,77 @@ def _parse_conds(body: str):
     return conds
 
 
+_CASE_RE = re.compile(r"^CASE\s+(.*?)\s+END$", re.I | re.S)
+_WHEN_RE = re.compile(
+    r"WHEN\s+(.+?)\s+THEN\s+('[^']*'|\"[^\"]*\"|[\w.+-]+)", re.I | re.S
+)
+_ELSE_RE = re.compile(r"ELSE\s+('[^']*'|\"[^\"]*\"|[\w.+-]+)\s*$", re.I)
+
+
+def _cond_col(out: DataFrame, var, prop, op, lit):
+    """One parsed condition as a Column against ``out``'s schema."""
+    methods = {"=": "__eq__", "<>": "__ne__", "<": "__lt__", "<=": "__le__",
+               ">": "__gt__", ">=": "__ge__", "STARTS WITH": "startswith",
+               "ENDS WITH": "endswith", "CONTAINS": "contains"}
+    name = f"{var}_{prop}" if prop else var
+    if prop and name not in out.columns and var in out.columns:
+        name = var
+    opn = re.sub(r"\s+", " ", op.upper())
+    return getattr(F.col(name), methods[opn])(F.lit(lit))
+
+
+def _parse_case(body: str):
+    """Parse ``CASE WHEN cond THEN lit [WHEN ...]* [ELSE lit] END`` into
+    (builder, prop_refs): builder(df) -> Column, prop_refs = [(var, prop)]
+    so the caller can attach the referenced node properties."""
+    m = _CASE_RE.match(body.strip())
+    if not m:
+        return None
+    inner = m.group(1)
+    whens = _WHEN_RE.findall(inner)
+    if not whens:
+        raise ValueError(f"CASE needs at least one WHEN: {body!r}")
+    em = _ELSE_RE.search(inner)
+    parsed = [(_parse_conds(c), _parse_literal(v)) for c, v in whens]
+    else_val = _parse_literal(em.group(1)) if em else None
+    refs = [(var, prop) for conds, _ in parsed for var, prop, _, _ in conds if prop]
+
+    def build(out: DataFrame):
+        col = None
+        for conds, val in parsed:
+            cond = None
+            for var, prop, op, lit in conds:
+                c = _cond_col(out, var, prop, op, lit)
+                cond = c if cond is None else (cond & c)
+            col = (
+                F.when(cond, F.lit(val))
+                if col is None
+                else col.when(cond, F.lit(val))
+            )
+        return col.otherwise(F.lit(else_val)) if else_val is not None else col
+
+    return build, refs
+
+
+def _split_items(body: str) -> list[str]:
+    """Split an item list on top-level commas, keeping CASE ... END and
+    parenthesized aggregate bodies intact."""
+    out: list[str] = []
+    cur: list[str] = []
+    for piece in body.split(","):
+        cur.append(piece)
+        s = ",".join(cur)
+        case_depth = len(re.findall(r"\bCASE\b", s, re.I)) - len(
+            re.findall(r"\bEND\b", s, re.I)
+        )
+        if case_depth == 0 and s.count("(") == s.count(")"):
+            out.append(s)
+            cur = []
+    if cur:
+        out.append(",".join(cur))
+    return out
+
+
 def _parse_items(body: str):
     """Parse a WITH / RETURN item list → (items, distinct_flag). Items:
     (kind, var, prop, distinct, alias) with kind in {plain, agg:<fn>}."""
@@ -279,12 +350,28 @@ def _parse_items(body: str):
         distinct_flag = True
         body = re.sub(r"^DISTINCT\s+", "", body, flags=re.I)
     items = []
-    for one in body.split(","):
+    for one in _split_items(body):
         one = one.strip()
         alias = None
         am = _AS_RE.match(one)
         if am:
             one, alias = am.group(1).strip(), am.group(2)
+        cm = re.match(
+            r"^(count|sum|min|max|avg)\s*\(\s*(CASE\s.*END)\s*\)$", one, re.I | re.S
+        )
+        if cm:
+            built = _parse_case(cm.group(2))
+            if built is None:
+                raise ValueError(f"bad CASE expression: {cm.group(2)!r}")
+            items.append(
+                (f"aggcase:{cm.group(1).lower()}", built[0], built[1], False,
+                 alias or cm.group(1).lower())
+            )
+            continue
+        case = _parse_case(one)
+        if case is not None:
+            items.append(("case", case[0], case[1], False, alias or "case"))
+            continue
         gm = _AGG_RE.match(one)
         if gm:
             fn = gm.group(1).lower()
@@ -333,16 +420,28 @@ def _project_items(out: DataFrame, items, distinct_flag: bool) -> DataFrame:
     is unordered, the sorted rendering makes results deterministic (and
     SQL-oracle-comparable via DuckDB's ``list_sort(list(...))``)."""
     keys = [(v, p, a) for k, v, p, _, a in items if k == "plain"]
-    aggs = [(k.split(":")[1], v, p, d, a) for k, v, p, d, a in items if k != "plain"]
+    case_keys = [(v, a) for k, v, p, _, a in items if k == "case"]
+    aggs = [
+        (k.split(":")[1], v, p, d, a)
+        for k, v, p, d, a in items
+        if k not in ("plain", "case")
+    ]
     key_cols = []
     for v, p, a in keys:
         name = f"{v}_{p}" if p else v
         if p and name not in out.columns and v in out.columns:
             name = v
         key_cols.append(F.col(name).alias(a))
+    for builder, a in case_keys:
+        key_cols.append(builder(out).alias(a))
     if aggs:
         agg_cols = []
         for fn, var, prop, distinct, alias in aggs:
+            if callable(var):
+                # aggcase:<fn> — aggregate over a CASE expression (the
+                # Cypher conditional-count/sum idiom)
+                agg_cols.append(getattr(F, fn)(var(out)).alias(alias))
+                continue
             if var is None:
                 agg_cols.append(F.count(F.lit(1)).alias(alias))
                 continue
@@ -604,8 +703,12 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
         for var, prop, _, _ in conds:
             if prop:
                 attach.setdefault(var, []).append(prop)
-        for _, var, prop, _, _ in items or []:
-            if prop:
+        for kind, var, prop, _, _ in items or []:
+            if kind == "case" or kind.startswith("aggcase:"):
+                # prop slot carries the CASE conditions' (var, prop) refs
+                for v, p in prop:
+                    attach.setdefault(v, []).append(p)
+            elif prop:
                 attach.setdefault(var, []).append(prop)
         attach = {v: sorted(set(ps)) for v, ps in attach.items()}
 

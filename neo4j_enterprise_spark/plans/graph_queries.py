@@ -1912,3 +1912,35 @@ def cypher_rel_var_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE n_lines > 3 "
         "RETURN p, n_lines ORDER BY n_lines DESC, p LIMIT 20",
     )
+
+
+@register(
+    "cypher_case_classify",
+    f"""
+    {graph_cte()},
+    cust AS (SELECT r.src AS c, r.dst AS n, nn.name
+             FROM rels r JOIN nodes nn ON nn.id = r.src AND nn.kind = 'customer'
+             WHERE r.type_name = 'IN_NATION')
+    SELECT n,
+           SUM(CASE WHEN name LIKE '%1%' THEN 1 ELSE 0 END) AS n_ones,
+           COUNT(*) AS n_customers
+    FROM cust GROUP BY n ORDER BY n
+    """,
+    doc="Cypher CASE expressions: MATCH (c:customer)-[:IN_NATION]->(n) "
+    "RETURN n, sum(CASE WHEN c.name CONTAINS '1' THEN 1 ELSE 0 END), "
+    "count(*) — conditional aggregation (the Cypher q12 idiom) compiles "
+    "to when/otherwise inside the same grouped aggregate; CASE also "
+    "works as a plain projection item.",
+)
+def cypher_case_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pattern import cypher_query
+
+    nodes = derived_nodes(spark, sf_dir)
+    rels = derived_rels(spark, sf_dir)
+    return cypher_query(
+        nodes,
+        rels,
+        "MATCH (c:customer)-[:IN_NATION]->(n) "
+        "RETURN n, sum(CASE WHEN c.name CONTAINS '1' THEN 1 ELSE 0 END) AS n_ones, "
+        "count(*) AS n_customers ORDER BY n",
+    )

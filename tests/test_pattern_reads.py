@@ -248,3 +248,40 @@ def test_rel_variable_binds_edge_id(spark):
         "MATCH (a:g)-[r:HAS]->(b) RETURN a, count(DISTINCT r) AS n_rels",
     )
     assert [(row["a"], row["n_rels"]) for row in q.collect()] == [(0, 2)]
+
+
+def test_cypher_case_projection_and_aggregate(spark):
+    from neo4j_enterprise_spark.operators.pattern import cypher_query
+
+    nodes = spark.createDataFrame(
+        [(0, "g", True, "aa"), (1, "x", True, "bb"), (2, "x", True, "cc"),
+         (3, "x", True, "bd")],
+        "id long, kind string, in_use boolean, name string",
+    )
+    rels = spark.createDataFrame(
+        [(10, 0, 1, "HAS"), (11, 0, 2, "HAS"), (12, 0, 3, "HAS")],
+        "id long, src long, dst long, type_name string",
+    )
+    agg = cypher_query(
+        nodes, rels,
+        "MATCH (g:g)-[:HAS]->(x) RETURN g, "
+        "sum(CASE WHEN x.name STARTS WITH 'b' THEN 1 ELSE 0 END) AS n_b, "
+        "count(*) AS n ORDER BY g",
+    )
+    assert [tuple(r) for r in agg.collect()] == [(0, 2, 3)]
+    proj = cypher_query(
+        nodes, rels,
+        "MATCH (g:g)-[:HAS]->(x) RETURN x, "
+        "CASE WHEN x.name STARTS WITH 'b' THEN 'b-ish' ELSE 'other' END AS cls "
+        "ORDER BY x",
+    )
+    assert [tuple(r) for r in proj.collect()] == [
+        (1, "b-ish"), (2, "other"), (3, "b-ish")
+    ]
+    # no ELSE -> NULL (Cypher default), count() skips the NULLs
+    nn = cypher_query(
+        nodes, rels,
+        "MATCH (g:g)-[:HAS]->(x) RETURN g, "
+        "count(CASE WHEN x.name STARTS WITH 'b' THEN 1 END) AS n_b",
+    )
+    assert [tuple(r) for r in nn.collect()] == [(0, 2)]
