@@ -235,7 +235,7 @@ def cypher_match(
 # below re-merges them into the preceding clause body.
 _KW_SPLIT_RE = re.compile(
     r"\b(OPTIONAL\s+MATCH|MATCH|WHERE|STARTS\s+WITH|ENDS\s+WITH|WITH|UNWIND|"
-    r"RETURN|ORDER\s+BY|SKIP|LIMIT)\b",
+    r"SET|RETURN|ORDER\s+BY|SKIP|LIMIT)\b",
     re.I,
 )
 _COND_RE = re.compile(
@@ -634,9 +634,9 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
             pairs.append((key, body.strip()))
 
     # ---- split the clause stream into WITH-delimited stages ----------
-    stages = []  # {post_where, unwind, match, opt, where, with_items, with_distinct}
+    stages = []  # {post_where, unwind, match, opt, where, set, with_items, ...}
     cur = {"post_where": [], "unwind": [], "match": None, "opt": None,
-           "where": [], "with_items": None, "with_distinct": False}
+           "where": [], "set": [], "with_items": None, "with_distinct": False}
     tail: dict[str, str] = {}  # RETURN / ORDER BY / SKIP / LIMIT
     seen_return = False
     for kw, body in pairs:
@@ -657,6 +657,17 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
             cur["opt"] = body
         elif kw == "WHERE":
             (cur["where"] if cur["match"] is not None else cur["post_where"]).append(body)
+        elif kw == "SET":
+            for one in body.split(","):
+                sm = re.match(
+                    r"^(\w+)\.(\w+)\s*=\s*('[^']*'|\"[^\"]*\"|[\w.+-]+)$",
+                    one.strip(),
+                )
+                if not sm:
+                    raise ValueError(f"SET supports var.prop = literal: {one!r}")
+                cur["set"].append(
+                    (sm.group(1), sm.group(2), _parse_literal(sm.group(3)))
+                )
         elif kw == "UNWIND":
             um = _AS_RE.match(body)
             if not um or not re.match(r"^\w+$", um.group(1).strip()):
@@ -671,7 +682,8 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
             cur["with_items"], cur["with_distinct"] = items, dist
             stages.append(cur)
             cur = {"post_where": [], "unwind": [], "match": None, "opt": None,
-                   "where": [], "with_items": None, "with_distinct": False}
+                   "where": [], "set": [], "with_items": None,
+                   "with_distinct": False}
         elif kw == "RETURN":
             tail["RETURN"] = body
             seen_return = True
@@ -698,9 +710,13 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
         conds = [c for b in stage["where"] for c in _parse_conds(b)]
         post_conds = [c for b in stage["post_where"] for c in _parse_conds(b)]
 
-        # every var.prop referenced this stage needs the node column
+        # every var.prop referenced this stage needs the node column —
+        # except ones SET this stage, which the withColumn synthesizes
+        set_props = {(v, p) for v, p, _ in stage["set"]}
         attach: dict[str, list[str]] = {}
         for var, prop, _, _ in conds:
+            # WHERE precedes SET (Cypher clause order) so it always reads
+            # the stored column, even when the same prop is SET after
             if prop:
                 attach.setdefault(var, []).append(prop)
         for kind, var, prop, _, _ in items or []:
@@ -708,7 +724,13 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
                 # prop slot carries the CASE conditions' (var, prop) refs
                 for v, p in prop:
                     attach.setdefault(v, []).append(p)
-            elif prop:
+            elif prop and (var, prop) not in set_props:
+                attach.setdefault(var, []).append(prop)
+        for var, prop, _ in stage["set"]:
+            # SET of an existing node column reads it first (to overwrite
+            # in place); a brand-new property needs no attach — the
+            # withColumn below creates it
+            if prop in nodes.columns:
                 attach.setdefault(var, []).append(prop)
         attach = {v: sorted(set(ps)) for v, ps in attach.items()}
 
@@ -775,6 +797,12 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
                 out = out.join(proj, var)
 
         out = _apply_conds(out, conds)
+
+        for var, prop, val in stage["set"]:
+            # Cypher SET on the matched rows: the updated projection IS
+            # the relational observable (the store-level upsert twin is
+            # operators/mutation.upsert_properties, P2)
+            out = out.withColumn(f"{var}_{prop}", F.lit(val))
 
         if items is not None:
             out = _project_items(out, items, distinct_flag)

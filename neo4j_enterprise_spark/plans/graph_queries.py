@@ -1944,3 +1944,35 @@ def cypher_case_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RETURN n, sum(CASE WHEN c.name CONTAINS '1' THEN 1 ELSE 0 END) AS n_ones, "
         "count(*) AS n_customers ORDER BY n",
     )
+
+
+@register(
+    "cypher_set_tier",
+    f"""
+    {graph_cte()}
+    SELECT r.src AS s, 'priority' AS tier, nn.name AS nation_name
+    FROM rels r
+    JOIN nodes nn ON nn.id = r.dst AND nn.kind = 'nation'
+    JOIN nodes sn ON sn.id = r.src AND sn.kind = 'supplier'
+    WHERE r.type_name = 'SUPP_NATION' AND nn.name LIKE 'A%'
+    ORDER BY s
+    """,
+    doc="Cypher SET: MATCH (s:supplier)-[:SUPP_NATION]->(n) WHERE "
+    "n.name STARTS WITH 'A' SET s.tier = 'priority' RETURN s, s.tier, "
+    "n.name — property mutation on the matched rows, returned as the "
+    "updated projection (the store-level upsert twin is P2 "
+    "`mutation.upsert_properties`, `q:property_upsert_projection`).",
+)
+def cypher_set_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pattern import cypher_query
+
+    nodes = derived_nodes(spark, sf_dir)
+    rels = derived_rels(spark, sf_dir)
+    return cypher_query(
+        nodes,
+        rels,
+        "MATCH (s:supplier)-[:SUPP_NATION]->(n) "
+        "WHERE n.name STARTS WITH 'A' "
+        "SET s.tier = 'priority' "
+        "RETURN s, s.tier AS tier, n.name AS nation_name ORDER BY s",
+    )

@@ -285,3 +285,30 @@ def test_cypher_case_projection_and_aggregate(spark):
         "count(CASE WHEN x.name STARTS WITH 'b' THEN 1 END) AS n_b",
     )
     assert [tuple(r) for r in nn.collect()] == [(0, 2)]
+
+
+def test_cypher_set_updates_matched_projection(spark):
+    from neo4j_enterprise_spark.operators.pattern import cypher_query
+
+    nodes = spark.createDataFrame(
+        [(0, "s", True, "alpha"), (1, "s", True, "beta"), (2, "n", True, "x")],
+        "id long, kind string, in_use boolean, name string",
+    )
+    rels = spark.createDataFrame(
+        [(10, 0, 2, "IN"), (11, 1, 2, "IN")],
+        "id long, src long, dst long, type_name string",
+    )
+    # overwrite an existing column on the matched rows only
+    out = cypher_query(
+        nodes, rels,
+        "MATCH (s:s)-[:IN]->(n) WHERE s.name STARTS WITH 'a' "
+        "SET s.name = 'renamed' RETURN s, s.name AS name",
+    )
+    assert [tuple(r) for r in out.collect()] == [(0, "renamed")]
+    # create a brand-new property
+    new = cypher_query(
+        nodes, rels,
+        "MATCH (s:s)-[:IN]->(n) SET s.tier = 'gold' "
+        "RETURN s, s.tier AS tier ORDER BY s",
+    )
+    assert [tuple(r) for r in new.collect()] == [(0, "gold"), (1, "gold")]
