@@ -450,3 +450,223 @@ def embedding_near_dup_lsh(
         )
         .filter(F.col("score") >= threshold)
     )
+
+
+# --- Product quantization (IVF-PQ's compression half) -------------------
+
+
+def _subvectors(embeddings: DataFrame, m: int, dims: int) -> DataFrame:
+    """(vec_id, sub_id, sv): the quantized vector split into m
+    contiguous subspaces of dims/m components each."""
+    d = dims // m
+    qv = quantize(F.col("embedding"))
+    return embeddings.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda i: F.slice(qv, i * d + 1, d),
+            )
+        ).alias("sub_id", "sv"),
+    )
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    codes_k: int = 16,
+    dims: int = 64,
+    iters: int = 1,
+) -> DataFrame:
+    """Product-quantization codebooks: per subspace, ``codes_k``
+    centroids — hash-sampled init (``orderBy(md5).limit`` →
+    TakeOrderedAndProject, the same no-global-sort trick as IVF) plus
+    ``iters`` Lloyd rounds, all subspaces trained in ONE DataFrame per
+    round (subspace is just a key column — m parallel k-means for the
+    price of one plan).
+
+    Returns codebook(sub_id, code, cv array<long>, cnorm). Offline-train
+    territory: the per-round shuffle is n·m rows, never on the query
+    path.
+    """
+    sampled = (
+        embeddings.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(codes_k)
+        .select("vec_id")
+        .withColumn(
+            "code",
+            F.row_number().over(Window.orderBy("vec_id")).cast("int") - 1,
+        )
+    )
+    sub = _subvectors(embeddings, m, dims)
+    codebook = (
+        sub.join(F.broadcast(sampled), "vec_id")
+        .select("sub_id", "code", F.col("sv").cast("array<double>").alias("cv"))
+    )
+    for _ in range(iters):
+        assigned = _pq_assign(sub, codebook)
+        means = (
+            assigned.join(sub, ["vec_id", "sub_id"])
+            .select("sub_id", "code", F.posexplode("sv").alias("d", "x"))
+            .groupBy("sub_id", "code", "d")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("sub_id", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "mx"))),
+                    lambda s: s["mx"],
+                ).alias("new_cv")
+            )
+        )
+        codebook = (
+            codebook.join(means, ["sub_id", "code"], "left")
+            .select(
+                "sub_id",
+                "code",
+                F.coalesce(F.col("new_cv"), F.col("cv")).alias("cv"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return codebook.withColumn("cnorm", _dot_d(F.col("cv"), F.col("cv")))
+
+
+def _pq_assign(sub: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest codebook entry per (vec_id, sub_id): broadcast the tiny
+    codebook, L2 via zip_with, argmin window keyed on the vector —
+    deterministic tie-break on code."""
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("sv").cast("array<double>"),
+            F.col("cv"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = sub.join(F.broadcast(codebook.select("sub_id", "code", "cv")), "sub_id")
+    w = Window.partitionBy("vec_id", "sub_id").orderBy("dist", "code")
+    return (
+        scored.withColumn("dist", dist)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "sub_id", "code")
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame, codebook: DataFrame, m: int = 8, dims: int = 64
+) -> DataFrame:
+    """Encode every vector as m small codes (vec_id, codes array<int>) —
+    the 8-byte-per-vector form a 100 TB corpus actually keeps in memory."""
+    sub = _subvectors(embeddings, m, dims)
+    return (
+        _pq_assign(sub, codebook)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub_id", "code"))),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+    )
+
+
+def pq_ann_topk(
+    embeddings: DataFrame,
+    seeds: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    codes_k: int = 16,
+    dims: int = 64,
+    refine: int = 4,
+    iters: int = 1,
+) -> DataFrame:
+    """PQ asymmetric-distance ANN: scan the CODES (m bytes/vector), not
+    the vectors — per partition, one numpy LUT gather per seed
+    (LUT[s,j,c] = <seed_sub_j, codebook_jc>, computed once from the
+    tiny codebook), emit the per-partition top refine·k candidates,
+    then exact re-rank of the surviving candidates only.
+
+    Scale design: the full-vector table is touched exactly twice — once
+    offline (train/encode) and once for the ≤ seeds·refine·k candidate
+    re-rank (an id equi-join). The scan stage reads 8 bytes/vector and
+    does SIMD table lookups (numpy fancy-indexing inside Arrow
+    batches). Collecting the codebook/seeds to the driver is a planner
+    step on m·codes_k + |seeds| rows (same convention as
+    ``sink.write_dataset``), never data-sized.
+    """
+    import numpy as np
+
+    codebook = pq_train(embeddings, m=m, codes_k=codes_k, dims=dims, iters=iters)
+    codes = pq_encode(embeddings, codebook, m=m, dims=dims)
+
+    cb_rows = codebook.collect()  # m*codes_k rows — planner-sized
+    d = dims // m
+    CB = np.zeros((m, codes_k, d))
+    CN = np.zeros((m, codes_k))
+    for r in cb_rows:
+        CB[r["sub_id"], r["code"]] = r["cv"]
+        CN[r["sub_id"], r["code"]] = r["cnorm"]
+    seed_rows = (
+        seeds.select("vec_id", quantize(F.col("embedding")).alias("qv")).collect()
+    )
+    S = np.array([r["qv"] for r in seed_rows], dtype=np.float64)
+    seed_ids = np.array([r["vec_id"] for r in seed_rows])
+    # LUT[s, j, c] = <seed_s sub_j, CB[j, c]>
+    LUT = np.einsum("sjd,jcd->sjc", S.reshape(len(S), m, d), CB)
+    seed_norm = (S * S).sum(axis=1)
+    n_keep = refine * k
+
+    def scan(batches):
+        for pdf in batches:
+            codes_arr = np.stack(pdf["codes"].to_numpy())  # (B, m)
+            recon = CN[np.arange(m)[None, :], codes_arr].sum(axis=1)  # (B,)
+            out = []
+            for si in range(len(S)):
+                approx = LUT[si][np.arange(m)[None, :], codes_arr].sum(axis=1)
+                score = approx / np.sqrt(seed_norm[si] * np.maximum(recon, 1e-9))
+                top = np.argsort(-score)[: n_keep + 1]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "seed": seed_ids[si],
+                            "neighbor": pdf["vec_id"].to_numpy()[top],
+                            "approx": score[top],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    cand = (
+        codes.mapInPandas(scan, "seed long, neighbor long, approx double")
+        .filter(F.col("seed") != F.col("neighbor"))
+    )
+    wa = Window.partitionBy("seed").orderBy(F.desc("approx"), F.asc("neighbor"))
+    cand = cand.withColumn("rk", F.row_number().over(wa)).filter(
+        F.col("rk") <= n_keep
+    ).select("seed", "neighbor")
+    # exact re-rank of candidates only (asymmetric refinement)
+    q = seeds.select(
+        F.col("vec_id").alias("seed"), quantize(F.col("embedding")).alias("qv")
+    ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor"), quantize(F.col("embedding")).alias("cv")
+    ).withColumn("cn", _dot(F.col("cv"), F.col("cv")))
+    exact = (
+        cand.join(F.broadcast(q), "seed")
+        .join(c, "neighbor")
+        .select(
+            "seed",
+            "neighbor",
+            (
+                _dot(F.col("qv"), F.col("cv")).cast("double")
+                / F.sqrt((F.col("qn") * F.col("cn")).cast("double"))
+            ).alias("score"),
+        )
+    )
+    we = Window.partitionBy("seed").orderBy(F.desc("score"), F.asc("neighbor"))
+    return (
+        exact.withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= k)
+        .select("seed", "neighbor", "score", "rk")
+    )

@@ -1343,3 +1343,21 @@ def docs_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("value", "exact_count")
         .orderBy(F.desc("exact_count"), "value")
     )
+
+
+@register(
+    "ann_pq_top5",
+    None,  # Lloyd means are float-order sensitive → rows-only; recall
+    # + code-shape guarantees live in tests/test_pipeline.py
+    doc="Product-quantization ANN (the IVF-PQ compression half): "
+    "per-subspace codebooks (hash-sampled init + Lloyd, all subspaces "
+    "trained in one DataFrame per round), vectors encoded to m small "
+    "codes, then an asymmetric-distance CODE scan — numpy LUT gathers "
+    "inside mapInPandas, 8 bytes/vector touched — pruned per partition "
+    "and exactly re-ranked on candidates only. The full-vector table is "
+    "touched once offline and once for the candidate equi-join.",
+)
+def ann_pq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 100)
+    return similarity.pq_ann_topk(emb, seeds, k=5).orderBy("seed", "rk")

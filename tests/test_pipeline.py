@@ -302,3 +302,39 @@ def test_join_delta_equals_recompute(spark):
     assert {tuple(r) for r in delta.collect()} == want - {
         tuple(r) for r in old.collect()
     }
+
+
+def test_pq_ann_recall_vs_bruteforce(spark, sf_dir):
+    from neo4j_enterprise_spark.catalog import load_table
+    from neo4j_enterprise_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["seed"], r["neighbor"])
+        for r in similarity.cosine_topk_bruteforce(emb, seeds, k=3).collect()
+    }
+    approx = {
+        (r["seed"], r["neighbor"])
+        for r in similarity.pq_ann_topk(
+            emb, seeds, k=3, codes_k=32, iters=2, refine=8
+        ).collect()
+    }
+    # same bar as the LSH recall test: near-random synthetic embeddings
+    # cap what any sketch can recover at top-3
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"PQ recall too low: {recall}"
+
+
+def test_pq_encode_codes_shape(spark, sf_dir):
+    from neo4j_enterprise_spark.catalog import load_table
+    from neo4j_enterprise_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    cb = similarity.pq_train(emb, m=8, codes_k=4, dims=64, iters=1)
+    assert cb.count() == 8 * 4
+    codes = similarity.pq_encode(emb, cb, m=8, dims=64)
+    rows = codes.collect()
+    assert len(rows) == 50
+    assert all(len(r["codes"]) == 8 for r in rows)
+    assert all(0 <= c < 4 for r in rows for c in r["codes"])
