@@ -670,3 +670,113 @@ def pq_ann_topk(
         .filter(F.col("rk") <= k)
         .select("seed", "neighbor", "score", "rk")
     )
+
+
+def ivf_pq_ann_topk(
+    embeddings: DataFrame,
+    seeds: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    codes_k: int = 16,
+    dims: int = 64,
+    refine: int = 4,
+    iters: int = 1,
+) -> DataFrame:
+    """IVF-PQ: the full production ANN stack — IVF routing picks each
+    seed's ``n_probe`` cells (touches 1/K of the corpus per probed
+    cell), then the PQ asymmetric-distance scan scores ONLY the codes
+    of vectors in those cells (8 bytes/vector), and the survivors are
+    exactly re-ranked. Composition of ``ivf_assign`` (routing) and the
+    ``pq_train``/``pq_encode`` codebooks; both trained offline, one
+    plan at query time.
+
+    At 100 TB: codes live partitioned BY CELL, so a probe reads
+    n_probe/K of an 8-byte-per-vector table — the memory/IO math that
+    makes billion-scale ANN feasible (residual encoding is the standard
+    production refinement on top of this flow).
+    """
+    import numpy as np
+
+    centroids, assignments = ivf_assign(embeddings, n_cells)
+    codebook = pq_train(embeddings, m=m, codes_k=codes_k, dims=dims, iters=iters)
+    codes = pq_encode(embeddings, codebook, m=m, dims=dims).join(
+        assignments, "vec_id"
+    )
+
+    q = seeds.select(
+        F.col("vec_id").alias("seed"), quantize(F.col("embedding")).alias("qv")
+    ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))
+    probe_scores = F.broadcast(q).join(F.broadcast(centroids)).select(
+        "seed",
+        "cell_id",
+        (
+            _dot_d(F.col("qv"), F.col("ccv"))
+            / F.sqrt(F.col("qn").cast("double") * F.col("ccn").cast("double"))
+        ).alias("cscore"),
+    )
+    w_probe = Window.partitionBy("seed").orderBy(F.desc("cscore"), F.asc("cell_id"))
+    probes = (
+        probe_scores.withColumn("rk", F.row_number().over(w_probe))
+        .filter(F.col("rk") <= n_probe)
+        .select("seed", "cell_id")
+    )
+
+    cb_rows = codebook.collect()  # m*codes_k rows — planner-sized
+    d = dims // m
+    CB = np.zeros((m, codes_k, d))
+    CN = np.zeros((m, codes_k))
+    for r in cb_rows:
+        CB[r["sub_id"], r["code"]] = r["cv"]
+        CN[r["sub_id"], r["code"]] = r["cnorm"]
+    seed_rows = q.collect()
+    LUTS = {}
+    NORMS = {}
+    for r in seed_rows:
+        sv = np.array(r["qv"], dtype=np.float64)
+        LUTS[r["seed"]] = np.einsum("jd,jcd->jc", sv.reshape(m, d), CB)
+        NORMS[r["seed"]] = float(r["qn"])
+    n_keep = refine * k
+
+    import pandas as pd
+
+    def scan(key, pdf):
+        seed = key[0]
+        LUT, qn = LUTS[seed], NORMS[seed]
+        codes_arr = np.stack(pdf["codes"].to_numpy())
+        recon = CN[np.arange(m)[None, :], codes_arr].sum(axis=1)
+        approx = LUT[np.arange(m)[None, :], codes_arr].sum(axis=1)
+        score = approx / np.sqrt(qn * np.maximum(recon, 1e-9))
+        top = np.argsort(-score)[: n_keep + 1]
+        return pd.DataFrame(
+            {"seed": seed, "neighbor": pdf["vec_id"].to_numpy()[top]}
+        )
+
+    scan_input = probes.join(codes, "cell_id").select("seed", "vec_id", "codes")
+    cand = (
+        scan_input.groupBy("seed")
+        .applyInPandas(scan, "seed long, neighbor long")
+        .filter(F.col("seed") != F.col("neighbor"))
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor"), quantize(F.col("embedding")).alias("cv")
+    ).withColumn("cn", _dot(F.col("cv"), F.col("cv")))
+    exact = (
+        cand.join(F.broadcast(q), "seed")
+        .join(c, "neighbor")
+        .select(
+            "seed",
+            "neighbor",
+            (
+                _dot(F.col("qv"), F.col("cv")).cast("double")
+                / F.sqrt((F.col("qn") * F.col("cn")).cast("double"))
+            ).alias("score"),
+        )
+    )
+    we = Window.partitionBy("seed").orderBy(F.desc("score"), F.asc("neighbor"))
+    return (
+        exact.withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= k)
+        .select("seed", "neighbor", "score", "rk")
+    )

@@ -1361,3 +1361,19 @@ def ann_pq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     seeds = emb.filter(F.col("vec_id") < 100)
     return similarity.pq_ann_topk(emb, seeds, k=5).orderBy("seed", "rk")
+
+
+@register(
+    "ann_ivf_pq_top5",
+    None,  # Lloyd float means + hash routing → rows-only; recall tested
+    doc="IVF-PQ, the full production ANN stack: IVF routing to n_probe "
+    "cells (1/K of the corpus per probe) + PQ asymmetric-distance scan "
+    "over the probed cells' 8-byte codes + exact re-rank of survivors. "
+    "At scale the codes are partitioned BY CELL so a probe reads "
+    "n_probe/K of a codes table — the billion-scale ANN memory/IO "
+    "shape. Composition of ivf_assign + pq_train/pq_encode.",
+)
+def ann_ivf_pq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 100)
+    return similarity.ivf_pq_ann_topk(emb, seeds, k=5).orderBy("seed", "rk")

@@ -338,3 +338,23 @@ def test_pq_encode_codes_shape(spark, sf_dir):
     assert len(rows) == 50
     assert all(len(r["codes"]) == 8 for r in rows)
     assert all(0 <= c < 4 for r in rows for c in r["codes"])
+
+
+def test_ivf_pq_recall_vs_bruteforce(spark, sf_dir):
+    from neo4j_enterprise_spark.catalog import load_table
+    from neo4j_enterprise_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["seed"], r["neighbor"])
+        for r in similarity.cosine_topk_bruteforce(emb, seeds, k=3).collect()
+    }
+    approx = {
+        (r["seed"], r["neighbor"])
+        for r in similarity.ivf_pq_ann_topk(
+            emb, seeds, k=3, n_cells=8, n_probe=6, codes_k=32, refine=8
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF-PQ recall too low: {recall}"
