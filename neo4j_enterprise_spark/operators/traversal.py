@@ -559,3 +559,51 @@ def k_core(rels: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
         .agg(F.count("*").alias("degree"))
         .filter(F.col("degree") >= k)
     )
+
+
+def hyperball(
+    rels: DataFrame,
+    radius: int = 2,
+    direction: str = "out",
+    lg_k: int = 12,
+) -> DataFrame:
+    """HyperBall (Boldi-Vigna): per-node neighborhood-function estimation
+    by HLL-sketch propagation — |ball(v, r)| for every node at once,
+    with FIXED-size per-node state.
+
+    Each round: every node unions its sketch with its neighbors'
+    sketches (one equi-join + one hll_union_agg, both keyed on the node
+    id → co-partitioned on a bucketed layout). After r rounds the
+    sketch of v covers exactly ball(v, r); the estimate is
+    hll_sketch_estimate. This is THE way to compute
+    closeness/harmonic-type centralities on a graph too big for
+    per-source BFS: r shuffles total for ALL sources, 2^lg_k bytes per
+    node, versus |V| BFS runs. Exact twin for error-bound tests:
+    ``bfs_reachable`` counts.
+
+    Returns (node_id, ball_size DOUBLE — the HLL estimate, deterministic
+    for fixed input + lg_k).
+    """
+    edges = _edges(rels, direction, None)
+    nodes = (
+        edges.select(F.col("a").alias("node_id"))
+        .unionByName(edges.select(F.col("b").alias("node_id")))
+        .distinct()
+    )
+    state = nodes.groupBy("node_id").agg(
+        F.hll_sketch_agg("node_id", F.lit(lg_k)).alias("sketch")
+    )
+    for _ in range(radius):
+        contrib = (
+            state.join(edges, state["node_id"] == edges["b"])
+            .select(F.col("a").alias("node_id"), "sketch")
+        )
+        state = (
+            state.unionByName(contrib)
+            .groupBy("node_id")
+            .agg(F.hll_union_agg("sketch", F.lit(True)).alias("sketch"))
+            .localCheckpoint(eager=True)
+        )
+    return state.select(
+        "node_id", F.hll_sketch_estimate("sketch").alias("ball_size")
+    )

@@ -1976,3 +1976,31 @@ def cypher_set_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SET s.tier = 'priority' "
         "RETURN s, s.tier AS tier, n.name AS nation_name ORDER BY s",
     )
+
+
+@register(
+    "graph_hyperball_reach",
+    None,  # HLL estimates are engine-specific → rows-only; exactness at
+    # small cardinality + the algorithm contract live in test_traversal
+    doc="HyperBall (Boldi-Vigna) neighborhood function: |ball(v, 2)| for "
+    "EVERY node via HLL-sketch propagation — r shuffles total for all "
+    "sources, 2^lg_k bytes per node, vs |V| BFS runs; summarized as "
+    "avg/max ball size per node kind. The scale path for closeness/"
+    "harmonic centrality when per-source BFS is infeasible.",
+)
+def graph_hyperball_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.traversal import hyperball
+
+    nodes = derived_nodes(spark, sf_dir)
+    rels = derived_rels(spark, sf_dir)
+    balls = hyperball(rels, radius=2)
+    return (
+        balls.join(nodes.select(F.col("id").alias("node_id"), "kind"), "node_id")
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.round(F.avg("ball_size"), 2).alias("avg_ball"),
+            F.round(F.max("ball_size"), 2).alias("max_ball"),
+        )
+        .orderBy("kind")
+    )

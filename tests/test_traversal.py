@@ -206,3 +206,25 @@ def test_dfs_preorder_ranks_all_within_k_on_depth_cap_diamond(spark):
         for r in traversal.dfs_preorder(rels, seeds, k=2).collect()
     }
     assert got == {0: 1, 1: 2, 2: 3, 3: 4}
+
+
+def test_hyperball_matches_exact_ball_sizes(spark):
+    from neo4j_enterprise_spark.operators.traversal import bfs_reachable, hyperball
+
+    # chain with a hub: 0->1->2->3, hub 9 -> {0,1,2,3}
+    rels = spark.createDataFrame(
+        [(0, 0, 1, "E"), (1, 1, 2, "E"), (2, 2, 3, "E"),
+         (3, 9, 0, "E"), (4, 9, 1, "E"), (5, 9, 2, "E"), (6, 9, 3, "E")],
+        "id long, src long, dst long, type_name string",
+    )
+    est = {r["node_id"]: r["ball_size"] for r in hyperball(rels, radius=2).collect()}
+    seeds = spark.createDataFrame([(i,) for i in [0, 1, 2, 3, 9]], "seed long")
+    exact = (
+        bfs_reachable(rels, seeds, k=2)
+        .groupBy("seed")
+        .count()
+        .collect()
+    )
+    for r in exact:
+        # tiny sets: HLL is exact at this cardinality
+        assert abs(est[r["seed"]] - r["count"]) < 0.5, (r["seed"], est[r["seed"]], r["count"])
