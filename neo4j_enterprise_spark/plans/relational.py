@@ -2143,3 +2143,81 @@ def orders_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental.merge_states(
         [old_state, delta_state], ["o_orderpriority"]
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "events_cumulative_users",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id),
+    daily AS (
+      SELECT first_day AS day, COUNT(*) AS new_users
+      FROM firsts GROUP BY first_day)
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+    FROM daily ORDER BY day
+    """,
+    doc="Cumulative distinct users per day WITHOUT a cumulative "
+    "COUNT(DISTINCT): a user's first-appearance day is computed once "
+    "(one groupBy), then cumulative distinct = running sum of new-user "
+    "counts — O(users) state instead of re-scanning every prefix. The "
+    "canonical scale rewrite of rolling-distinct analytics.",
+)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.withColumn(
+            "cumulative_users", F.sum("new_users").over(w).cast("long")
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "events_hourly_gapfill",
+    """
+    WITH b AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+             COUNT(*) AS n_events
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    bounds AS (SELECT MIN(hour_epoch) AS lo, MAX(hour_epoch) AS hi FROM b),
+    grid AS (SELECT lo + 3600 * CAST(i AS BIGINT) AS hour_epoch
+             FROM bounds, UNNEST(range(CAST((hi - lo) / 3600 + 1 AS BIGINT))) AS u(i))
+    SELECT g.hour_epoch, COALESCE(b.n_events, 0) AS n_events
+    FROM grid g LEFT JOIN b USING (hour_epoch)
+    ORDER BY g.hour_epoch
+    """,
+    doc="Time-series gap fill: a dense hourly grid (sequence/explode "
+    "from the observed bounds — generated distributed, no driver loop) "
+    "left-joined with the sparse rollup, missing buckets as 0. The "
+    "grid generator is O(hours), never O(events).",
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    b = ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch")
+    ).agg(F.count("*").alias("n_events"))
+    bounds = b.agg(F.min("hour_epoch").alias("lo"), F.max("hour_epoch").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(3600))).alias(
+            "hour_epoch"
+        )
+    )
+    return (
+        grid.join(b, "hour_epoch", "left")
+        .select("hour_epoch", F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"))
+        .orderBy("hour_epoch")
+    )
