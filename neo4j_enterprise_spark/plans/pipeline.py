@@ -1282,6 +1282,7 @@ def docs_term_lift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "4-token blocks): corpus-wide span counts, strip spans seen 2+ "
     "times, md5 the reassembled text. Two narrow map-side-combinable "
     "shuffles; dedup-ladder step between exact and MinHash.",
+    bench=True,
 )
 def docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1328,6 +1329,7 @@ def docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     "verified output exact, so the whole approximate pipeline is "
     "oracle-checked (the sketch itself is bound-tested in "
     "test_sketches).",
+    bench=True,
 )
 def docs_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import sketches

@@ -2221,3 +2221,48 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("hour_epoch", F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"))
         .orderBy("hour_epoch")
     )
+
+
+@register(
+    "customer_scd2_batch",
+    """
+    WITH cur AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
+    upd AS (SELECT c_custkey AS k,
+                   CASE WHEN c_custkey % 4 = 0 THEN 'PROMO'
+                        ELSE c_mktsegment END AS seg
+            FROM customer)
+    SELECT k, seg, valid_from, valid_to FROM (
+      SELECT c.k, c.seg, CAST(0 AS BIGINT) AS valid_from,
+             CASE WHEN u.seg <> c.seg THEN CAST(100 AS BIGINT) END AS valid_to
+      FROM cur c JOIN upd u USING (k)
+      UNION ALL
+      SELECT u.k, u.seg, CAST(100 AS BIGINT), CAST(NULL AS BIGINT)
+      FROM cur c JOIN upd u USING (k) WHERE u.seg <> c.seg
+    ) ORDER BY k, valid_from
+    """,
+    doc="SCD Type-2 dimension maintenance (operators/scd.py): the "
+    "customer-segment dimension absorbs a CDC batch (every 4th customer "
+    "re-segmented to PROMO) — changed keys close their current row at "
+    "the batch timestamp and append a new open row, unchanged keys "
+    "stream through untouched. One full-outer equi-join per batch; the "
+    "oracle replays the versioning in SQL.",
+)
+def customer_scd2_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import scd2_apply
+
+    c = load_table(spark, sf_dir, "customer")
+    dim = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    updates = c.select(
+        F.col("c_custkey").alias("k"),
+        F.when(F.col("c_custkey") % 4 == 0, "PROMO")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    return scd2_apply(dim, updates, "k", ["seg"], batch_ts=100).orderBy(
+        "k", "valid_from"
+    )

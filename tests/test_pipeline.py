@@ -358,3 +358,26 @@ def test_ivf_pq_recall_vs_bruteforce(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"IVF-PQ recall too low: {recall}"
+
+
+def test_scd2_apply_versions_changed_keys(spark):
+    from neo4j_enterprise_spark.operators.scd import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "gold", 0, None), (2, "silver", 0, None),
+         (3, "bronze", 0, 5), (3, "silver", 5, None)],
+        "k long, tier string, valid_from long, valid_to long",
+    )
+    updates = spark.createDataFrame(
+        [(1, "gold"), (2, "gold"), (4, "new")], "k long, tier string"
+    )
+    out = scd2_apply(dim, updates, "k", ["tier"], batch_ts=10)
+    rows = {(r["k"], r["tier"], r["valid_from"], r["valid_to"]) for r in out.collect()}
+    assert rows == {
+        (1, "gold", 0, None),        # unchanged passes through
+        (2, "silver", 0, 10),        # changed: closed...
+        (2, "gold", 10, None),       # ...and re-opened with the new value
+        (3, "bronze", 0, 5),         # history untouched
+        (3, "silver", 5, None),      # absent from batch: stays open
+        (4, "new", 10, None),        # brand-new key
+    }
