@@ -2266,3 +2266,39 @@ def customer_scd2_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(dim, updates, "k", ["seg"], batch_ts=100).orderBy(
         "k", "valid_from"
     )
+
+
+@register(
+    "customer_fuzzy_match",
+    """
+    WITH l AS (SELECT c_custkey AS lid, c_name AS nm FROM customer),
+    r AS (SELECT c_custkey + 1000000 AS rid,
+                 substr(c_name, 1, length(c_name) - 1) || 'X' AS nm
+          FROM customer WHERE c_custkey % 10 = 0)
+    SELECT lid, rid, CAST(levenshtein(l.nm, r.nm) AS BIGINT) AS dist
+    FROM l JOIN r ON substr(l.nm, 10, 6) = substr(r.nm, 10, 6)
+    WHERE levenshtein(l.nm, r.nm) <= 2
+    ORDER BY lid, rid
+    """,
+    doc="Entity resolution (operators/fuzzy.py): match customers "
+    "against a corrupted twin (last name char replaced) via block → "
+    "verify — blocking on a corruption-stable substring turns the "
+    "all-pairs edit-distance join into an equi-join; exact levenshtein "
+    "runs on in-block candidates only. Oracle replays blocking and "
+    "distance in SQL (both engines implement the same edit distance).",
+)
+def customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fuzzy import fuzzy_join
+
+    c = load_table(spark, sf_dir, "customer")
+    left = c.select(F.col("c_custkey").alias("lid"), F.col("c_name").alias("name"))
+    right = c.filter(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("rid"),
+        F.concat(
+            F.expr("substr(c_name, 1, length(c_name) - 1)"), F.lit("X")
+        ).alias("name"),
+    )
+    out = fuzzy_join(
+        left, right, "name", block=lambda s: F.substring(s, 10, 6), max_dist=2
+    )
+    return out.orderBy("lid", "rid")

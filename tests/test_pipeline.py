@@ -381,3 +381,21 @@ def test_scd2_apply_versions_changed_keys(spark):
         (3, "silver", 5, None),      # absent from batch: stays open
         (4, "new", 10, None),        # brand-new key
     }
+
+
+def test_fuzzy_join_blocking_and_distance(spark):
+    from neo4j_enterprise_spark.operators.fuzzy import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "abcdef"), (2, "zzzzzz")], "lid long, name string"
+    )
+    right = spark.createDataFrame(
+        [(10, "abcdeX"), (11, "abXXXX"), (12, "zzzzzz")], "rid long, name string"
+    )
+    out = fuzzy_join(
+        left, right, "name", block=lambda s: F.substring(s, 1, 2), max_dist=2
+    )
+    got = {(r["lid"], r["rid"], r["dist"]) for r in out.collect()}
+    # abcdeX: dist 1 (in block 'ab'); abXXXX: dist 4 -> rejected by
+    # verify despite sharing the block; zzzzzz exact dist 0
+    assert got == {(1, 10, 1), (2, 12, 0)}
