@@ -1371,6 +1371,7 @@ def cypher_where_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "still a single Catalyst plan (multi-stage `WITH` is the most "
     "common real-Cypher idiom over the reference's traversal surface, "
     "`LockableNode.java:178-201`).",
+    bench=True,
 )
 def cypher_with_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pattern import cypher_query
