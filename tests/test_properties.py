@@ -76,3 +76,67 @@ def test_snapshot_diff_partitions_changes(spark, n, drop_mod, seed):
     assert by_change.get("removed", 0) == n_removed
     assert by_change.get("added", 0) == min(3, n)
     assert "changed" not in by_change
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=12
+        ).map(" ".join),
+        min_size=2,
+        max_size=8,
+    ),
+    block=st.integers(min_value=2, max_value=4),
+)
+def test_span_dedup_counts_are_conserved(spark, texts, block):
+    """n_removed + surviving spans == n_blocks, and a doc's clean text is
+    a subsequence digest: removing zero spans must reproduce the
+    original block join exactly."""
+    from neo4j_enterprise_spark.operators.dedup import span_dedup
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = span_dedup(docs, block=block, min_count=2).collect()
+    assert len(out) == len(texts)
+    import hashlib
+    import math
+
+    for r in out:
+        toks = texts[r["doc_id"]].split(" ")
+        n_blocks = math.ceil(len(toks) / block)
+        assert r["n_blocks"] == n_blocks
+        assert 0 <= r["n_removed"] <= n_blocks
+        if r["n_removed"] == 0:
+            joined = " ".join(
+                " ".join(toks[i * block : (i + 1) * block])
+                for i in range(n_blocks)
+            )
+            assert r["clean_md5"] == hashlib.md5(joined.encode()).hexdigest()
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    base=st.lists(st.tuples(st.integers(0, 9), st.integers(0, 3)), max_size=12),
+    dl=st.lists(st.tuples(st.integers(0, 9), st.integers(0, 3)), max_size=6),
+    dr=st.lists(st.tuples(st.integers(0, 9), st.integers(0, 3)), max_size=6),
+)
+def test_join_delta_always_equals_recompute(spark, base, dl, dr):
+    from neo4j_enterprise_spark.operators.incremental import join_delta
+
+    schema_l, schema_r = "k long, l long", "k long, r long"
+    L0 = spark.createDataFrame(base or [(99, 0)], schema_l)
+    R0 = spark.createDataFrame([(k, v + 100) for k, v in base] or [(98, 0)], schema_r)
+    dL = spark.createDataFrame(dl or [(97, 0)], schema_l)
+    dR = spark.createDataFrame([(k, v + 200) for k, v in dr] or [(96, 0)], schema_r)
+    full = sorted(
+        tuple(r) for r in L0.unionByName(dL).join(R0.unionByName(dR), "k").collect()
+    )
+    maintained = sorted(
+        tuple(r)
+        for r in L0.join(R0, "k")
+        .unionByName(join_delta(L0, R0, dL, dR, ["k"]))
+        .collect()
+    )
+    assert maintained == full
