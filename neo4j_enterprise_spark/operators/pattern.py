@@ -381,6 +381,18 @@ def _parse_items(body: str):
             var, prop = (arg.split(".") + [None])[:2] if arg != "*" else (None, None)
             items.append((f"agg:{fn}", var, prop, distinct, alias or fn))
         else:
+            im = re.match(r"^id\(\s*(\w+)\s*\)$", one, re.I)
+            if im:
+                # id(n): the bound column IS the node id
+                items.append(("plain", im.group(1), None, False,
+                              alias or f"id_{im.group(1)}"))
+                continue
+            lb = re.match(r"^labels\(\s*(\w+)\s*\)$", one, re.I)
+            if lb:
+                # labels(n): single-label store → the kind column
+                items.append(("plain", lb.group(1), "kind", False,
+                              alias or f"labels_{lb.group(1)}"))
+                continue
             lm = _LENGTH_RE.match(one)
             if lm:
                 # length(p) over a shortestPath-bound variable: the path
@@ -670,9 +682,13 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
                 )
         elif kw == "UNWIND":
             um = _AS_RE.match(body)
-            if not um or not re.match(r"^\w+$", um.group(1).strip()):
+            src_ok = um and (
+                re.match(r"^\w+$", um.group(1).strip())
+                or re.match(r"^\[[^\]]*\]$", um.group(1).strip())
+            )
+            if not src_ok:
                 raise ValueError(
-                    f"UNWIND supports '<carried list var> AS x': {body!r}"
+                    f"UNWIND supports '<carried list var>|[literals] AS x': {body!r}"
                 )
             if cur["match"] is not None:
                 raise ValueError("UNWIND must precede this stage's MATCH")
@@ -743,6 +759,17 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
             if carried is None:
                 raise ValueError("UNWIND before the first WITH is unsupported")
             for src, alias in stage["unwind"]:
+                if src.startswith("["):
+                    # literal list: UNWIND [1, 2, 3] AS x
+                    lits = [
+                        _parse_literal(one.strip())
+                        for one in src[1:-1].split(",")
+                        if one.strip()
+                    ]
+                    carried = carried.withColumn(
+                        alias, F.explode(F.array(*[F.lit(v) for v in lits]))
+                    )
+                    continue
                 if src not in carried.columns:
                     raise ValueError(f"UNWIND of unbound variable {src!r}")
                 carried = carried.withColumn(alias, F.explode(F.col(src)))

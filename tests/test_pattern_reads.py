@@ -312,3 +312,28 @@ def test_cypher_set_updates_matched_projection(spark):
         "RETURN s, s.tier AS tier ORDER BY s",
     )
     assert [tuple(r) for r in new.collect()] == [(0, "gold"), (1, "gold")]
+
+
+def test_cypher_literal_unwind_and_functions(spark):
+    from neo4j_enterprise_spark.operators.pattern import cypher_query
+
+    nodes = spark.createDataFrame(
+        [(0, "g", True, "a"), (1, "x", True, "b")],
+        "id long, kind string, in_use boolean, name string",
+    )
+    rels = spark.createDataFrame(
+        [(10, 0, 1, "HAS")], "id long, src long, dst long, type_name string"
+    )
+    out = cypher_query(
+        nodes, rels,
+        "MATCH (g:g)-[:HAS]->(x) WITH g, x "
+        "UNWIND [1, 2, 3] AS mult "
+        "RETURN g, x, mult ORDER BY mult",
+    )
+    assert [tuple(r) for r in out.collect()] == [(0, 1, 1), (0, 1, 2), (0, 1, 3)]
+    fn = cypher_query(
+        nodes, rels,
+        "MATCH (g:g)-[:HAS]->(x) "
+        "RETURN id(g) AS gid, labels(x) AS xkind",
+    )
+    assert [tuple(r) for r in fn.collect()] == [(0, "x")]
