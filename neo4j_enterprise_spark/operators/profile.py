@@ -68,3 +68,55 @@ def numeric_histogram(df: DataFrame, col: str, nbins: int = 10) -> DataFrame:
             "n",
         )
     )
+
+
+def equidepth_histogram(
+    df: DataFrame, col: str, buckets: int = 8, id_col: str | None = None
+) -> DataFrame:
+    """Equi-DEPTH histogram: NTILE buckets over a deterministic total
+    order (value, then id tiebreak) — per bucket the min/max bound and
+    the exact row count. The planner-grade histogram for skewed columns
+    where equi-width buckets collapse into one bar.
+
+    One window pass + one groupBy; at 100 TB swap the exact NTILE for
+    ``percentile_approx`` cut points (same output contract, sketch
+    accuracy)."""
+    from pyspark.sql.window import Window
+
+    order = [F.col(col)] + ([F.col(id_col)] if id_col else [])
+    w = Window.orderBy(*order)
+    return (
+        df.withColumn("__b", F.ntile(buckets).over(w))
+        .groupBy(F.col("__b").alias("bucket"))
+        .agg(
+            F.min(col).alias("lo"),
+            F.max(col).alias("hi"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def skew_report(df: DataFrame, key: str, top: int = 5) -> DataFrame:
+    """Join-key skew diagnosis: per-key counts vs the uniform share —
+    the pre-flight check that decides between a plain shuffle join,
+    AQE skew splitting, or explicit salting (`operators/skew.py`).
+
+    Returns the ``top`` heaviest keys with (count, share_x1000 — the
+    key's count as thousandths of the total; >> 1000/n_keys means a hot
+    key). One partial-agg pass + a broadcast of the 1-row total."""
+    counts = df.groupBy(F.col(key).alias("key")).agg(F.count("*").alias("n"))
+    total = counts.agg(
+        F.sum("n").alias("n_total"), F.count("*").alias("n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n",
+            F.floor(F.col("n") * 1000 / F.col("n_total")).cast("long").alias("share_x1000"),
+            "n_keys",
+        )
+        .orderBy(F.desc("n"), "key")
+        .limit(top)
+    )

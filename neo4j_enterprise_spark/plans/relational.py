@@ -2302,3 +2302,48 @@ def customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         left, right, "name", block=lambda s: F.substring(s, 10, 6), max_dist=2
     )
     return out.orderBy("lid", "rid")
+
+
+@register(
+    "events_equidepth_histogram",
+    """
+    WITH t AS (
+      SELECT CAST(ROUND(value * 1000) AS BIGINT) AS v, event_id,
+             NTILE(8) OVER (ORDER BY CAST(ROUND(value * 1000) AS BIGINT),
+                            event_id) AS bucket
+      FROM events)
+    SELECT bucket, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n_rows
+    FROM t GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Equi-depth histogram (profile.equidepth_histogram): NTILE "
+    "buckets over a deterministic (value, id) order, exact bounds and "
+    "counts per bucket — the planner histogram that survives skew. "
+    "Values quantized to milli-units for cross-engine exactness.",
+)
+def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import equidepth_histogram
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.round(F.col("value") * 1000).cast("long").alias("v")
+    )
+    return equidepth_histogram(ev, "v", buckets=8, id_col="event_id")
+
+
+@register(
+    "lineitem_skew_report",
+    """
+    WITH c AS (SELECT l_partkey AS key, COUNT(*) AS n FROM lineitem GROUP BY 1),
+    t AS (SELECT SUM(n) AS n_total, COUNT(*) AS n_keys FROM c)
+    SELECT key, n, CAST((n * 1000) // n_total AS BIGINT) AS share_x1000, n_keys
+    FROM c, t ORDER BY n DESC, key LIMIT 5
+    """,
+    doc="Join-key skew diagnosis (profile.skew_report): the heaviest "
+    "l_partkey values with their share of the fact table — the "
+    "pre-flight that picks plain shuffle vs AQE skew-split vs salting. "
+    "One partial-agg pass + a broadcast 1-row total.",
+)
+def lineitem_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import skew_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return skew_report(li, "l_partkey", top=5)
