@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Spark-vs-DuckDB wall-clock comparison for the oracle-bearing bench
+queries: runs each declared bench query on a warmed Spark session
+(median of 5) and its oracle SQL on warmed DuckDB (median of 5, same
+thread count), prints a ratio table sorted worst-first plus the
+aggregate. This is the measurement loop behind BASELINE.md's appendix —
+rerun it after perf work instead of guessing.
+
+Usage: PYTHONPATH=. python tools/compare_duckdb.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from neo4j_enterprise_spark.catalog import TABLES, load_table
+from neo4j_enterprise_spark.plans import all_queries
+from neo4j_enterprise_spark.session import get_spark
+
+
+def median5(fn) -> float:
+    samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        fn()
+        samples.append(time.perf_counter() - t0)
+    return sorted(samples)[2]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("compare")
+    qs = {n: q for n, q in all_queries().items() if q.bench and q.oracle}
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+    con = duckdb.connect()
+    con.execute("SET threads TO 32")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    rows = []
+    for n, q in sorted(qs.items()):
+        q.spark(spark, sf_dir).count()  # warm codegen
+        s = median5(lambda: q.spark(spark, sf_dir).count())
+        con.execute(q.oracle).fetchall()  # warm
+        d = median5(lambda: con.execute(q.oracle).fetchall())
+        rows.append((n, s, d))
+    rows.sort(key=lambda r: -(r[1] / max(r[2], 1e-9)))
+    for n, s, d in rows:
+        print(f"| {n} | {s:.2f} | {d:.3f} | {s / max(d, 1e-9):.1f}× |")
+    ts, td = sum(r[1] for r in rows), sum(r[2] for r in rows)
+    print(f"TOTAL spark={ts:.2f}s duckdb={td:.2f}s ratio={ts / td:.2f}x")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
