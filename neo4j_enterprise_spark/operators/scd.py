@@ -62,3 +62,14 @@ def scd2_apply(
         F.lit(None).cast("long").alias("valid_to"),
     )
     return hist.unionByName(kept).unionByName(opened)
+
+
+def scd2_as_of(dim: DataFrame, ts: int) -> DataFrame:
+    """Point-in-time read: the dimension exactly as it stood at ``ts``
+    (rows whose validity interval covers ts — open rows count). With
+    the dimension partitioned by key, this is a pure filter: no shuffle,
+    full partition pruning on a valid_from-sorted layout."""
+    return dim.filter(
+        (F.col("valid_from") <= ts)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > ts))
+    )

@@ -399,3 +399,18 @@ def test_fuzzy_join_blocking_and_distance(spark):
     # abcdeX: dist 1 (in block 'ab'); abXXXX: dist 4 -> rejected by
     # verify despite sharing the block; zzzzzz exact dist 0
     assert got == {(1, 10, 1), (2, 12, 0)}
+
+
+def test_scd2_as_of_point_in_time(spark):
+    from neo4j_enterprise_spark.operators.scd import scd2_apply, scd2_as_of
+
+    dim = spark.createDataFrame(
+        [(1, "gold", 0, None), (2, "silver", 0, None)],
+        "k long, tier string, valid_from long, valid_to long",
+    )
+    updates = spark.createDataFrame([(2, "gold")], "k long, tier string")
+    v2 = scd2_apply(dim, updates, "k", ["tier"], batch_ts=10)
+    before = {(r["k"], r["tier"]) for r in scd2_as_of(v2, 5).collect()}
+    after = {(r["k"], r["tier"]) for r in scd2_as_of(v2, 15).collect()}
+    assert before == {(1, "gold"), (2, "silver")}
+    assert after == {(1, "gold"), (2, "gold")}
