@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 # type: "-[*1..2]->"
 _NODE_RE = re.compile(r"\(\s*(\w+)?\s*(?::\s*(\w+))?\s*(?:\{([^}]*)\})?\s*\)")
 _EDGE_RE = re.compile(
-    r"(<?)-\[\s*(\w+)?\s*(?::\s*(\w+))?\s*(?:\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]-(>?)"
+    r"(<?)-\[\s*(\w+)?\s*(?::\s*(\w+(?:\s*\|\s*\w+)*))?\s*"
+    r"(?:\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]-(>?)"
 )
 _PROP_RE = re.compile(r"(\w+)\s*:\s*('[^']*'|\"[^\"]*\"|[\w.+-]+)")
 
@@ -78,7 +79,17 @@ def match_path(
         type_name, direction = step[0], step[1]
         lo, hi = (step[2], step[3]) if len(step) > 2 else (1, 1)
         rel_var = rel_vars[i] if rel_vars else None
-        e = rels if type_name is None else rels.filter(F.col("type_name") == type_name)
+        if type_name is None:
+            e = rels
+        else:
+            # Cypher type alternation [:A|B] — one IN-list filter, still
+            # a single scan of the relationship store
+            names = [t.strip() for t in type_name.split("|")]
+            e = rels.filter(
+                F.col("type_name") == names[0]
+                if len(names) == 1
+                else F.col("type_name").isin(names)
+            )
         if direction == "out":
             edge = e.select(F.col("src").alias("__a"), F.col("dst").alias("__b"))
         else:
@@ -544,7 +555,7 @@ def shortest_path_match(
         seeds,
         k=hi,
         direction=direction,
-        types=[type_name] if type_name else None,
+        types=[t.strip() for t in type_name.split("|")] if type_name else None,
         cache_edges=hi > 1,
     ).filter(F.col("hops") >= lo)
     out = reach.select(

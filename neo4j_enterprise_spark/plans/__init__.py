@@ -151,6 +151,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "orders_incremental_join_view",
     "cypher_shortest_path",
     "cypher_collect_unwind",
+    "cypher_rel_var_counts",
+    "cypher_case_classify",
+    "cypher_set_tier",
+    "events_cumulative_users",
+    "events_hourly_gapfill",
+    "customer_scd2_batch",
+    "customer_fuzzy_match",
+    "events_equidepth_histogram",
+    "lineitem_skew_report",
 )
 
 

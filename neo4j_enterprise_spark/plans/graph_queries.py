@@ -2005,3 +2005,30 @@ def graph_hyperball_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+@register(
+    "cypher_type_alternation",
+    f"""
+    {graph_cte()}
+    SELECT r.dst AS n, COUNT(*) AS n_members
+    FROM rels r JOIN nodes nn ON nn.id = r.dst AND nn.kind = 'nation'
+    WHERE r.type_name IN ('IN_NATION', 'SUPP_NATION')
+    GROUP BY r.dst ORDER BY n
+    """,
+    doc="Cypher relationship-type alternation: MATCH (m)-[:IN_NATION|"
+    "SUPP_NATION]->(n:nation) RETURN n, count(m) — the [:A|B] union "
+    "compiles to ONE IN-list filter on the relationship scan (a single "
+    "store pass), not a plan union.",
+)
+def cypher_type_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pattern import cypher_query
+
+    nodes = derived_nodes(spark, sf_dir)
+    rels = derived_rels(spark, sf_dir)
+    return cypher_query(
+        nodes,
+        rels,
+        "MATCH (m)-[:IN_NATION|SUPP_NATION]->(n:nation) "
+        "RETURN n, count(m) AS n_members ORDER BY n",
+    )

@@ -337,3 +337,21 @@ def test_cypher_literal_unwind_and_functions(spark):
         "RETURN id(g) AS gid, labels(x) AS xkind",
     )
     assert [tuple(r) for r in fn.collect()] == [(0, "x")]
+
+
+def test_cypher_rel_type_alternation(spark):
+    from neo4j_enterprise_spark.operators.pattern import cypher_match
+
+    nodes = spark.createDataFrame(
+        [(0, "n", True, "a"), (1, "n", True, "b"), (2, "n", True, "c")],
+        "id long, kind string, in_use boolean, name string",
+    )
+    rels = spark.createDataFrame(
+        [(0, 0, 1, "A"), (1, 0, 2, "B"), (2, 1, 2, "C")],
+        "id long, src long, dst long, type_name string",
+    )
+    out = cypher_match(nodes, rels, "(x)-[:A|B]->(y)")
+    assert {(r["x"], r["y"]) for r in out.collect()} == {(0, 1), (0, 2)}
+    # alternation composes with the variable-length quantifier
+    var = cypher_match(nodes, rels, "(x)-[:A|C*1..2]->(y)")
+    assert {(r["x"], r["y"]) for r in var.collect()} == {(0, 1), (1, 2), (0, 2)}
