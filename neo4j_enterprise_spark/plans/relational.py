@@ -2347,3 +2347,68 @@ def lineitem_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return skew_report(li, "l_partkey", top=5)
+
+
+@register(
+    "events_stream_interval_join",
+    """
+    SELECT a.user_id AS user_id,
+           CAST(a.event_id AS BIGINT) AS signup_id,
+           CAST(b.event_id AS BIGINT) AS purchase_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'signup' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    ORDER BY a.user_id, signup_id, purchase_id
+    """,
+    doc="DRIVEN stream-stream interval join: signup and purchase "
+    "streams (two file-stream sources over the same staged dir) joined "
+    "on user within [signup_ts, signup_ts + 1h] — watermarks on both "
+    "sides bound the join state to the interval width, matches emit "
+    "eagerly (inner-join append semantics), AvailableNow runs to "
+    "completion, and the emitted set hash-matches the batch self-join "
+    "oracle. Extends stream/batch parity from aggregates "
+    "(events_stream_hourly_rollup) to JOINS.",
+)
+def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        _staged_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("event_id").alias("signup_id"),
+            F.col("ts").alias("a_ts"),
+        )
+        .withWatermark("a_ts", "2 hours")
+    )
+    b = (
+        _staged_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("b_ts"),
+        )
+        .withWatermark("b_ts", "2 hours")
+    )
+    joined = a.join(
+        b,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("user_id", "signup_id", "purchase_id")
+    qn = f"events_stream_ij_{next(_STREAM_QUERY_SEQ)}"
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    return spark.table(qn).orderBy("user_id", "signup_id", "purchase_id")
