@@ -2412,3 +2412,73 @@ def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return spark.table(qn).orderBy("user_id", "signup_id", "purchase_id")
+
+
+@register(
+    "events_stream_stateful_totals",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT)
+             AS total_milli
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    doc="DRIVEN custom stateful streaming (applyInPandasWithState): "
+    "per-user running totals carried in GroupState across micro-batches "
+    "(values quantized to milli-ints so state merges are exact), run to "
+    "completion with AvailableNow; the cumulative row with the highest "
+    "event count per user IS that user's final total and hash-matches "
+    "the batch oracle. Completes stream/batch parity across all three "
+    "stateful families: windowed aggregates, joins, and custom state.",
+)
+def events_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.window import Window
+
+    stream = _staged_events_stream(spark, sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # round per element, THEN sum — matches the oracle's
+            # SUM(ROUND(value*1000)) exactly; a float batch-sum rounded
+            # once would drift on half-unit values
+            total += int(pdf["value"].mul(1000).round().astype("int64").sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_milli": [total]}
+        )
+
+    totals = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id long, n_events long, total_milli long",
+        "n_events long, total_milli long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    qn = f"events_stream_state_{next(_STREAM_QUERY_SEQ)}"
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            totals.writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(qn)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "n_events", "total_milli")
+        .orderBy("user_id")
+    )
