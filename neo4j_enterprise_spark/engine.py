@@ -93,3 +93,48 @@ class Engine:
         from .plans import all_queries
 
         return sorted(all_queries())
+
+    # -- Cypher ---------------------------------------------------------
+    def cypher(self, query: str) -> DataFrame:
+        """Full Cypher-subset read/update queries (MATCH/OPTIONAL MATCH/
+        WHERE/WITH/UNWIND/SET/CASE/shortestPath()/collect()/RETURN/
+        ORDER BY/SKIP/LIMIT) compiled to one Catalyst plan."""
+        from .operators.pattern import cypher_query
+
+        return cypher_query(self.nodes(), self.rels(), query)
+
+    # -- training-data pipeline ----------------------------------------
+    def dedup_exact(self) -> DataFrame:
+        from .operators.dedup import exact_dup_groups
+
+        return exact_dup_groups(self.table("documents"))
+
+    def dedup_near(self, **kw) -> DataFrame:
+        """MinHash-LSH candidate pairs over documents."""
+        from .operators.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(self.table("documents"), **kw)
+
+    def ann(self, seeds: DataFrame, k: int = 5, method: str = "ivf_pq", **kw) -> DataFrame:
+        """Top-k neighbors for the seed vectors: 'exact', 'lsh', 'ivf',
+        'pq' or 'ivf_pq' (the production default)."""
+        from .operators import similarity as sim
+
+        emb = self.table("embeddings")
+        fns = {
+            "exact": sim.cosine_topk_bruteforce,
+            "lsh": sim.lsh_ann_topk,
+            "ivf": sim.ivf_ann_topk,
+            "pq": sim.pq_ann_topk,
+            "ivf_pq": sim.ivf_pq_ann_topk,
+        }
+        try:
+            fn = fns[method]
+        except KeyError:
+            raise KeyError(f"unknown ANN method {method!r}; one of {sorted(fns)}") from None
+        return fn(emb, seeds, k=k, **kw)
+
+    def profile(self, table: str, columns: list[str]) -> DataFrame:
+        from .operators.profile import profile as _profile
+
+        return _profile(self.table(table), columns)

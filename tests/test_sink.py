@@ -194,3 +194,21 @@ def test_enrich_stream_broadcast_join(spark, sf_dir, tmp_path):
     by_id = {r["event_id"]: r for r in out}
     assert len(by_id) == 3
     assert by_id[1]["n_name"] is not None and by_id[3]["n_name"] is None  # left join
+
+
+def test_engine_facade_cypher_and_pipeline(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from neo4j_enterprise_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    out = eng.cypher(
+        "MATCH (s:supplier)-[:SUPP_NATION]->(n) RETURN n, count(s) AS ns ORDER BY n"
+    )
+    assert out.count() > 0
+    assert eng.dedup_exact().columns == ["content_hash", "keep_doc_id", "n_copies"]
+    seeds = eng.table("embeddings").filter(F.col("vec_id") < 3)
+    ann = eng.ann(seeds, k=2, method="exact")
+    assert ann.count() == 6
+    prof = eng.profile("events", ["user_id", "value"])
+    assert prof.count() == 2
