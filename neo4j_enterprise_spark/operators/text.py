@@ -289,3 +289,80 @@ def chunk_documents(
         F.concat_ws(" ", F.col("chunk_tokens")).alias("chunk_text"),
         F.size("chunk_tokens").cast("long").alias("n_tokens"),
     )
+
+
+def _merge_pair(sym, a: str, b: str):
+    """Greedy left-to-right BPE pair merge over a symbol array, as one
+    array-domain fold (no Python per row): append each symbol, replacing
+    a trailing ``a`` by ``ab`` when ``b`` arrives."""
+    merged = a + b
+    return F.aggregate(
+        sym,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text"):
+    """Distributed BPE merge training (Sennrich-style): learn the top
+    ``n_merges`` byte-pair merges from a corpus.
+
+    Plan per round: adjacent-pair counts over the (word, count) table —
+    one explode + one partial-agg shuffle on the pair key — then ONE
+    argmax row to the driver (the merge decision is a global scalar,
+    planner-sized like the IVF codebook collect), then the merge applied
+    corpus-wide as an array fold fused into the projection (no shuffle).
+    The word table carries one row per DISTINCT word (frequency-
+    weighted), so round cost scales with vocabulary, not corpus size —
+    the standard trainer shape at 100 TB where the word-count table is
+    millions of rows against trillions of tokens.
+
+    Returns (merges list[(a, b)], words DataFrame(word, count, syms)).
+    """
+    words = (
+        docs.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "syms",
+            F.concat(
+                F.split(F.col("w"), "(?!$)"), F.array(F.lit("</w>"))
+            ),
+        )
+        .persist()
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = (
+            words.select(
+                "cnt",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not pairs or pairs[0]["n"] < 2:
+            break
+        a, b = pairs[0]["a"], pairs[0]["b"]
+        merges.append((a, b))
+        nxt = words.withColumn("syms", _merge_pair(F.col("syms"), a, b)).persist()
+        nxt.count()
+        words.unpersist()
+        words = nxt
+    return merges, words

@@ -1379,3 +1379,27 @@ def ann_ivf_pq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     seeds = emb.filter(F.col("vec_id") < 100)
     return similarity.ivf_pq_ann_topk(emb, seeds, k=5).orderBy("seed", "rk")
+
+
+@register(
+    "docs_bpe_merges",
+    None,  # per-round argmax + array rewrite isn't SQL-expressible; the
+    # trainer is pinned against a plain-Python reference loop in tests
+    doc="Distributed BPE merge training (text.bpe_train): top-8 learned "
+    "merges over the corpus vocabulary. Per round: one pair-count "
+    "shuffle over DISTINCT words (round cost scales with vocabulary, "
+    "not corpus), one 1-row argmax to the driver, merge applied as a "
+    "shuffle-free array fold. Deterministic tie-breaks; exact "
+    "equivalence to the sequential reference trainer proven in "
+    "test_pipeline.",
+)
+def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, words = bpe_train(docs, n_merges=8)
+    words.unpersist()
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string, merged string",
+    )

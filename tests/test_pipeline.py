@@ -414,3 +414,40 @@ def test_scd2_as_of_point_in_time(spark):
     after = {(r["k"], r["tier"]) for r in scd2_as_of(v2, 15).collect()}
     assert before == {(1, "gold"), (2, "silver")}
     assert after == {(1, "gold"), (2, "gold")}
+
+
+def test_bpe_train_matches_reference_loop(spark):
+    from neo4j_enterprise_spark.operators.text import bpe_train
+
+    # classic toy corpus (Sennrich BPE paper example, public domain)
+    corpus = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    docs = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+    got, words = bpe_train(docs, n_merges=4)
+
+    # plain-python reference trainer with the same tie-break
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    vocab = {w: list(w) + ["</w>"] for w in freqs}
+    want = []
+    for _ in range(4):
+        pc = {}
+        for w, syms in vocab.items():
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] = pc.get((x, y), 0) + freqs[w]
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        want.append((a, b))
+        for w, syms in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            vocab[w] = out
+    assert got == want
+    # the trained segmentation survives in the words table
+    segs = {r["w"]: list(r["syms"]) for r in words.collect()}
+    assert segs == vocab
