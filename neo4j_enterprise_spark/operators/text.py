@@ -366,3 +366,29 @@ def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text"):
         words.unpersist()
         words = nxt
     return merges, words
+
+
+def bpe_encode(
+    docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
+) -> DataFrame:
+    """Apply a trained BPE merge list: every merge is one array fold,
+    and the whole list composes into a SINGLE fused projection — the
+    encode pass over a 100 TB corpus is one shuffle-free scan no matter
+    how many merges were learned.
+
+    Returns (doc_id, n_words, n_bpe_tokens) — the compression the
+    trained vocabulary achieves per document.
+    """
+    word = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
+    d = docs.select("doc_id", word)
+    sym = F.concat(F.split(F.col("w"), "(?!$)"), F.array(F.lit("</w>")))
+    for a, b in merges:
+        sym = _merge_pair(sym, a, b)
+    return (
+        d.select("doc_id", F.size(sym).alias("n_sym"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+        )
+    )

@@ -1403,3 +1403,101 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
         "rank int, left string, right string, merged string",
     )
+
+
+_CANON_SPLIT_CASE = _SPLIT_CASE.replace("doc_id", "canonical_id")
+
+
+@register(
+    "docs_leakage_safe_split",
+    rf"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 5, 0) + 2),
+                                     i -> array_to_string(t[i:i+4], ' '))) AS shingle
+        FROM toks)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+    inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+              FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+                          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+              GROUP BY c.doc_a, c.doc_b),
+    edges AS (
+      SELECT i.doc_a AS a, i.doc_b AS b FROM inter i
+      JOIN sizes za ON za.doc_id = i.doc_a
+      JOIN sizes zb ON zb.doc_id = i.doc_b
+      WHERE CAST(i.n_inter AS DOUBLE)
+            / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE) >= 0.6),
+    bi AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    reach(a, b) AS (
+      SELECT a, b FROM bi
+      UNION
+      SELECT r.a, p.b FROM reach r JOIN bi p ON p.a = r.b),
+    members AS (SELECT a, b FROM reach UNION SELECT DISTINCT a, a FROM bi),
+    canon AS (SELECT a AS doc_id, MIN(b) AS canonical_id
+              FROM members GROUP BY a),
+    assigned AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(c.canonical_id, d.doc_id) AS BIGINT) AS canonical_id
+      FROM documents d LEFT JOIN canon c USING (doc_id))
+    SELECT {_CANON_SPLIT_CASE} AS split,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT canonical_id) AS BIGINT) AS n_clusters
+    FROM assigned GROUP BY 1 ORDER BY split
+    """,
+    doc="LEAKAGE-SAFE train/val/test split: near-dup clusters (Jaccard "
+    "CC, canonical = min member) are split as a UNIT — the split hash "
+    "keys on the canonical id, so two near-duplicate documents can "
+    "never land in train and test (the contamination channel plain "
+    "per-doc splitting leaves open). Oracle replays clustering + "
+    "canonical-keyed split end-to-end.",
+)
+def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+    from ..operators.traversal import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs)
+    cand = (
+        sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    edges = (
+        dedup.ngram_jaccard(docs, cand)
+        .filter(F.col("jaccard") >= 0.6)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    cc = connected_components(edges)
+    assigned = (
+        docs.select("doc_id")
+        .join(
+            cc.select(
+                F.col("node_id").alias("doc_id"),
+                F.col("component").cast("long").alias("canonical_id"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("canonical_id"), F.col("doc_id")).alias(
+                "canonical_id"
+            ),
+        )
+    )
+    split = sampling.hash_split(assigned, "canonical_id", _SPLIT_WEIGHTS)
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("canonical_id").alias("n_clusters"),
+        )
+        .orderBy("split")
+    )

@@ -451,3 +451,19 @@ def test_bpe_train_matches_reference_loop(spark):
     # the trained segmentation survives in the words table
     segs = {r["w"]: list(r["syms"]) for r in words.collect()}
     assert segs == vocab
+
+
+def test_bpe_encode_compresses_with_trained_merges(spark):
+    from neo4j_enterprise_spark.operators.text import bpe_encode, bpe_train
+
+    corpus = " ".join(["low"] * 5 + ["newest"] * 6)
+    docs = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+    merges, words = bpe_train(docs, n_merges=4)
+    words.unpersist()
+    out = bpe_encode(docs, merges).collect()[0]
+    assert out["n_words"] == 11
+    # chars+</w> baseline: 5*4 + 6*7 = 62 symbols; 4 merges must shrink it
+    assert out["n_bpe_tokens"] < 62
+    # zero merges = the character baseline exactly
+    base = bpe_encode(docs, []).collect()[0]
+    assert base["n_bpe_tokens"] == 62

@@ -213,3 +213,44 @@ def test_epoch_shuffle_deterministic_and_seed_sensitive(spark):
     for _, s, p in a:
         by_shard[s].add(p)
     assert all(ps == set(range(len(ps))) for ps in by_shard.values())
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark, sf_dir):
+    from neo4j_enterprise_spark.plans import all_queries
+
+    # build a corpus where doc 0 has a near-duplicate; the canonical-keyed
+    # split must put every cluster member in ONE split
+    from neo4j_enterprise_spark.catalog import load_table
+    from neo4j_enterprise_spark.operators import dedup, sampling
+    from neo4j_enterprise_spark.operators.traversal import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    dups = docs.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(dups)
+    sh = dedup.shingles(corpus)
+    cand = (
+        sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    edges = (
+        dedup.ngram_jaccard(corpus, cand)
+        .filter(F.col("jaccard") >= 0.6)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    cc = connected_components(edges)
+    assigned = corpus.select("doc_id").join(
+        cc.select(F.col("node_id").alias("doc_id"), "component"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("canon")
+    )
+    split = sampling.hash_split(assigned, "canon", {"train": 0.5, "val": 0.25, "test": 0.25})
+    rows = {r["doc_id"]: (r["canon"], r["split"]) for r in split.collect()}
+    for i in range(3):
+        assert rows[i][0] == rows[i + 100_000][0], "near-dups share a canonical"
+        assert rows[i][1] == rows[i + 100_000][1], "near-dups share a split"
