@@ -160,6 +160,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "customer_fuzzy_match",
     "events_equidepth_histogram",
     "lineitem_skew_report",
+    "cypher_type_alternation",
+    "events_stream_interval_join",
+    "events_stream_stateful_totals",
+    "docs_leakage_safe_split",
+    "events_rolling_hour_counts",
 )
 
 

@@ -2482,3 +2482,40 @@ def events_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("user_id", "n_events", "total_milli")
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_rolling_hour_counts",
+    """
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           user_id,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_last_hour
+    FROM events
+    ORDER BY event_id
+    """,
+    doc="Per-entity rolling time-range window: each event's count of "
+    "same-user events in the trailing hour — a RANGE frame over epoch "
+    "microseconds, partitioned by user (the per-key state never leaves "
+    "its partition; the rate-limiter/abuse-detection primitive).",
+)
+def events_rolling_hour_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.select(
+            F.col("event_id").cast("long").alias("event_id"),
+            "user_id",
+            F.count("*").over(w).cast("long").alias("n_last_hour"),
+        )
+        .orderBy("event_id")
+    )
