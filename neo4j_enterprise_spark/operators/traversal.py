@@ -607,3 +607,54 @@ def hyperball(
     return state.select(
         "node_id", F.hll_sketch_estimate("sketch").alias("ball_size")
     )
+
+
+def random_walks(
+    rels: DataFrame,
+    seeds: DataFrame,
+    length: int = 3,
+    seed: int = 0,
+    direction: str = "out",
+) -> DataFrame:
+    """Deterministic random walks (the node2vec/DeepWalk corpus
+    generator): one walk per seed, each step moving to the neighbor
+    that minimizes ``md5(seed|step|cur|neighbor)`` — a keyed-hash
+    choice, so walks are uniform-ish per step yet fully reproducible
+    (same graph + seed ⇒ same corpus; retries and speculative tasks
+    are safe). Walks stop early at sinks.
+
+    Per step: one frontier equi-join + one per-walk argmin window, both
+    keyed on the walk's current node / walk id — the same co-partition
+    contract as BFS. Returns (walk_id, step, node_id) with step 0 = the
+    seed.
+    """
+    edges = _edges(rels, direction, None)
+    cur = seeds.select(
+        F.col("seed").cast("long").alias("walk_id"),
+        F.col("seed").cast("long").alias("node_id"),
+    )
+    out = cur.withColumn("step", F.lit(0))
+    for step in range(1, length + 1):
+        nxt = cur.join(edges, cur["node_id"] == edges["a"]).select(
+            "walk_id",
+            F.col("b").alias("cand"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(seed)),
+                    F.lit(str(step)),
+                    F.col("node_id").cast("string"),
+                    F.col("b").cast("string"),
+                )
+            ).alias("h"),
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("walk_id").orderBy("h", "cand")
+        cur = (
+            nxt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("walk_id", F.col("cand").alias("node_id"))
+        )
+        out = out.unionByName(cur.withColumn("step", F.lit(step)))
+    return out

@@ -165,6 +165,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_stream_stateful_totals",
     "docs_leakage_safe_split",
     "events_rolling_hour_counts",
+    "graph_random_walks",
 )
 
 

@@ -2032,3 +2032,51 @@ def cypher_type_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "MATCH (m)-[:IN_NATION|SUPP_NATION]->(n:nation) "
         "RETURN n, count(m) AS n_members ORDER BY n",
     )
+
+
+@register(
+    "graph_random_walks",
+    f"""
+    {graph_cte(nodes=False)},
+    seeds AS (SELECT src AS walk_id FROM rels WHERE src <= 20 GROUP BY src),
+    s0 AS (SELECT walk_id, walk_id AS node_id FROM seeds),
+    n1 AS (SELECT s.walk_id, r.dst AS cand,
+                  md5('7|1|' || CAST(s.node_id AS VARCHAR) || '|' ||
+                      CAST(r.dst AS VARCHAR)) AS h
+           FROM s0 s JOIN rels r ON r.src = s.node_id),
+    s1 AS (SELECT walk_id, cand AS node_id FROM
+             (SELECT *, ROW_NUMBER() OVER (PARTITION BY walk_id
+                        ORDER BY h, cand) AS rn FROM n1) WHERE rn = 1),
+    n2 AS (SELECT s.walk_id, r.dst AS cand,
+                  md5('7|2|' || CAST(s.node_id AS VARCHAR) || '|' ||
+                      CAST(r.dst AS VARCHAR)) AS h
+           FROM s1 s JOIN rels r ON r.src = s.node_id),
+    s2 AS (SELECT walk_id, cand AS node_id FROM
+             (SELECT *, ROW_NUMBER() OVER (PARTITION BY walk_id
+                        ORDER BY h, cand) AS rn FROM n2) WHERE rn = 1),
+    n3 AS (SELECT s.walk_id, r.dst AS cand,
+                  md5('7|3|' || CAST(s.node_id AS VARCHAR) || '|' ||
+                      CAST(r.dst AS VARCHAR)) AS h
+           FROM s2 s JOIN rels r ON r.src = s.node_id),
+    s3 AS (SELECT walk_id, cand AS node_id FROM
+             (SELECT *, ROW_NUMBER() OVER (PARTITION BY walk_id
+                        ORDER BY h, cand) AS rn FROM n3) WHERE rn = 1)
+    SELECT walk_id, 0 AS step, node_id FROM s0
+    UNION ALL SELECT walk_id, 1, node_id FROM s1
+    UNION ALL SELECT walk_id, 2, node_id FROM s2
+    UNION ALL SELECT walk_id, 3, node_id FROM s3
+    ORDER BY walk_id, step
+    """,
+    doc="Deterministic random walks (node2vec corpus generator): "
+    "keyed-hash neighbor choice (argmin md5(seed|step|cur|next)) — "
+    "reproducible under retries, one frontier join + per-walk argmin "
+    "window per step. Oracle unrolls the 3-step walk as CTEs.",
+)
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.traversal import random_walks
+
+    rels = derived_rels(spark, sf_dir)
+    seeds = rels.filter(F.col("src") <= 20).select(F.col("src").alias("seed")).distinct()
+    return random_walks(rels, seeds, length=3, seed=7).select(
+        "walk_id", F.col("step").cast("int").alias("step"), "node_id"
+    ).orderBy("walk_id", "step")

@@ -228,3 +228,29 @@ def test_hyperball_matches_exact_ball_sizes(spark):
     for r in exact:
         # tiny sets: HLL is exact at this cardinality
         assert abs(est[r["seed"]] - r["count"]) < 0.5, (r["seed"], est[r["seed"]], r["count"])
+
+
+def test_random_walks_deterministic_and_stop_at_sinks(spark):
+    from neo4j_enterprise_spark.operators.traversal import random_walks
+
+    rels = spark.createDataFrame(
+        [(0, 0, 1, "E"), (1, 0, 2, "E"), (2, 1, 3, "E")],  # 3 is a sink
+        "id long, src long, dst long, type_name string",
+    )
+    seeds = spark.createDataFrame([(0,)], "seed long")
+    a = sorted(tuple(r) for r in random_walks(rels, seeds, length=4, seed=1).collect())
+    b = sorted(tuple(r) for r in random_walks(rels, seeds, length=4, seed=1).collect())
+    assert a == b  # reproducible
+    # walk stops when it reaches a sink: no step beyond the dead end
+    steps = {r[2] for r in a}  # wait: columns (walk_id, node_id, step)
+    by_step = {}
+    for walk_id, node_id, step in a:
+        by_step[step] = node_id
+    last = max(by_step)
+    assert last <= 4
+    # a different seed may pick the other branch somewhere; at minimum
+    # the choice function is seed-sensitive over many steps/graphs —
+    # assert only well-formedness here (chain property):
+    for s in range(1, last + 1):
+        prev, cur = by_step[s - 1], by_step[s]
+        assert (prev, cur) in {(0, 1), (0, 2), (1, 3)}
