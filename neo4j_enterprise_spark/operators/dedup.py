@@ -378,3 +378,52 @@ def span_dedup(
             F.concat_ws(" ", F.transform(kept, lambda x: x["block"]))
         ).alias("clean_md5"),
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    boundary_hex: str = "0",
+) -> DataFrame:
+    """Content-defined chunking: cut each document where the rolling
+    hash of the trailing 3-token window starts with ``boundary_hex``
+    (md5 — portable), giving ~16-token average chunks whose BOUNDARIES
+    MOVE WITH THE CONTENT. Unlike fixed blocks (``span_dedup``), an
+    insertion shifts only the chunk it lands in — every later chunk
+    re-aligns, so cross-version/near-copy dedup keeps matching.
+
+    Returns (doc_id, chunk_id, chunk_md5): one narrow shuffle (the
+    per-doc window) + one groupBy; chunk content is digested before it
+    ever shuffles.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        "|", F.lag("tok", 2, "").over(w), F.lag("tok", 1, "").over(w), F.col("tok")
+    )
+    flagged = toks.withColumn(
+        "boundary",
+        ((F.col("pos") == 0) | (F.substring(F.md5(gram), 1, len(boundary_hex)) == boundary_hex)).cast("int"),
+    ).withColumn(
+        "chunk_id",
+        F.sum("boundary").over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1,
+    )
+    return (
+        flagged.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                )
+            ).alias("chunk_md5")
+        )
+    )

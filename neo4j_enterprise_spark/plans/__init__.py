@@ -166,6 +166,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "docs_leakage_safe_split",
     "events_rolling_hour_counts",
     "graph_random_walks",
+    "docs_cdc_dedup",
 )
 
 

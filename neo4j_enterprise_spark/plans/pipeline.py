@@ -1501,3 +1501,59 @@ def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "docs_cdc_dedup",
+    """
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+      FROM documents),
+    g AS (
+      SELECT doc_id, pos, tok,
+             md5(COALESCE(LAG(tok, 2) OVER w, '') || '|' ||
+                 COALESCE(LAG(tok, 1) OVER w, '') || '|' || tok) AS h
+      FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    f AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN pos = 0 OR substr(h, 1, 1) = '0' THEN 1 ELSE 0 END
+               AS boundary
+      FROM g),
+    c AS (
+      SELECT doc_id, pos, tok,
+             SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) - 1 AS chunk_id
+      FROM f),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+      FROM c GROUP BY doc_id, chunk_id),
+    counts AS (SELECT chunk_md5, COUNT(*) AS n FROM chunks GROUP BY chunk_md5)
+    SELECT ch.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN co.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks
+    FROM chunks ch JOIN counts co USING (chunk_md5)
+    GROUP BY ch.doc_id ORDER BY ch.doc_id
+    """,
+    doc="Content-defined chunk dedup (dedup.cdc_chunks): rolling-hash "
+    "boundaries (md5 of the trailing 3-token window) cut ~16-token "
+    "chunks that re-align across insertions — per doc, how many of its "
+    "chunks exist elsewhere in the corpus. The variable-boundary "
+    "upgrade of docs_span_dedup; oracle replays chunking + corpus "
+    "counts end-to-end.",
+)
+def docs_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = dedup.cdc_chunks(docs)
+    counts = chunks.groupBy("chunk_md5").agg(F.count("*").alias("n"))
+    return (
+        chunks.join(counts, "chunk_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("n") > 1).cast("long")).alias("n_shared_chunks"),
+        )
+        .orderBy("doc_id")
+    )

@@ -467,3 +467,26 @@ def test_bpe_encode_compresses_with_trained_merges(spark):
     # zero merges = the character baseline exactly
     base = bpe_encode(docs, []).collect()[0]
     assert base["n_bpe_tokens"] == 62
+
+
+def test_cdc_chunks_realign_after_insertion(spark):
+    """The CDC property fixed blocks lack: inserting a token near the
+    start only perturbs chunks around the insertion point — later
+    chunks re-align and still match the original (span_dedup's fixed
+    grid would shift EVERY later block)."""
+    from neo4j_enterprise_spark.operators.dedup import cdc_chunks, span_dedup
+
+    base = " ".join(f"w{i % 17}x{i % 5}" for i in range(120))
+    shifted = "INSERTED " + base
+    docs = spark.createDataFrame(
+        [(0, base), (1, shifted)], "doc_id long, text string"
+    )
+    chunks = cdc_chunks(docs)
+    by_doc = {0: set(), 1: set()}
+    for r in chunks.collect():
+        by_doc[r["doc_id"]].add(r["chunk_md5"])
+    shared = by_doc[0] & by_doc[1]
+    # most chunks re-align despite the shifted token positions
+    assert len(shared) >= len(by_doc[0]) // 2, (
+        len(shared), len(by_doc[0]), len(by_doc[1])
+    )
