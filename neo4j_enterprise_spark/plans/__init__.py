@@ -167,6 +167,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_rolling_hour_counts",
     "graph_random_walks",
     "docs_cdc_dedup",
+    "docs_token_budget_sample",
 )
 
 

@@ -1557,3 +1557,48 @@ def docs_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "docs_token_budget_sample",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(text), '\s+')) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before
+      FROM t)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM c WHERE before < 2000
+    GROUP BY source ORDER BY source
+    """,
+    doc="Token-budget mixture sampling (sampling.token_budget_sample): "
+    "per source, whole docs in deterministic md5 order until a 2000-"
+    "token budget fills — quota in TOKENS, not documents (the "
+    "pretraining 'N tokens per domain' op). Greedy whole-doc fill, at "
+    "most one doc over budget per stratum; oracle replays the running "
+    "total.",
+)
+def docs_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    sources = [r["source"] for r in docs.select("source").distinct().collect()]
+    kept = sampling.token_budget_sample(
+        docs, {s: 2000 for s in sources}, stratum_col="source"
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -254,3 +254,21 @@ def test_leakage_safe_split_keeps_near_dups_together(spark, sf_dir):
     for i in range(3):
         assert rows[i][0] == rows[i + 100_000][0], "near-dups share a canonical"
         assert rows[i][1] == rows[i + 100_000][1], "near-dups share a split"
+
+
+def test_token_budget_sample_fills_each_stratum(spark):
+    from neo4j_enterprise_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, "a" if i < 20 else "b", "tok " * 9 + "tok") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = token_budget_sample(docs, {"a": 35, "b": 100}, stratum_col="source")
+    agg = {r["source"]: (r["n"], r["tok"]) for r in
+           kept.groupBy("source").agg(
+               F.count("*").alias("n"), F.sum("n_tok").alias("tok")).collect()}
+    # 10-token docs: budget 35 -> 4 docs (30 before 4th < 35, 40 after);
+    # budget 100 -> 10 docs
+    assert agg["a"] == (4, 40)
+    assert agg["b"] == (10, 100)
+    # deterministic: same selection on re-run
+    again = token_budget_sample(docs, {"a": 35, "b": 100}, stratum_col="source")
+    assert {r["doc_id"] for r in kept.collect()} == {r["doc_id"] for r in again.collect()}
