@@ -168,6 +168,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "graph_random_walks",
     "docs_cdc_dedup",
     "docs_token_budget_sample",
+    "txlog_as_of_read",
 )
 
 

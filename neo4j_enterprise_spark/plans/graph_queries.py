@@ -2080,3 +2080,52 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(rels, seeds, length=3, seed=7).select(
         "walk_id", F.col("step").cast("int").alias("step"), "node_id"
     ).orderBy("walk_id", "step")
+
+
+@register(
+    "txlog_as_of_read",
+    """
+    WITH writes AS (
+      SELECT CAST(c_custkey AS BIGINT) AS owner_id, 0 AS key_id,
+             CAST(FLOOR(c_acctbal) AS BIGINT) AS value_long,
+             CAST(-1 AS BIGINT) AS tx_id
+      FROM customer
+      UNION ALL
+      SELECT CAST(o_custkey AS BIGINT), CAST(o_orderkey % 3 AS INT),
+             CAST(FLOOR(o_totalprice) AS BIGINT), CAST(o_orderkey AS BIGINT)
+      FROM orders
+      WHERE o_orderkey <= 10000
+    ),
+    ranked AS (
+      SELECT owner_id, key_id, value_long,
+             ROW_NUMBER() OVER (PARTITION BY owner_id, key_id
+                                ORDER BY tx_id DESC) AS rk
+      FROM writes
+    )
+    SELECT owner_id, CAST(key_id AS INT) AS key_id, value_long
+    FROM ranked WHERE rk = 1 AND owner_id <= 300
+    ORDER BY owner_id, key_id
+    """,
+    doc="Time-travel read over the tx log: the property state AS OF "
+    "tx 10000 — replay stops at the requested tx id, the temporal twin "
+    "of scd2_as_of for the OLTP store (S9 range extract feeding S10 "
+    "bounded replay). Oracle = windowed LWW over the tx-id-filtered "
+    "writes.",
+)
+def txlog_as_of_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.derive import _memo
+    from ..sources.txlog import (
+        base_graph_from_customers,
+        export_range,
+        replay,
+        txlog_from_orders,
+    )
+
+    base = base_graph_from_customers(spark, sf_dir)
+    log = _memo(spark, sf_dir, "txlog_orders", lambda: txlog_from_orders(spark, sf_dir))
+    as_of = replay(base, export_range(log, 0, 10_000))
+    return (
+        as_of.properties.filter(F.col("owner_id") <= 300)
+        .select("owner_id", F.col("key_id").cast("int").alias("key_id"), "value_long")
+        .orderBy("owner_id", "key_id")
+    )
