@@ -272,14 +272,55 @@ def _parse_literal(raw: str):
     return float(raw) if "." in raw else int(raw)
 
 
+_EXISTS_RE = re.compile(
+    r"^(NOT\s+)?EXISTS\s*\(\s*\(\s*(\w+)\s*\)\s*"
+    r"(<?)-\[\s*(?::\s*(\w+(?:\s*\|\s*\w+)*))?\s*\]-(>?)\s*\(\s*\)\s*\)$",
+    re.I,
+)
+
+
 def _parse_conds(body: str):
     conds = []
     for one in re.split(r"\bAND\b", body, flags=re.I):
-        m = _COND_RE.match(one.strip())
+        one = one.strip()
+        em = _EXISTS_RE.match(one)
+        if em:
+            neg, var, left, types, right = em.groups()
+            if (left == "<") == (right == ">"):
+                raise ValueError(f"EXISTS edge needs exactly one arrow: {one!r}")
+            direction = "in" if left == "<" else "out"
+            conds.append(
+                ("__exists__", var, (direction, types, bool(neg)), None)
+            )
+            continue
+        m = _COND_RE.match(one)
         if not m:
-            raise ValueError(f"unsupported WHERE condition: {one.strip()!r}")
+            raise ValueError(f"unsupported WHERE condition: {one!r}")
         conds.append((m.group(1), m.group(2), m.group(3), _parse_literal(m.group(4))))
     return conds
+
+
+def _apply_exists(out: DataFrame, rels: DataFrame, conds) -> DataFrame:
+    """Compile ``[NOT] EXISTS((v)-[:T]->())`` predicates: a left-semi
+    (anti for NOT) join of the bound rows against the typed edge
+    endpoints — the Cypher pattern predicate as a set-membership join,
+    never a per-row subquery."""
+    for kind, var, spec, _ in conds:
+        if kind != "__exists__":
+            continue
+        direction, types, neg = spec
+        edges = rels
+        if types:
+            names = [t.strip() for t in types.split("|")]
+            edges = edges.filter(
+                F.col("type_name") == names[0]
+                if len(names) == 1
+                else F.col("type_name").isin(names)
+            )
+        endpoint = "src" if direction == "out" else "dst"
+        bound = edges.select(F.col(endpoint).alias(var)).distinct()
+        out = out.join(bound, var, "left_anti" if neg else "left_semi")
+    return out
 
 
 _CASE_RE = re.compile(r"^CASE\s+(.*?)\s+END$", re.I | re.S)
@@ -736,6 +777,10 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
 
         conds = [c for b in stage["where"] for c in _parse_conds(b)]
         post_conds = [c for b in stage["post_where"] for c in _parse_conds(b)]
+        exists_conds = [c for c in conds if c[0] == "__exists__"]
+        conds = [c for c in conds if c[0] != "__exists__"]
+        post_exists = [c for c in post_conds if c[0] == "__exists__"]
+        post_conds = [c for c in post_conds if c[0] != "__exists__"]
 
         # every var.prop referenced this stage needs the node column —
         # except ones SET this stage, which the withColumn synthesizes
@@ -763,6 +808,8 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
 
         if carried is not None and post_conds:
             carried = _apply_conds(carried, post_conds)
+        if carried is not None and post_exists:
+            carried = _apply_exists(carried, rels, post_exists)
         if stage["unwind"]:
             # UNWIND <list var> AS x — explode a carried collect() list
             # back into rows (Cypher's list→rows horizon). Row expansion
@@ -835,6 +882,8 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
                 out = out.join(proj, var)
 
         out = _apply_conds(out, conds)
+        if exists_conds:
+            out = _apply_exists(out, rels, exists_conds)
 
         for var, prop, val in stage["set"]:
             # Cypher SET on the matched rows: the updated projection IS

@@ -169,6 +169,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "docs_cdc_dedup",
     "docs_token_budget_sample",
     "txlog_as_of_read",
+    "cypher_exists_inactive",
 )
 
 

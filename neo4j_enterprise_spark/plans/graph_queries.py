@@ -2129,3 +2129,35 @@ def txlog_as_of_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("owner_id", F.col("key_id").cast("int").alias("key_id"), "value_long")
         .orderBy("owner_id", "key_id")
     )
+
+
+@register(
+    "cypher_exists_inactive",
+    f"""
+    {graph_cte()}
+    SELECT r.dst AS n, COUNT(*) AS n_inactive
+    FROM rels r
+    JOIN nodes c ON c.id = r.src AND c.kind = 'customer'
+    WHERE r.type_name = 'IN_NATION'
+      AND NOT EXISTS (SELECT 1 FROM rels p
+                      WHERE p.type_name = 'PLACED' AND p.src = r.src)
+    GROUP BY r.dst ORDER BY n
+    """,
+    doc="Cypher pattern predicate: MATCH (c:customer)-[:IN_NATION]->(n) "
+    "WHERE NOT EXISTS((c)-[:PLACED]->()) RETURN n, count(c) — customers "
+    "who never ordered, per nation (the Q22 shape in Cypher). "
+    "[NOT] EXISTS compiles to a left-semi/anti join against the typed "
+    "edge endpoints — a set-membership join, never a per-row subquery.",
+)
+def cypher_exists_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pattern import cypher_query
+
+    nodes = derived_nodes(spark, sf_dir)
+    rels = derived_rels(spark, sf_dir)
+    return cypher_query(
+        nodes,
+        rels,
+        "MATCH (c:customer)-[:IN_NATION]->(n) "
+        "WHERE NOT EXISTS((c)-[:PLACED]->()) "
+        "RETURN n, count(c) AS n_inactive ORDER BY n",
+    )

@@ -355,3 +355,33 @@ def test_cypher_rel_type_alternation(spark):
     # alternation composes with the variable-length quantifier
     var = cypher_match(nodes, rels, "(x)-[:A|C*1..2]->(y)")
     assert {(r["x"], r["y"]) for r in var.collect()} == {(0, 1), (1, 2), (0, 2)}
+
+
+def test_cypher_exists_pattern_predicate(spark):
+    from neo4j_enterprise_spark.operators.pattern import cypher_query
+
+    nodes = spark.createDataFrame(
+        [(0, "c", True, "a"), (1, "c", True, "b"), (2, "n", True, "x")],
+        "id long, kind string, in_use boolean, name string",
+    )
+    # customer 0 placed an order; customer 1 did not
+    rels = spark.createDataFrame(
+        [(10, 0, 2, "IN"), (11, 1, 2, "IN"), (12, 0, 2, "PLACED")],
+        "id long, src long, dst long, type_name string",
+    )
+    has = cypher_query(
+        nodes, rels,
+        "MATCH (c:c)-[:IN]->(n) WHERE EXISTS((c)-[:PLACED]->()) RETURN c",
+    )
+    assert [r["c"] for r in has.collect()] == [0]
+    hasnt = cypher_query(
+        nodes, rels,
+        "MATCH (c:c)-[:IN]->(n) WHERE NOT EXISTS((c)-[:PLACED]->()) RETURN c",
+    )
+    assert [r["c"] for r in hasnt.collect()] == [1]
+    # incoming-edge form
+    inc = cypher_query(
+        nodes, rels,
+        "MATCH (n:n) WHERE EXISTS((n)<-[:PLACED]-()) RETURN n",
+    )
+    assert [r["n"] for r in inc.collect()] == [2]
