@@ -427,3 +427,43 @@ def cdc_chunks(
             ).alias("chunk_md5")
         )
     )
+
+
+def ngram_containment(
+    docs: DataFrame, pairs: DataFrame, text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Exact CONTAINMENT for candidate pairs: |A∩B| / min(|A|, |B|) over
+    word k-shingles — the quote/subset detector. A short document pasted
+    inside a long one scores near 1.0 here while its Jaccard stays tiny
+    (the union is dominated by the long doc), so a dedup ladder needs
+    BOTH verifiers. Same candidate-only join shape as ``ngram_jaccard``
+    — never the cross product.
+    """
+    sh = shingles(docs, text_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / F.least(F.col("n_a"), F.col("n_b")).cast("double")
+            ).alias("containment"),
+        )
+    )

@@ -170,6 +170,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "docs_token_budget_sample",
     "txlog_as_of_read",
     "cypher_exists_inactive",
+    "docs_containment_pairs",
 )
 
 

@@ -1602,3 +1602,45 @@ def docs_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "docs_containment_pairs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE doc_id < 30),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 5, 0) + 2),
+                                     i -> array_to_string(t[i:i+4], ' '))) AS shingle
+        FROM toks)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sizes a JOIN sizes b ON a.doc_id < b.doc_id),
+    inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+              FROM pairs p JOIN sh sa ON sa.doc_id = p.doc_a
+                           JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+              GROUP BY p.doc_a, p.doc_b)
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS DOUBLE)
+           / CAST(least(za.n_sh, zb.n_sh) AS DOUBLE) AS containment
+    FROM inter i JOIN sizes za ON za.doc_id = i.doc_a
+                 JOIN sizes zb ON zb.doc_id = i.doc_b
+    ORDER BY doc_a, doc_b
+    """,
+    doc="n-gram CONTAINMENT |A∩B| / min(|A|,|B|) for overlapping pairs "
+    "— the quote/subset detector Jaccard misses (a short doc pasted "
+    "into a long one: containment 1.0, Jaccard ~0); the dedup ladder's "
+    "second exact verifier, oracle-checked.",
+)
+def docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    ids = docs.select("doc_id")
+    pairs = (
+        ids.select(F.col("doc_id").alias("doc_a"))
+        .join(ids.select(F.col("doc_id").alias("doc_b")))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    return dedup.ngram_containment(docs, pairs).orderBy("doc_a", "doc_b")

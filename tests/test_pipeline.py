@@ -490,3 +490,18 @@ def test_cdc_chunks_realign_after_insertion(spark):
     assert len(shared) >= len(by_doc[0]) // 2, (
         len(shared), len(by_doc[0]), len(by_doc[1])
     )
+
+
+def test_containment_catches_subset_that_jaccard_misses(spark):
+    from neo4j_enterprise_spark.operators.dedup import ngram_containment, ngram_jaccard
+
+    long_text = " ".join(f"w{i}" for i in range(100))
+    quote = " ".join(f"w{i}" for i in range(10, 20))  # contained verbatim
+    docs = spark.createDataFrame(
+        [(0, long_text), (1, quote)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+    jac = ngram_jaccard(docs, pairs).collect()[0]["jaccard"]
+    con = ngram_containment(docs, pairs).collect()[0]["containment"]
+    assert con == 1.0  # every shingle of the quote is in the long doc
+    assert jac < 0.1  # union dominated by the long doc
