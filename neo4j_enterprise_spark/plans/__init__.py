@@ -171,6 +171,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "txlog_as_of_read",
     "cypher_exists_inactive",
     "docs_containment_pairs",
+    "graph_schema_summary",
 )
 
 

@@ -2161,3 +2161,41 @@ def cypher_exists_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE NOT EXISTS((c)-[:PLACED]->()) "
         "RETURN n, count(c) AS n_inactive ORDER BY n",
     )
+
+
+@register(
+    "graph_schema_summary",
+    f"""
+    {graph_cte()}
+    SELECT sk.kind AS src_kind, r.type_name, dk.kind AS dst_kind,
+           COUNT(*) AS n_edges,
+           CAST(COUNT(DISTINCT r.src) AS BIGINT) AS n_src_nodes,
+           CAST(COUNT(DISTINCT r.dst) AS BIGINT) AS n_dst_nodes
+    FROM rels r
+    JOIN nodes sk ON sk.id = r.src
+    JOIN nodes dk ON dk.id = r.dst
+    GROUP BY sk.kind, r.type_name, dk.kind
+    ORDER BY src_kind, type_name, dst_kind
+    """,
+    doc="Schema introspection (the reference's db.schema() analog): the "
+    "kind-level quotient graph — one super-edge per (src kind, rel "
+    "type, dst kind) with edge and endpoint cardinalities. Two "
+    "id-keyed joins + one small groupBy; the planner statistics a "
+    "query optimizer and a new user both start from.",
+)
+def graph_schema_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = derived_nodes(spark, sf_dir)
+    rels = derived_rels(spark, sf_dir)
+    sk = nodes.select(F.col("id").alias("src"), F.col("kind").alias("src_kind"))
+    dk = nodes.select(F.col("id").alias("dst"), F.col("kind").alias("dst_kind"))
+    return (
+        rels.join(sk, "src")
+        .join(dk, "dst")
+        .groupBy("src_kind", "type_name", "dst_kind")
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.count_distinct("src").alias("n_src_nodes"),
+            F.count_distinct("dst").alias("n_dst_nodes"),
+        )
+        .orderBy("src_kind", "type_name", "dst_kind")
+    )
