@@ -1644,3 +1644,26 @@ def docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
     )
     return dedup.ngram_containment(docs, pairs).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "media_feature_neighbors",
+    None,  # float32 histogram quantization has no bit-exact SQL twin;
+    # determinism + composition are pytest-pinned
+    doc="Multimodal -> similarity composition: attach_media (binary "
+    "payload + typed metadata) -> extract_features (Arrow mapInPandas "
+    "byte-histogram featurizer — a real vision model swaps in with the "
+    "same batch shape) -> exact cosine top-3 neighbors per media item "
+    "(quantized JVM dot products). The media dedup/retrieval path a "
+    "100 TB multimodal corpus runs after decode.",
+)
+def media_feature_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal, similarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_media(docs)
+    feats = multimodal.extract_features(media).select(
+        F.col("media_id").alias("vec_id"), F.col("features").alias("embedding")
+    )
+    seeds = feats.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_bruteforce(feats, seeds, k=3).orderBy("seed", "rk")

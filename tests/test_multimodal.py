@@ -74,3 +74,14 @@ def test_dedup_by_payload(spark, sf_dir):
     kept = mm.dedup_by_payload(corpus)
     assert kept.count() == 50
     assert kept.filter(F.col("media_id") >= 10_000).count() == 0
+
+
+def test_media_feature_neighbors_composition(spark, sf_dir):
+    from neo4j_enterprise_spark.plans import all_queries
+
+    q = all_queries()["media_feature_neighbors"]
+    a = [tuple(r) for r in q.spark(spark, sf_dir).collect()]
+    b = [tuple(r) for r in q.spark(spark, sf_dir).collect()]
+    assert a == b  # deterministic featurizer + quantized scoring
+    assert len(a) == 30  # 10 seeds x top-3
+    assert all(row[0] != row[1] for row in a)  # self excluded
