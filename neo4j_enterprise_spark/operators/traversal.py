@@ -658,3 +658,72 @@ def random_walks(
         )
         out = out.unionByName(cur.withColumn("step", F.lit(step)))
     return out
+
+
+def personalized_pagerank(
+    rels: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank: teleport returns to the SEED set instead
+    of everywhere — ranks measure proximity to the seeds (the
+    recommendation / related-entities primitive). Same closed-plan
+    iteration as ``pagerank`` (one shuffle per round, dangling mass and
+    teleport both broadcast 1-row aggregates, no driver action between
+    rounds); mass conserves at ~N.
+
+    ``seeds``: one column ``seed``. Returns (node_id, rank).
+    """
+    nodes = (
+        rels.select(F.col("src").alias("node_id"))
+        .unionByName(rels.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_total = nodes.count()
+    seed_set = seeds.select(F.col("seed").cast("long").alias("node_id")).distinct()
+    n_seeds_1row = seed_set.agg(F.count("*").alias("n_seeds"))
+    is_seed = seed_set.withColumn("__is_seed", F.lit(1))
+    out_deg = rels.groupBy(F.col("src").alias("node_id")).agg(
+        F.count("*").alias("out_degree")
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for i in range(iterations):
+        contribs = (
+            ranks.join(out_deg, "node_id")
+            .join(rels, ranks["node_id"] == rels["src"])
+            .select(
+                F.col("dst").alias("node_id"),
+                (F.col("rank") / F.col("out_degree")).alias("contrib"),
+            )
+            .groupBy("node_id")
+            .agg(F.sum("contrib").alias("in_contrib"))
+        )
+        dangling_1row = (
+            ranks.join(out_deg, "node_id", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass"))
+        )
+        # teleport mass (1-d per node, N total) concentrates on seeds;
+        # dangling mass also restarts at the seeds in personalized PR
+        ranks = (
+            nodes.join(contribs, "node_id", "left")
+            .join(F.broadcast(is_seed), "node_id", "left")
+            .crossJoin(F.broadcast(dangling_1row))
+            .crossJoin(F.broadcast(n_seeds_1row))
+            .select(
+                "node_id",
+                (
+                    F.coalesce(F.col("__is_seed"), F.lit(0))
+                    * (
+                        F.lit((1.0 - damping) * float(n_total))
+                        + F.lit(damping) * F.col("dangling_mass")
+                    )
+                    / F.col("n_seeds")
+                    + F.lit(damping) * F.coalesce(F.col("in_contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % CHECKPOINT_EVERY == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

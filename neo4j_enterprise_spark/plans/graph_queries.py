@@ -2199,3 +2199,31 @@ def graph_schema_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_kind", "type_name", "dst_kind")
     )
+
+
+@register(
+    "graph_personalized_pagerank",
+    None,  # float iteration (order-dependent sums) → rows-only; mass
+    # conservation + seed concentration pinned in test_traversal
+    doc="Personalized PageRank from the first 10 part nodes: teleport "
+    "and dangling mass restart at the SEEDS, so ranks measure proximity "
+    "to them (related-entities / recommendation primitive). Closed-plan "
+    "iteration — one shuffle per round, broadcast 1-row scalars, no "
+    "driver action between rounds. Top-20 ranked nodes.",
+)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.traversal import personalized_pagerank
+
+    rels = derived_rels(spark, sf_dir)
+    seeds = (
+        derived_nodes(spark, sf_dir)
+        .filter(F.col("kind") == "part")
+        .orderBy("id")
+        .limit(10)
+        .select(F.col("id").alias("seed"))
+    )
+    return (
+        personalized_pagerank(rels, seeds, iterations=8)
+        .orderBy(F.desc("rank"), "node_id")
+        .limit(20)
+    )

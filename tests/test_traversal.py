@@ -254,3 +254,28 @@ def test_random_walks_deterministic_and_stop_at_sinks(spark):
     for s in range(1, last + 1):
         prev, cur = by_step[s - 1], by_step[s]
         assert (prev, cur) in {(0, 1), (0, 2), (1, 3)}
+
+
+def test_personalized_pagerank_concentrates_near_seeds(spark):
+    from neo4j_enterprise_spark.operators.traversal import (
+        pagerank,
+        personalized_pagerank,
+    )
+
+    # two disconnected chains: 0->1->2 and 10->11->12
+    rels = spark.createDataFrame(
+        [(0, 0, 1, "E"), (1, 1, 2, "E"), (2, 10, 11, "E"), (3, 11, 12, "E")],
+        "id long, src long, dst long, type_name string",
+    )
+    seeds = spark.createDataFrame([(0,)], "seed long")
+    ppr = {r["node_id"]: r["rank"] for r in
+           personalized_pagerank(rels, seeds, iterations=12).collect()}
+    # mass conserves at ~N
+    assert abs(sum(ppr.values()) - 6) < 1e-6
+    # the seed's component holds ~all mass; the far chain decays to ~0
+    near = ppr[0] + ppr[1] + ppr[2]
+    far = ppr[10] + ppr[11] + ppr[12]
+    assert near > 5.9 and far < 0.1
+    # plain pagerank spreads teleport everywhere instead
+    pr = {r["node_id"]: r["rank"] for r in pagerank(rels, iterations=12).collect()}
+    assert pr[10] > 0.1
