@@ -172,6 +172,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cypher_exists_inactive",
     "docs_containment_pairs",
     "graph_schema_summary",
+    "events_stream_dedup_rollup",
 )
 
 

@@ -2519,3 +2519,74 @@ def events_rolling_hour_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "events_stream_dedup_rollup",
+    """
+    SELECT event_type, COUNT(*) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="DRIVEN streaming dedup: the events file staged TWICE (two "
+    "links, maxFilesPerTrigger=1 — the duplicate copy arrives in a "
+    "LATER micro-batch, so dedup must work through the state store, "
+    "not within a batch), dropDuplicatesWithinWatermark(event_id) "
+    "evicts dup state by watermark, and the per-type rollup of the "
+    "surviving rows hash-matches the batch oracle over the SINGLE "
+    "copy — exactly-once delivery semantics proven end-to-end. Fourth "
+    "driven stream/batch-parity family (aggregate, join, custom state, "
+    "dedup).",
+)
+def events_stream_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.realpath(os.path.join(sf_dir, "events.parquet"))
+    tag = hashlib.md5(path.encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"nes_stream_dup_{tag}")
+    os.makedirs(stage, exist_ok=True)
+    for name in ("aa_copy1.parquet", "bb_copy2.parquet"):
+        link = os.path.join(stage, name)
+        if os.path.lexists(link):
+            if os.path.islink(link) and os.readlink(link) != path:
+                os.unlink(link)
+                os.symlink(path, link)
+        else:
+            os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    ts_type = dict(stream.dtypes).get("ts", "")
+    if ts_type in ("bigint", "long"):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+        )
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = (
+        stream.withWatermark("ts", "24 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    qn = f"events_stream_dedup_{next(_STREAM_QUERY_SEQ)}"
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    return spark.table(qn).orderBy("event_type")
