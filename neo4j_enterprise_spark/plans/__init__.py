@@ -173,6 +173,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "docs_containment_pairs",
     "graph_schema_summary",
     "events_stream_dedup_rollup",
+    "events_hourly_leaderboard",
+    "events_conversion_latency",
 )
 
 

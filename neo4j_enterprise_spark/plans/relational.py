@@ -2590,3 +2590,84 @@ def events_stream_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return spark.table(qn).orderBy("event_type")
+
+
+@register(
+    "events_hourly_leaderboard",
+    """
+    WITH b AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+             event_type, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY hour_epoch
+                ORDER BY n_events DESC, event_type) AS rk
+      FROM b)
+    SELECT hour_epoch, event_type, n_events, CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= 3 ORDER BY hour_epoch, rk
+    """,
+    doc="Windowed leaderboard: top-3 event types per hour (rollup + "
+    "per-window rank, deterministic tie-break) — the dashboard query "
+    "every event pipeline serves; rank window runs on the already-"
+    "aggregated buckets, never the raw stream.",
+)
+def events_hourly_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+        "event_type",
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("hour_epoch").orderBy(F.desc("n_events"), "event_type")
+    return (
+        b.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("hour_epoch", "rk")
+    )
+
+
+@register(
+    "events_conversion_latency",
+    """
+    WITH s AS (SELECT user_id, MIN(ts) AS signup_ts FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (SELECT e.user_id,
+                 MIN(epoch_us(e.ts) - epoch_us(s.signup_ts)) AS latency_us
+          FROM events e JOIN s ON s.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+          GROUP BY e.user_id)
+    SELECT COUNT(*) AS n_converted,
+           CAST(FLOOR(quantile_cont(latency_us, 0.5)) AS BIGINT) AS p50_us,
+           CAST(FLOOR(quantile_cont(latency_us, 0.9)) AS BIGINT) AS p90_us
+    FROM p
+    """,
+    doc="Conversion latency: per user, first purchase at-or-after first "
+    "signup; continuous p50/p90 of the time-to-convert in integer "
+    "microseconds (both engines interpolate with pos = p*(n-1); the "
+    "final FLOOR pins the one divergent rounding step). Two keyed aggregates + one equi-join "
+    "— never a windowed scan of the raw stream.",
+)
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("signup_ts"))
+            ).alias("latency_us")
+        )
+    )
+    return p.agg(
+        F.count("*").alias("n_converted"),
+        F.floor(F.expr("percentile(latency_us, 0.5)")).cast("long").alias("p50_us"),
+        F.floor(F.expr("percentile(latency_us, 0.9)")).cast("long").alias("p90_us"),
+    )
