@@ -175,6 +175,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_stream_dedup_rollup",
     "events_hourly_leaderboard",
     "events_conversion_latency",
+    "docs_tokenizer_fertility",
 )
 
 

@@ -1667,3 +1667,50 @@ def media_feature_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = feats.filter(F.col("vec_id") < 10)
     return similarity.cosine_topk_bruteforce(feats, seeds, k=3).orderBy("seed", "rk")
+
+
+@register(
+    "docs_tokenizer_fertility",
+    r"""
+    WITH t AS (
+      SELECT lang,
+             len(string_split_regex(trim(text), '\s+')) AS n_words,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
+               AS n_bpe
+      FROM documents)
+    SELECT lang,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(n_bpe) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE)
+             AS fertility
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+    doc="Tokenizer fertility per language: sub-word tokens per "
+    "whitespace word — the metric that decides whether a tokenizer "
+    "under-serves a language (fertility >> 1 inflates training cost and "
+    "truncates context). One fused scan; exact integer sums, one final "
+    "division.",
+)
+def docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import n_tokens as _n_tokens
+    from ..operators.text import BPE_ISH_PATTERN
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0)
+    per = docs.select(
+        "lang",
+        _n_tokens(F.col("text")).alias("n_words"),
+        F.size(toks).cast("long").alias("n_bpe"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "fertility",
+            F.col("n_bpe_tokens").cast("double") / F.col("n_words").cast("double"),
+        )
+        .orderBy("lang")
+    )
