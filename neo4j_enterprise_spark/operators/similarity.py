@@ -780,3 +780,32 @@ def ivf_pq_ann_topk(
         .filter(F.col("rk") <= k)
         .select("seed", "neighbor", "score", "rk")
     )
+
+
+def label_centroids(embeddings: DataFrame, label_col: str = "label") -> DataFrame:
+    """Class prototypes: the per-label element-wise mean embedding (the
+    few-shot / nearest-class-mean retrieval primitive, and the seed for
+    cluster-balanced curation).
+
+    Exactness contract: vectors are quantized to integers, summed per
+    (label, dim) — map-side-combinable, one shuffle of label×dims rows —
+    and ONLY the final mean divides (integer sum / count → one exact
+    division per dim), so the result is engine-portable. Returns
+    (label, n_members, centroid array<double> ordered by dim).
+    """
+    per_dim = embeddings.select(
+        label_col, F.posexplode(quantize(F.col("embedding"))).alias("d", "q")
+    )
+    counts = embeddings.groupBy(label_col).agg(F.count("*").alias("n_members"))
+    return (
+        per_dim.groupBy(label_col, "d")
+        .agg(F.sum("q").alias("s"))
+        .join(counts, label_col)
+        .withColumn("m", F.col("s").cast("double") / F.col("n_members").cast("double"))
+        .groupBy(label_col, "n_members")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "m"))), lambda x: x["m"]
+            ).alias("centroid")
+        )
+    )

@@ -176,6 +176,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_hourly_leaderboard",
     "events_conversion_latency",
     "docs_tokenizer_fertility",
+    "emb_label_centroids",
 )
 
 

@@ -1714,3 +1714,30 @@ def docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "emb_label_centroids",
+    """
+    WITH q AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS d,
+             CAST(ROUND(unnest(embedding) * 1000) AS BIGINT) AS qv
+      FROM embeddings),
+    s AS (SELECT label, d, SUM(qv) AS sq FROM q GROUP BY label, d),
+    c AS (SELECT label, COUNT(*) AS n_members FROM embeddings GROUP BY label)
+    SELECT s.label, c.n_members,
+           list(CAST(s.sq AS DOUBLE) / CAST(c.n_members AS DOUBLE)
+                ORDER BY s.d) AS centroid
+    FROM s JOIN c USING (label)
+    GROUP BY s.label, c.n_members ORDER BY s.label
+    """,
+    doc="Class prototypes (similarity.label_centroids): per-label mean "
+    "embedding via exact integer per-dim sums (one map-side-combinable "
+    "shuffle of label×dims rows) with a single final division per dim — "
+    "the nearest-class-mean / cluster-balanced-curation primitive, "
+    "engine-exact and oracle-checked including the vector payload.",
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.label_centroids(emb).orderBy("label")
