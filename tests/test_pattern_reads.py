@@ -385,3 +385,34 @@ def test_cypher_exists_pattern_predicate(spark):
         "MATCH (n:n) WHERE EXISTS((n)<-[:PLACED]-()) RETURN n",
     )
     assert [r["n"] for r in inc.collect()] == [2]
+
+
+def test_cypher_feature_interplay(spark):
+    """One query mixing EXISTS + rel var + WITH/collect + UNWIND + CASE
+    + SET + ORDER/LIMIT — guards the clause parser's feature interplay."""
+    from neo4j_enterprise_spark.operators.pattern import cypher_query
+
+    nodes = spark.createDataFrame(
+        [(0, "g", True, "alpha"), (1, "x", True, "b1"), (2, "x", True, "b2"),
+         (3, "x", True, "c3"), (9, "g", True, "beta")],
+        "id long, kind string, in_use boolean, name string",
+    )
+    rels = spark.createDataFrame(
+        [(10, 0, 1, "HAS"), (11, 0, 2, "HAS"), (12, 9, 3, "HAS"),
+         (13, 0, 3, "LIKES")],
+        "id long, src long, dst long, type_name string",
+    )
+    out = cypher_query(
+        nodes, rels,
+        "MATCH (g:g)-[r:HAS]->(x) "
+        "WHERE EXISTS((g)-[:LIKES]->()) AND x.name STARTS WITH 'b' "
+        "SET x.grade = 'kept' "
+        "WITH g, collect(x) AS xs, count(r) AS nr "
+        "UNWIND xs AS m "
+        "RETURN g, m, nr, "
+        "CASE WHEN m < 2 THEN 'low' ELSE 'high' END AS bucket "
+        "ORDER BY m LIMIT 10",
+    )
+    rows = [tuple(r) for r in out.collect()]
+    # only g=0 has a LIKES edge; b-named targets are 1 and 2
+    assert rows == [(0, 1, 2, "low"), (0, 2, 2, "high")]
