@@ -55,6 +55,11 @@ def register(
 # oracle-bearing queries to the front for round 3; everything else keeps its
 # registration order after them.  bench.py and the local parity tests are
 # order-independent.
+#
+# ROUND 4 TODO: after CORRECTNESS_r03 lands, rotate again — move the r3-green
+# first-50 to the back and promote the next never-driver-checked block
+# (positions ~51-110: the demoted docs extras + every round-3 addition from
+# "cypher_with_having" onward) into the top 50.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # TPC-H family (18) — never driver-checked
     "q1_pricing_summary",
