@@ -1,0 +1,192 @@
+"""Graph-structure analytics: neighborhood similarity, strongly
+connected components, and condensation (DAG-of-SCCs) layering.
+
+Extends the batch-analytics family beside ``traversal`` (connected
+components, PageRank, k-core — SURVEY §2.9 ext.): the reference's
+traversal surface (`LockableNode.java:178-201` navigation) plus its HA
+topology reasoning (`ClusterManager` member graphs) motivate structural
+queries over directed graphs; these are their Spark-first renderings.
+
+Scale notes
+-----------
+- ``neighborhood_jaccard`` is the inverted-index self-join: pair
+  candidates come only from shared neighbors, so cost is
+  sum(d(n)^2) over neighbor nodes — bounded by dropping hub neighbors
+  above ``max_neighbor_degree`` (the standard stop-word cut; degrees are
+  then computed on the SAME filtered edge set so the Jaccard stays exact
+  on the filtered graph). One shuffle keyed on the shared neighbor.
+- ``transitive_closure`` doubles path length per round (R ∪ R·R), so a
+  diameter-d graph closes in ceil(log2(d)) joins, each cut with
+  localCheckpoint — the O(log d) pattern that survives wide graphs,
+  vs. the O(d) rounds of one-hop propagation.
+- ``strongly_connected`` / ``condensation_layers`` are meant for
+  *condensed* graphs that are small relative to the input (here the
+  nation-trade tournament: the heavy lifting is the revenue aggregation
+  over lineitem; the closure runs on ≤ nations² pairs). For billion-node
+  SCC you would peel forward/backward reachability from pivots instead;
+  documented trade-off, not a silent cap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def neighborhood_jaccard(
+    edges: DataFrame,
+    *,
+    max_neighbor_degree: int | None = None,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k node pairs by Jaccard similarity of their out-neighbor sets.
+
+    ``edges``: (src, dst). Returns (node_a, node_b, n_shared, deg_a,
+    deg_b, jaccard) with node_a < node_b, ordered by jaccard desc then
+    (node_a, node_b) — a total order, so LIMIT is deterministic.
+
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|) is ONE double division of exact
+    BIGINTs (deterministic IEEE rounding on every engine); no float
+    summation anywhere.
+    """
+    e = edges.select("src", "dst").distinct()
+    if max_neighbor_degree is not None:
+        keep = (
+            e.groupBy("dst")
+            .agg(F.count("*").alias("nd"))
+            .filter(F.col("nd") <= max_neighbor_degree)
+            .select("dst")
+        )
+        e = e.join(keep, "dst")
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    a = e.select(F.col("dst"), F.col("src").alias("node_a"))
+    b = e.select(F.col("dst"), F.col("src").alias("node_b"))
+    pairs = (
+        a.join(b, "dst")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        pairs.join(deg.select(F.col("src").alias("node_a"), F.col("deg").alias("deg_a")), "node_a")
+        .join(deg.select(F.col("src").alias("node_b"), F.col("deg").alias("deg_b")), "node_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared")
+            / (F.col("deg_a") + F.col("deg_b") - F.col("n_shared")),
+        )
+        .select("node_a", "node_b", "n_shared", "deg_a", "deg_b", "jaccard")
+        .orderBy(F.desc("jaccard"), "node_a", "node_b")
+        .limit(top_k)
+    )
+
+
+def transitive_closure(edges: DataFrame, *, max_rounds: int = 6) -> DataFrame:
+    """Reachability closure (u, v) with u ≠ v by path-doubling:
+    R_{2k} = R_k ∪ (R_k ∘ R_k). After r rounds paths up to length 2^r
+    are covered, so ``max_rounds=6`` closes any graph of diameter ≤ 64.
+    Each round: one self-join shuffled on the middle node + distinct.
+    """
+    reach = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    reach = reach.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        hop2 = (
+            reach.alias("x")
+            .join(reach.alias("y"), F.col("x.dst") == F.col("y.src"))
+            .select(F.col("x.src").alias("src"), F.col("y.dst").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        new_reach = reach.unionByName(hop2).distinct().localCheckpoint(eager=True)
+        if new_reach.count() == reach.count():
+            reach = new_reach
+            break
+        reach = new_reach
+    return reach
+
+
+def strongly_connected(edges: DataFrame, *, max_rounds: int = 6) -> DataFrame:
+    """SCC labels via closure ∩ reversed closure.
+
+    Returns (node_id, scc_id) for every node incident to an edge, where
+    scc_id = min node id in the component: v and u are mutually
+    reachable iff (u,v) and (v,u) are both in the closure, so
+    scc_id(v) = min(v, min{u : mutual(u, v)}).
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node_id"))
+        .unionByName(edges.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    reach = transitive_closure(edges, max_rounds=max_rounds)
+    mutual = (
+        reach.alias("f")
+        .join(
+            reach.alias("b"),
+            (F.col("f.src") == F.col("b.dst")) & (F.col("f.dst") == F.col("b.src")),
+        )
+        .select(F.col("f.src").alias("node_id"), F.col("f.dst").alias("peer"))
+    )
+    peer_min = mutual.groupBy("node_id").agg(F.min("peer").alias("peer_min"))
+    return nodes.join(peer_min, "node_id", "left").select(
+        "node_id",
+        F.least(F.col("node_id"), F.coalesce(F.col("peer_min"), F.col("node_id"))).alias(
+            "scc_id"
+        ),
+    )
+
+
+def condensation_layers(
+    edges: DataFrame, scc: DataFrame, *, max_rounds: int = 6
+) -> DataFrame:
+    """Longest-path layer of every SCC in the condensation DAG.
+
+    ``scc``: (node_id, scc_id) from :func:`strongly_connected`. The
+    condensation (edges between distinct SCCs) is a DAG by construction;
+    layer(C) = length of the longest condensation path ending at C
+    (sources = layer 0). Computed by max-plus path doubling:
+    D_{2k}(u,v) = max(D_k(u,v), max_w D_k(u,w) + D_k(w,v)) — log-rounds,
+    one shuffle each. Returns (scc_id, layer).
+    """
+    s_src = scc.select(F.col("node_id").alias("src"), F.col("scc_id").alias("c_src"))
+    s_dst = scc.select(F.col("node_id").alias("dst"), F.col("scc_id").alias("c_dst"))
+    cond = (
+        edges.select("src", "dst")
+        .join(s_src, "src")
+        .join(s_dst, "dst")
+        .filter(F.col("c_src") != F.col("c_dst"))
+        .select(F.col("c_src").alias("src"), F.col("c_dst").alias("dst"))
+        .distinct()
+    )
+    dist = cond.withColumn("len", F.lit(1)).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        combo = (
+            dist.alias("x")
+            .join(dist.alias("y"), F.col("x.dst") == F.col("y.src"))
+            .select(
+                F.col("x.src").alias("src"),
+                F.col("y.dst").alias("dst"),
+                (F.col("x.len") + F.col("y.len")).alias("len"),
+            )
+        )
+        new_dist = (
+            dist.unionByName(combo)
+            .groupBy("src", "dst")
+            .agg(F.max("len").alias("len"))
+            .localCheckpoint(eager=True)
+        )
+        # stable iff no (src, dst, len) row is new — max-plus lengths
+        # only grow, so any change surfaces as a fresh triple
+        stable = (
+            new_dist.join(dist, ["src", "dst", "len"], "left_anti").limit(1).count()
+            == 0
+        )
+        dist = new_dist
+        if stable:
+            break
+    all_sccs = scc.select(F.col("scc_id")).distinct()
+    layers = dist.groupBy(F.col("dst").alias("scc_id")).agg(
+        F.max("len").alias("layer")
+    )
+    return all_sccs.join(layers, "scc_id", "left").select(
+        "scc_id", F.coalesce(F.col("layer"), F.lit(0)).cast("int").alias("layer")
+    )

@@ -654,6 +654,7 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
         [RETURN [DISTINCT] <item> [, ...]]
         [ORDER BY <alias> [ASC|DESC] [, ...]]
         [SKIP <n>] [LIMIT <n>]
+        [UNION [ALL] <another full query>]*
 
     MATCH also accepts ``p = shortestPath((a ...)-[:T*lo..hi]->(b ...))``
     (compiled to the BFS min-hops frontier; ``length(p)`` projects the
@@ -681,6 +682,31 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
     (`LockableNode.java:178-201` navigation + property reads), expressed
     Spark-first.
     """
+    # ---- UNION / UNION ALL between complete queries ------------------
+    # Cypher set semantics: UNION dedups the combined rows, UNION ALL
+    # keeps them, mixing the two is rejected (as in Neo4j), and every
+    # segment must RETURN the same column names. Compiles to
+    # unionByName over the per-segment plans (+ one distinct for
+    # UNION) — still a single Catalyst plan.
+    segs = re.split(r"(?i)\bUNION(\s+ALL)?\b", query)
+    if len(segs) > 1:
+        all_flags = {segs[i] is not None for i in range(1, len(segs), 2)}
+        if len(all_flags) > 1:
+            raise ValueError("cannot mix UNION and UNION ALL")
+        union_all = all_flags.pop()
+        branches = [cypher_query(nodes, rels, s) for s in segs[0::2]]
+        cols = branches[0].columns
+        for b in branches[1:]:
+            if b.columns != cols:
+                raise ValueError(
+                    f"UNION segments must return the same columns: "
+                    f"{cols} vs {b.columns}"
+                )
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b)
+        return out if union_all else out.distinct()
+
     parts = _KW_SPLIT_RE.split(query)
     if parts[0].strip():
         raise ValueError(f"query must start with MATCH: {query!r}")

@@ -379,3 +379,81 @@ def token_budget_sample(
         .drop("__before", "__budget")
         .withColumnRenamed("__n_tok", "n_tok")
     )
+
+
+def curriculum_phases(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    length_col: str = "n_chars",
+    seed: int = 13,
+) -> DataFrame:
+    """Curriculum assignment (easy→hard training order): phase 0 =
+    shortest quartile, phase 1 = interquartile, phase 2 = top quartile
+    of ``length_col``; ``sort_key`` = md5(seed|key) gives the
+    deterministic within-phase order. Quartiles use EXACT binary
+    fractions (0.25/0.75) so the linear interpolation is engine-exact.
+
+    Scale: one percentile aggregate (1-row broadcast) + a scan-fused
+    projection — no global window; the materialized curriculum order is
+    a write-time ``partitionBy(phase) + sortWithinPartitions(sort_key)``.
+    """
+    q = df.agg(
+        F.percentile(length_col, F.lit(0.25)).alias("p25"),
+        F.percentile(length_col, F.lit(0.75)).alias("p75"),
+    )
+    return df.crossJoin(F.broadcast(q)).select(
+        key_col,
+        F.when(F.col(length_col) <= F.col("p25"), 0)
+        .when(F.col(length_col) <= F.col("p75"), 1)
+        .otherwise(2)
+        .cast("int")
+        .alias("phase"),
+        F.md5(
+            F.concat_ws("|", F.lit(str(seed)), F.col(key_col).cast("string"))
+        ).alias("sort_key"),
+    )
+
+
+def source_interleave(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    seed: int = 11,
+) -> DataFrame:
+    """Round-robin interleave across sources: position p·S + s for the
+    p-th doc (seed-keyed md5 rank) of source-index s among S sources —
+    a mixture reader that never lets one source run ahead (domain-
+    balanced batch composition without a global shuffle).
+
+    Scale: the per-source rank is a window PARTITIONED by source
+    (sources permute independently); the source-index window runs on
+    the DISTINCT-sources dimension (a handful of rows). No global
+    window touches the fact table.
+    """
+    from pyspark.sql import Window
+
+    key = F.col(key_col)
+    src_idx = (
+        df.select(source_col)
+        .distinct()
+        .withColumn(
+            "src_idx",
+            (F.row_number().over(Window.orderBy(source_col)) - 1).cast("long"),
+        )
+    )
+    n_sources = src_idx.agg(F.count("*").alias("n_sources"))
+    ord_key = F.md5(F.concat_ws("|", F.lit(str(seed)), key.cast("string")))
+    w = Window.partitionBy(source_col).orderBy(ord_key, key)
+    return (
+        df.withColumn("rn", (F.row_number().over(w) - 1).cast("long"))
+        .join(F.broadcast(src_idx), source_col)
+        .crossJoin(F.broadcast(n_sources))
+        .select(
+            key_col,
+            source_col,
+            "rn",
+            (F.col("rn") * F.col("n_sources") + F.col("src_idx"))
+            .cast("long")
+            .alias("interleave_pos"),
+        )
+    )

@@ -392,3 +392,61 @@ def bpe_encode(
             F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+def unigram_commonness(
+    docs: DataFrame,
+    text_col: str = "text",
+    rare_threshold: int = 3,
+) -> DataFrame:
+    """Corpus-global unigram commonness features per document — the
+    log-free rendering of unigram-LM quality scoring.
+
+    For each doc: ``n_tokens``, ``sum_cf`` (sum of corpus frequencies of
+    its tokens), ``n_rare`` (tokens whose corpus frequency <
+    ``rare_threshold``), ``avg_token_prob`` = sum_cf / (n_tokens · T)
+    (the mean unigram probability of the doc's tokens, T = corpus token
+    count) and ``rare_frac``. A true log-prob scorer is the same plan
+    with ``F.log`` in the sum — deliberately NOT used here because
+    transcendental rounding differs across engines, while these exact
+    BIGINT sums with one final IEEE division are bit-reproducible
+    (the engine's determinism contract).
+
+    Scale: tokenize+explode is scan-fused; the token→frequency join
+    shuffles on the token key, where natural-language skew ("the") is
+    the classic hot-key case — AQE skew-join splits it, or broadcast
+    the head of the vocabulary (it is Zipf-bounded) and join only the
+    tail. One map-side-combinable groupBy(doc_id) closes the plan.
+    """
+    toks = (
+        docs.select("doc_id", F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("t0"))
+        .select("doc_id", F.lower(F.col("t0")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    cf = toks.groupBy("tok").agg(F.count("*").alias("cf"))
+    total = toks.agg(F.count("*").alias("t_total"))
+    per = (
+        toks.join(cf, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("cf").alias("sum_cf"),
+            F.sum((F.col("cf") < rare_threshold).cast("long")).alias("n_rare"),
+        )
+    )
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_cf",
+            "n_rare",
+            (
+                F.col("sum_cf").cast("double")
+                / (F.col("n_tokens").cast("double") * F.col("t_total").cast("double"))
+            ).alias("avg_token_prob"),
+            (F.col("n_rare").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "rare_frac"
+            ),
+        )
+    )

@@ -2227,3 +2227,238 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "node_id")
         .limit(20)
     )
+
+
+@register(
+    "graph_node_similarity",
+    f"""
+    {graph_cte(nodes=False)},
+    e AS (SELECT DISTINCT src, dst FROM rels WHERE type_name = 'CONTAINS'),
+    keep AS (SELECT dst FROM e GROUP BY dst HAVING COUNT(*) <= 40),
+    ef AS (SELECT e.src, e.dst FROM e JOIN keep USING (dst)),
+    deg AS (SELECT src, COUNT(*) AS deg FROM ef GROUP BY src),
+    pairs AS (
+      SELECT a.src AS node_a, b.src AS node_b, COUNT(*) AS n_shared
+      FROM ef a JOIN ef b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY 1, 2)
+    SELECT p.node_a, p.node_b, p.n_shared,
+           da.deg AS deg_a, db.deg AS deg_b,
+           CAST(p.n_shared AS DOUBLE) / (da.deg + db.deg - p.n_shared)
+             AS jaccard
+    FROM pairs p
+    JOIN deg da ON da.src = p.node_a
+    JOIN deg db ON db.src = p.node_b
+    ORDER BY jaccard DESC, node_a, node_b LIMIT 20
+    """,
+    doc="Node-similarity (neighborhood Jaccard) top-20 order pairs over "
+    "CONTAINS out-neighborhoods — the link-prediction / recommendation "
+    "primitive beside parts_copurchase_top20. Inverted-index self-join "
+    "keyed on the shared neighbor; hub neighbors above degree 40 are "
+    "dropped first (stop-word cut) and degrees recomputed on the SAME "
+    "filtered edges so the score stays exact on the filtered graph. "
+    "jaccard is one IEEE division of exact BIGINTs; total order via "
+    "(jaccard desc, ids) makes the LIMIT deterministic.",
+)
+def graph_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.community import neighborhood_jaccard
+
+    edges = derived_rels(spark, sf_dir).filter(F.col("type_name") == "CONTAINS")
+    return neighborhood_jaccard(edges, max_neighbor_degree=40, top_k=20)
+
+
+_TRADE_EDGES_SQL = """
+    flow AS (
+      SELECT c.c_nationkey AS src_n, s.s_nationkey AS dst_n,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS rev
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2),
+    edges AS (
+      SELECT CAST(f.src_n AS BIGINT) AS src, CAST(f.dst_n AS BIGINT) AS dst
+      FROM flow f
+      LEFT JOIN flow r ON r.src_n = f.dst_n AND r.dst_n = f.src_n
+      WHERE f.rev * 20 > COALESCE(r.rev, 0) * 21),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT w.src, e.dst FROM reach w
+      JOIN edges e ON w.dst = e.src AND w.src <> e.dst),
+    -- NOTE: inside WITH RECURSIVE DuckDB gives a top-level UNION
+    -- recursive-union semantics (no global dedup for a non-self-
+    -- referencing CTE), so spell the dedup as DISTINCT over UNION ALL
+    nodes_n AS (SELECT DISTINCT node_id FROM
+                (SELECT src AS node_id FROM edges
+                 UNION ALL SELECT dst FROM edges)),
+    mutual AS (
+      SELECT f.src AS node_id, f.dst AS peer
+      FROM reach f JOIN reach b ON f.src = b.dst AND f.dst = b.src),
+    peer_min AS (SELECT node_id, MIN(peer) AS pm FROM mutual GROUP BY node_id),
+    scc AS (SELECT n.node_id,
+                   LEAST(n.node_id, COALESCE(p.pm, n.node_id)) AS scc_id
+            FROM nodes_n n LEFT JOIN peer_min p USING (node_id))
+"""
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation-trade tournament: edge A→B iff customer-nation-A revenue
+    sourced from supplier-nation-B exceeds the reverse flow by >5%
+    (rev_ab * 20 > rev_ba * 21 — exact DECIMAL integer comparison, no
+    float margin). The heavy work is one lineitem-sized aggregation; the
+    digraph itself is ≤ nations² edges."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    flow = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src_n"),
+            F.col("s_nationkey").alias("dst_n"),
+        )
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    rev = flow.select(
+        F.col("src_n").alias("r_src"),
+        F.col("dst_n").alias("r_dst"),
+        F.col("rev").alias("rev_rev"),
+    )
+    return (
+        flow.join(
+            rev,
+            (F.col("r_src") == F.col("dst_n")) & (F.col("r_dst") == F.col("src_n")),
+            "left",
+        )
+        .filter(
+            F.col("rev") * 20
+            > F.coalesce(F.col("rev_rev"), F.lit(0).cast("decimal(18,2)")) * 21
+        )
+        .select(
+            F.col("src_n").cast("long").alias("src"),
+            F.col("dst_n").cast("long").alias("dst"),
+        )
+    )
+
+
+@register(
+    "graph_nation_trade_scc",
+    f"""
+    WITH RECURSIVE
+    {_TRADE_EDGES_SQL},
+    sizes AS (SELECT scc_id, COUNT(*) AS scc_size FROM scc GROUP BY scc_id)
+    SELECT s.node_id AS nation_id, s.scc_id, z.scc_size
+    FROM scc s JOIN sizes z USING (scc_id)
+    ORDER BY nation_id
+    """,
+    doc="Strongly connected components of the nation-trade tournament "
+    "(edge A→B iff A buys >5% more from B than B from A, exact DECIMAL "
+    "margin). Spark: community.strongly_connected — path-doubling "
+    "closure (O(log d) self-join rounds, localCheckpoint lineage cuts) "
+    "intersected with its reverse; scc_id = min mutual peer. Oracle: "
+    "recursive-CTE closure with the same mutual/min reduction. The "
+    "lineitem-scale aggregation is the distributed cost; the closure "
+    "runs on the condensed ≤n² digraph (SCALE.md trade-off: for "
+    "billion-node SCC you peel FW-BW reachability from pivots instead).",
+)
+def graph_nation_trade_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.community import strongly_connected
+
+    edges = _trade_edges(spark, sf_dir)
+    scc = strongly_connected(edges)
+    sizes = scc.groupBy("scc_id").agg(F.count("*").alias("scc_size"))
+    return (
+        scc.join(sizes, "scc_id")
+        .select(F.col("node_id").alias("nation_id"), "scc_id", "scc_size")
+        .orderBy("nation_id")
+    )
+
+
+@register(
+    "graph_trade_condensation_layers",
+    f"""
+    WITH RECURSIVE
+    {_TRADE_EDGES_SQL},
+    cond AS (SELECT DISTINCT sa.scc_id AS src, sb.scc_id AS dst
+             FROM edges e
+             JOIN scc sa ON e.src = sa.node_id
+             JOIN scc sb ON e.dst = sb.node_id
+             WHERE sa.scc_id <> sb.scc_id),
+    walk AS (
+      SELECT src, dst, 1 AS len FROM cond
+      UNION
+      SELECT w.src, c.dst, w.len + 1 FROM walk w JOIN cond c ON w.dst = c.src),
+    layer AS (
+      SELECT s.scc_id, CAST(COALESCE(MAX(w.len), 0) AS INT) AS layer
+      FROM (SELECT DISTINCT scc_id FROM scc) s
+      LEFT JOIN walk w ON w.dst = s.scc_id
+      GROUP BY s.scc_id),
+    sizes AS (SELECT scc_id, COUNT(*) AS n_nations FROM scc GROUP BY scc_id)
+    SELECT l.scc_id, l.layer, z.n_nations
+    FROM layer l JOIN sizes z USING (scc_id)
+    ORDER BY scc_id
+    """,
+    doc="Condensation (DAG-of-SCCs) longest-path layering of the "
+    "nation-trade tournament: layer(C) = longest condensation path "
+    "ending at C — the topological stratification that orders trade "
+    "blocs upstream→downstream. Spark: community.condensation_layers "
+    "(max-plus path doubling, log-rounds); oracle: recursive-CTE "
+    "longest path on the same condensation (terminates — DAG by "
+    "construction).",
+)
+def graph_trade_condensation_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.community import condensation_layers, strongly_connected
+
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    scc = strongly_connected(edges)
+    layers = condensation_layers(edges, scc)
+    sizes = scc.groupBy("scc_id").agg(F.count("*").alias("n_nations"))
+    return layers.join(sizes, "scc_id").select(
+        "scc_id", "layer", "n_nations"
+    ).orderBy("scc_id")
+
+
+@register(
+    "cypher_union_dedup",
+    f"""
+    {graph_cte()}
+    SELECT c.name AS name
+    FROM rels e
+    JOIN nodes c ON c.id = e.src AND c.kind = 'customer'
+    JOIN nodes n ON n.id = e.dst AND n.kind = 'nation'
+    WHERE e.type_name = 'IN_NATION' AND n.name = 'NATION_3'
+    UNION
+    SELECT c.name AS name
+    FROM rels e
+    JOIN nodes c ON c.id = e.src AND c.kind = 'customer'
+    WHERE e.type_name = 'PLACED' AND c.name < 'Customer#000000100'
+    ORDER BY name
+    """,
+    doc="Cypher UNION (pattern.cypher_query): two complete MATCH/"
+    "RETURN queries with the same return columns combined with set "
+    "semantics — customers in NATION_3 ∪ low-key customers with "
+    "orders; the overlap (low-key NATION_3 customers who ordered) "
+    "proves the dedup. Compiles to unionByName + one distinct in a "
+    "single Catalyst plan; UNION ALL is the same plan minus the "
+    "distinct, and mixing the two is rejected as in Neo4j.",
+)
+def cypher_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pattern import cypher_query
+
+    nodes = derived_nodes(spark, sf_dir)
+    rels = derived_rels(spark, sf_dir)
+    return cypher_query(
+        nodes,
+        rels,
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation) "
+        "WHERE n.name = 'NATION_3' RETURN c.name AS name "
+        "UNION "
+        "MATCH (c:customer)-[:PLACED]->(o) "
+        "WHERE c.name < 'Customer#000000100' RETURN c.name AS name",
+    ).orderBy("name")

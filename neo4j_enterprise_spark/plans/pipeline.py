@@ -1741,3 +1741,94 @@ def docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.label_centroids(emb).orderBy("label")
+
+
+@register(
+    "docs_unigram_commonness",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lower(unnest(regexp_split_to_array(trim(text), '\s+')))
+               AS tok
+      FROM documents),
+    tf AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    cf AS (SELECT tok, COUNT(*) AS cf FROM tf GROUP BY tok),
+    tot AS (SELECT COUNT(*) AS t_total FROM tf),
+    per AS (
+      SELECT d.doc_id, COUNT(*) AS n_tokens, SUM(c.cf) AS sum_cf,
+             SUM(CASE WHEN c.cf < 3 THEN 1 ELSE 0 END) AS n_rare
+      FROM tf d JOIN cf c USING (tok) GROUP BY d.doc_id)
+    SELECT doc_id, n_tokens, sum_cf, n_rare,
+           CAST(sum_cf AS DOUBLE)
+             / (CAST(n_tokens AS DOUBLE) * CAST(t_total AS DOUBLE))
+             AS avg_token_prob,
+           CAST(n_rare AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS rare_frac
+    FROM per, tot ORDER BY doc_id
+    """,
+    doc="Unigram-LM commonness scoring (text.unigram_commonness): "
+    "corpus-global token frequencies joined back per doc — mean token "
+    "probability + rare-token fraction, the quality-filter features a "
+    "perplexity filter approximates. Exact BIGINT sums, one final IEEE "
+    "division (log-free by design: transcendental rounding is not "
+    "cross-engine stable; ln() is a one-line swap in production). The "
+    "token-key join is the classic Zipf hot-key case — AQE skew-join "
+    "or head-of-vocab broadcast at scale.",
+)
+def docs_unigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.unigram_commonness(docs).orderBy("doc_id")
+
+
+@register(
+    "docs_curriculum_phases",
+    """
+    WITH q AS (SELECT quantile_cont(n_chars, 0.25) AS p25,
+                      quantile_cont(n_chars, 0.75) AS p75 FROM documents)
+    SELECT doc_id,
+           CAST(CASE WHEN n_chars <= q.p25 THEN 0
+                     WHEN n_chars <= q.p75 THEN 1 ELSE 2 END AS INT) AS phase,
+           md5('13|' || CAST(doc_id AS VARCHAR)) AS sort_key
+    FROM documents, q ORDER BY doc_id
+    """,
+    doc="Curriculum assignment (sampling.curriculum_phases): easy→hard "
+    "phases by length quartile (exact-binary 0.25/0.75 interpolation — "
+    "engine-exact) + seed-keyed md5 within-phase order. No global "
+    "window: 1-row percentile broadcast, scan-fused projection; the "
+    "physical curriculum order is write-time partitionBy(phase)+"
+    "sortWithinPartitions.",
+)
+def docs_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.curriculum_phases(docs).orderBy("doc_id")
+
+
+@register(
+    "docs_source_interleave",
+    """
+    WITH si AS (
+      SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 AS src_idx
+      FROM (SELECT DISTINCT source FROM documents)),
+    ns AS (SELECT COUNT(*) AS n_sources FROM si),
+    r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('11|' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+               AS rn
+      FROM documents)
+    SELECT r.doc_id, r.source, CAST(r.rn AS BIGINT) AS rn,
+           CAST(r.rn * ns.n_sources + si.src_idx AS BIGINT) AS interleave_pos
+    FROM r JOIN si USING (source), ns ORDER BY interleave_pos
+    """,
+    doc="Domain-balanced round-robin interleave "
+    "(sampling.source_interleave): position = rank·S + source_idx, so a "
+    "sequential reader cycles sources 1-1-1... — mixture batch "
+    "composition with NO global window (per-source partitioned rank + "
+    "a dimension-sized source-index window).",
+)
+def docs_source_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.source_interleave(docs).orderBy("interleave_pos")

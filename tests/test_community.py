@@ -1,0 +1,94 @@
+"""Unit tests for graph-structure analytics (operators/community.py):
+path-doubling closure, SCC via closure ∩ reverse, condensation layers,
+and neighborhood-Jaccard similarity — on hand-checkable graphs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from neo4j_enterprise_spark.operators.community import (
+    condensation_layers,
+    neighborhood_jaccard,
+    strongly_connected,
+    transitive_closure,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_transitive_closure_chain(spark):
+    # 0→1→2→3: closure is all ordered pairs (i, j), i < j
+    reach = transitive_closure(_edges(spark, [(0, 1), (1, 2), (2, 3)]))
+    got = sorted(map(tuple, reach.collect()))
+    assert got == [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+
+
+def test_transitive_closure_cycle(spark):
+    # 3-cycle: every ordered pair of distinct nodes, no self-loops
+    reach = transitive_closure(_edges(spark, [(0, 1), (1, 2), (2, 0)]))
+    got = sorted(map(tuple, reach.collect()))
+    assert got == [(0, 1), (0, 2), (1, 0), (1, 2), (2, 0), (2, 1)]
+
+
+def test_scc_two_cycles_and_bridge(spark):
+    # {0,1} cycle → bridge → {2,3,4} cycle, plus isolated-ish tail 5
+    e = _edges(
+        spark,
+        [(0, 1), (1, 0), (1, 2), (2, 3), (3, 4), (4, 2), (4, 5)],
+    )
+    got = dict(map(tuple, strongly_connected(e).collect()))
+    assert got == {0: 0, 1: 0, 2: 2, 3: 2, 4: 2, 5: 5}
+
+
+def test_condensation_layers_diamond(spark):
+    # SCC A={0,1} → B={2} and A → C={3}, B → C: layers A=0, B=1, C=2
+    e = _edges(
+        spark,
+        [(0, 1), (1, 0), (1, 2), (0, 3), (2, 3)],
+    )
+    scc = strongly_connected(e)
+    got = dict(map(tuple, condensation_layers(e, scc).collect()))
+    assert got == {0: 0, 2: 1, 3: 2}
+
+
+def test_scc_longest_condensation_chain_exceeds_one_doubling(spark):
+    # a pure path of 9 singleton SCCs: layer i for node i — needs the
+    # max-plus doubling to run multiple rounds (2^r ≥ 8)
+    e = _edges(spark, [(i, i + 1) for i in range(8)])
+    scc = strongly_connected(e)
+    assert dict(map(tuple, scc.collect())) == {i: i for i in range(9)}
+    layers = dict(map(tuple, condensation_layers(e, scc).collect()))
+    assert layers == {i: i for i in range(9)}
+
+
+def test_neighborhood_jaccard_exact(spark):
+    # A={10,11,12}, B={11,12,13}, C={12}:
+    #   J(A,B)=2/4, J(A,C)=1/3, J(B,C)=1/3
+    pairs = (
+        [(1, n) for n in (10, 11, 12)]
+        + [(2, n) for n in (11, 12, 13)]
+        + [(3, 12)]
+    )
+    got = {
+        (r.node_a, r.node_b): (r.n_shared, r.deg_a, r.deg_b, r.jaccard)
+        for r in neighborhood_jaccard(_edges(spark, pairs)).collect()
+    }
+    assert got[(1, 2)] == (2, 3, 3, 0.5)
+    assert got[(1, 3)] == (1, 3, 1, 1 / 3)
+    assert got[(2, 3)] == (1, 3, 1, 1 / 3)
+
+
+def test_neighborhood_jaccard_hub_cut_recomputes_degrees(spark):
+    # neighbor 99 is shared by everyone (degree 3 > cap 2) — dropping it
+    # must also drop it from the degree counts, so (1,2) keeps J=1/1 on
+    # the filtered graph rather than 2/3 on the raw one
+    pairs = [(1, 99), (2, 99), (3, 99), (1, 10), (2, 10)]
+    got = {
+        (r.node_a, r.node_b): (r.n_shared, r.deg_a, r.deg_b, r.jaccard)
+        for r in neighborhood_jaccard(
+            _edges(spark, pairs), max_neighbor_degree=2
+        ).collect()
+    }
+    assert got == {(1, 2): (1, 1, 1, 1.0)}

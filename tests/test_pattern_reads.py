@@ -416,3 +416,40 @@ def test_cypher_feature_interplay(spark):
     rows = [tuple(r) for r in out.collect()]
     # only g=0 has a LIKES edge; b-named targets are 1 and 2
     assert rows == [(0, 1, 2, "low"), (0, 2, 2, "high")]
+
+
+def test_cypher_union_dedups_and_union_all_keeps(spark):
+    from neo4j_enterprise_spark.operators.pattern import cypher_query
+
+    nodes, rels = _graph(spark)
+    # A-edges start at {0, 4}; C-edges start at {0}: overlap node0
+    q_union = (
+        "MATCH (x)-[:A]->(y) RETURN x.name AS name "
+        "UNION MATCH (x)-[:C]->(y) RETURN x.name AS name"
+    )
+    got = sorted(r["name"] for r in cypher_query(nodes, rels, q_union).collect())
+    assert got == ["node0", "node4"]
+    q_all = q_union.replace("UNION", "UNION ALL")
+    got_all = sorted(r["name"] for r in cypher_query(nodes, rels, q_all).collect())
+    assert got_all == ["node0", "node0", "node4"]
+
+
+def test_cypher_union_rejects_mix_and_column_mismatch(spark):
+    from neo4j_enterprise_spark.operators.pattern import cypher_query
+
+    nodes, rels = _graph(spark)
+    with pytest.raises(ValueError, match="mix UNION"):
+        cypher_query(
+            nodes,
+            rels,
+            "MATCH (x)-[:A]->(y) RETURN x.name AS name "
+            "UNION MATCH (x)-[:B]->(y) RETURN x.name AS name "
+            "UNION ALL MATCH (x)-[:C]->(y) RETURN x.name AS name",
+        )
+    with pytest.raises(ValueError, match="same columns"):
+        cypher_query(
+            nodes,
+            rels,
+            "MATCH (x)-[:A]->(y) RETURN x.name AS name "
+            "UNION MATCH (x)-[:C]->(y) RETURN x.name AS other",
+        )
