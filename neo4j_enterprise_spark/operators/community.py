@@ -190,3 +190,88 @@ def condensation_layers(
     return all_sccs.join(layers, "scc_id", "left").select(
         "scc_id", F.coalesce(F.col("layer"), F.lit(0)).cast("int").alias("layer")
     )
+
+
+def partition_modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    *,
+    node_col: str = "node_id",
+    com_col: str = "community",
+) -> DataFrame:
+    """Exact modularity of a given node partition over an undirected
+    graph (Newman's Q), per community.
+
+    ``edges``: distinct undirected pairs (a, b) with a < b.
+    ``communities``: (node_id, community).
+
+    Q = Σ_c [ e_c/m − (d_c/2m)² ] = Σ_c (4·m·e_c − d_c²) / (4m²),
+    so each community's contribution has the EXACT BIGINT numerator
+    ``q_num`` = 4·m·e_c − d_c² over the common denominator 4m² — no
+    float accumulation; the per-row ``q_contrib`` and the repeated
+    ``q_total`` are single IEEE divisions of exact integers. (At
+    planetary edge counts the numerator needs DECIMAL(38,0) — the
+    one-line widening is documented rather than silently applied.)
+
+    One shuffle for degrees, one for intra-community edge counts, a
+    1-row m broadcast; communities table is dimension-sized.
+    """
+    e = edges.select(F.col("a"), F.col("b")).filter(F.col("a") < F.col("b")).distinct()
+    m = e.agg(F.count("*").alias("m"))
+    deg = (
+        e.select(F.col("a").alias(node_col))
+        .unionByName(e.select(F.col("b").alias(node_col)))
+        .groupBy(node_col)
+        .agg(F.count("*").alias("deg"))
+    )
+    ca = communities.select(
+        F.col(node_col).alias("a"), F.col(com_col).alias("com_a")
+    )
+    cb = communities.select(
+        F.col(node_col).alias("b"), F.col(com_col).alias("com_b")
+    )
+    intra = (
+        e.join(ca, "a")
+        .join(cb, "b")
+        .filter(F.col("com_a") == F.col("com_b"))
+        .groupBy(F.col("com_a").alias(com_col))
+        .agg(F.count("*").alias("e_c"))
+    )
+    dsum = (
+        communities.join(deg, node_col, "left")
+        .groupBy(com_col)
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum(F.coalesce(F.col("deg"), F.lit(0))).alias("d_c"),
+        )
+    )
+    per = (
+        dsum.join(intra, com_col, "left")
+        .withColumn("e_c", F.coalesce(F.col("e_c"), F.lit(0)))
+        .crossJoin(F.broadcast(m))
+        .withColumn(
+            "q_num", 4 * F.col("m") * F.col("e_c") - F.col("d_c") * F.col("d_c")
+        )
+        .withColumn(
+            "q_contrib",
+            F.col("q_num").cast("double") / (4.0 * F.col("m") * F.col("m")),
+        )
+    )
+    total = per.groupBy().agg(
+        F.sum("q_num").alias("q_total_num"), F.first("m").alias("m2")
+    )
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            com_col,
+            "n_nodes",
+            "e_c",
+            "d_c",
+            "q_num",
+            "q_contrib",
+            (
+                F.col("q_total_num").cast("double")
+                / (4.0 * F.col("m2") * F.col("m2"))
+            ).alias("q_total"),
+        )
+    )

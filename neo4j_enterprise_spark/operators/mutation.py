@@ -85,3 +85,46 @@ def branched_data_policy(root: str, policy: str = "keep_all") -> list[int]:
         if v not in survivors:
             shutil.rmtree(os.path.join(root, f"v{v}"))
     return survivors
+
+
+def merge_nodes(
+    nodes: DataFrame,
+    candidates: DataFrame,
+    *,
+    match_keys: list[str],
+    high_water: int,
+    on_match: dict[str, object] | None = None,
+    on_create: dict[str, object] | None = None,
+) -> DataFrame:
+    """Bulk Cypher-MERGE over the node store: get-or-create each
+    candidate row by ``match_keys``, applying ON MATCH setters to hits
+    and ON CREATE setters (plus fresh ids above ``high_water``) to
+    misses. Returns the post-merge node store.
+
+    The reference's idiom is per-node ``getOrCreate`` under the lock
+    manager (`LockableNode.java` setProperty after acquire); batched on
+    Spark it is one left-anti + one left-semi equi-join on the merge
+    key — no locks, snapshot-in/snapshot-out. New ids are dense above
+    the high-water mark via :func:`assign_ids` (the ALLOCATE_IDS
+    shadow; global window — a once-per-batch metadata step).
+
+    Setter values are literals (or Columns); ON MATCH/ON CREATE columns
+    must already exist in the node schema so the union stays aligned.
+    """
+    on_match = on_match or {}
+    on_create = on_create or {}
+    hit_keys = candidates.select(*match_keys).distinct()
+    matched = nodes.join(F.broadcast(hit_keys), match_keys, "left_semi")
+    untouched = nodes.join(F.broadcast(hit_keys), match_keys, "left_anti")
+    for c, v in on_match.items():
+        matched = matched.withColumn(c, v if hasattr(v, "_jc") else F.lit(v))
+    existing_keys = nodes.select(*match_keys).distinct()
+    created = candidates.join(F.broadcast(existing_keys), match_keys, "left_anti")
+    created = assign_ids(created.drop("id"), high_water, match_keys)
+    for c, v in on_create.items():
+        created = created.withColumn(c, v if hasattr(v, "_jc") else F.lit(v))
+    for c in nodes.columns:
+        if c not in created.columns:
+            created = created.withColumn(c, F.lit(None))
+    created = created.select(*nodes.columns)
+    return untouched.unionByName(matched.select(*nodes.columns)).unionByName(created)

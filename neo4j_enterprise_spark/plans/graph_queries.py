@@ -2462,3 +2462,158 @@ def cypher_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "MATCH (c:customer)-[:PLACED]->(o) "
         "WHERE c.name < 'Customer#000000100' RETURN c.name AS name",
     ).orderBy("name")
+
+
+@register(
+    "parts_brand_modularity",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT a.l_partkey AS a, b.l_partkey AS b FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+    m AS (SELECT COUNT(*) AS m FROM e),
+    deg AS (SELECT node_id, COUNT(*) AS deg FROM
+            (SELECT a AS node_id FROM e UNION ALL SELECT b FROM e)
+            GROUP BY 1),
+    com AS (SELECT p_partkey AS node_id, p_brand AS community FROM part),
+    intra AS (SELECT ca.community, COUNT(*) AS e_c
+              FROM e JOIN com ca ON e.a = ca.node_id
+              JOIN com cb ON e.b = cb.node_id
+              WHERE ca.community = cb.community GROUP BY 1),
+    dsum AS (SELECT c.community, COUNT(*) AS n_nodes,
+                    SUM(COALESCE(d.deg, 0)) AS d_c
+             FROM com c LEFT JOIN deg d USING (node_id) GROUP BY 1),
+    per AS (SELECT s.community, s.n_nodes, COALESCE(i.e_c, 0) AS e_c,
+                   s.d_c, 4 * m.m * COALESCE(i.e_c, 0) - s.d_c * s.d_c
+                     AS q_num, m.m AS m
+            FROM dsum s LEFT JOIN intra i USING (community), m),
+    tot AS (SELECT SUM(q_num) AS q_total_num FROM per)
+    SELECT community, n_nodes, e_c, d_c, q_num,
+           CAST(q_num AS DOUBLE) / (4.0 * m * m) AS q_contrib,
+           CAST(q_total_num AS DOUBLE) / (4.0 * m * m) AS q_total
+    FROM per, tot ORDER BY community
+    """,
+    doc="Exact Newman modularity of the brand partition over the "
+    "part co-purchase graph (community.partition_modularity): "
+    "Q = Σ_c (4·m·e_c − d_c²)/(4m²) — per-community EXACT BIGINT "
+    "numerators over a common denominator, so the score involves no "
+    "float accumulation (the community-quality metric Louvain "
+    "optimizes, rendered engine-exact). Degrees: one shuffle; "
+    "intra-community edges: equi-joins on the endpoints; m: 1-row "
+    "broadcast.",
+)
+def parts_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.community import partition_modularity
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.select(F.col("l_orderkey"), F.col("l_partkey").alias("a"))
+        .join(
+            li.select(F.col("l_orderkey"), F.col("l_partkey").alias("b")),
+            "l_orderkey",
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    com = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node_id"), F.col("p_brand").alias("community")
+    )
+    return partition_modularity(e, com).orderBy("community")
+
+
+@register(
+    "cypher_merge_nodes",
+    f"""
+    {graph_cte(rels=False)},
+    cand(kind, name) AS (VALUES
+      ('customer', 'Customer#000000007'),
+      ('customer', 'Customer#000000014'),
+      ('customer', 'Customer#000099991'),
+      ('customer', 'Customer#000099992')),
+    matched AS (
+      SELECT n.id, n.kind, n.name, TRUE AS in_use
+      FROM nodes n JOIN cand c ON n.kind = c.kind AND n.name = c.name),
+    created AS (
+      SELECT CAST(6000000 + ROW_NUMBER() OVER (ORDER BY c.kind, c.name)
+                  AS BIGINT) AS id,
+             c.kind, c.name, TRUE AS in_use
+      FROM cand c LEFT JOIN nodes n ON n.kind = c.kind AND n.name = c.name
+      WHERE n.id IS NULL)
+    SELECT id, kind, name, in_use FROM matched
+    UNION ALL
+    SELECT id, kind, name, in_use FROM created
+    ORDER BY name
+    """,
+    doc="Cypher MERGE (mutation.merge_nodes): get-or-create four "
+    "customers by (kind, name) — two exist (Customer#...007 is "
+    "in_use=false in the derivation, so ON MATCH SET in_use=true "
+    "visibly flips it), two are new (ON CREATE + dense ids above the "
+    "6000000 high-water mark via the ALLOCATE_IDS shadow). One "
+    "broadcast left-semi + left-anti pair on the merge key — the "
+    "lock-free batch rendering of the reference's getOrCreate-under-"
+    "lock idiom (LockableNode.java setProperty after acquire).",
+)
+def cypher_merge_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import mutation
+
+    cand = spark.createDataFrame(
+        [
+            ("customer", "Customer#000000007"),
+            ("customer", "Customer#000000014"),
+            ("customer", "Customer#000099991"),
+            ("customer", "Customer#000099992"),
+        ],
+        "kind string, name string",
+    )
+    merged = mutation.merge_nodes(
+        derived_nodes(spark, sf_dir),
+        cand,
+        match_keys=["kind", "name"],
+        high_water=6000000,
+        on_match={"in_use": True},
+        on_create={"in_use": True},
+    )
+    return (
+        merged.join(cand, ["kind", "name"])
+        .select("id", "kind", "name", "in_use")
+        .orderBy("name")
+    )
+
+
+@register(
+    "graph_jsonl_roundtrip",
+    f"""
+    {graph_cte(rels=False)}
+    SELECT id, kind, in_use, name FROM nodes ORDER BY id
+    """,
+    doc="Portable store copy round-trip (sink.export_jsonl / "
+    "import_jsonl): the full node store written as JSON-lines and read "
+    "back with an EXPLICIT schema (no inference pass), hash-matched "
+    "against the oracle's node derivation — proving the interchange "
+    "path is lossless for long/bool/string payloads. Stage dir keyed "
+    "on a hash of the absolute sf_dir; rewritten only when absent "
+    "(idempotent re-runs). The reference's whole-file store streaming "
+    "(Master.copyStore / BackupService.doFullBackup:85-180) in a "
+    "format any downstream tool can consume.",
+)
+def graph_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.sink import export_jsonl, import_jsonl
+
+    nodes = derived_nodes(spark, sf_dir)
+    tag = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"nes_jsonl_nodes_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        export_jsonl(nodes, out)
+    back = import_jsonl(
+        spark, out, "id long, kind string, in_use boolean, name string"
+    )
+    return back.select("id", "kind", "in_use", "name").orderBy("id")

@@ -2671,3 +2671,49 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.expr("percentile(latency_us, 0.5)")).cast("long").alias("p50_us"),
         F.floor(F.expr("percentile(latency_us, 0.9)")).cast("long").alias("p90_us"),
     )
+
+
+@register(
+    "store_upgrade_read",
+    """
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 2 = 0 THEN 0.0 ELSE c_acctbal END
+             AS c_acctbal,
+           CASE WHEN c_custkey % 2 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END
+             AS c_mktsegment
+    FROM customer ORDER BY c_custkey
+    """,
+    doc="Store-format upgrade read (sink.read_evolved): even-key "
+    "customers staged as an old-vintage parquet dir (3 columns), "
+    "odd-key as the current 5-column format; ONE mergeSchema read "
+    "unions the vintages and fills declared defaults for the columns "
+    "old files predate (acctbal 0.0, mktsegment 'UNKNOWN') — the "
+    "reference's store migration (1.9 opening 1.8 stores) as a "
+    "query-time contract: old files stay valid, no rewrite. Oracle "
+    "replays the vintage split + defaults in SQL.",
+)
+def store_upgrade_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.sink import read_evolved
+
+    cust = load_table(spark, sf_dir, "customer")
+    tag = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"nes_store_vintages_{tag}")
+    v1, v2 = os.path.join(base, "v1"), os.path.join(base, "v2")
+    if not (
+        os.path.exists(os.path.join(v1, "_SUCCESS"))
+        and os.path.exists(os.path.join(v2, "_SUCCESS"))
+    ):
+        cust.filter(F.col("c_custkey") % 2 == 0).select(
+            "c_custkey", "c_name", "c_nationkey"
+        ).write.mode("overwrite").parquet(v1)
+        cust.filter(F.col("c_custkey") % 2 == 1).write.mode("overwrite").parquet(v2)
+    out = read_evolved(
+        spark, [v1, v2], {"c_acctbal": 0.0, "c_mktsegment": "UNKNOWN"}
+    )
+    return out.select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    ).orderBy("c_custkey")

@@ -220,3 +220,38 @@ def write_zordered(
         .parquet(path)
     )
     return n
+
+
+def export_jsonl(df: DataFrame, out_dir: str) -> str:
+    """Portable store export: write a table as JSON-lines (the
+    interchange twin of `Master.copyStore`'s whole-file streaming —
+    line-oriented so any downstream tool can consume it, at the price
+    of text encoding; parquet remains the performance format).
+    Overwrites the target so re-exports are idempotent."""
+    df.write.mode("overwrite").json(out_dir)
+    return out_dir
+
+
+def import_jsonl(spark, in_dir: str, schema) -> DataFrame:
+    """Portable store import: read a JSONL export with an EXPLICIT
+    schema (never inference — at 100 TB schema inference is a full
+    extra pass, and silently widens types on dirty rows; a declared
+    schema makes bad rows surface as nulls instead)."""
+    return spark.read.schema(schema).json(in_dir)
+
+
+def read_evolved(spark, dirs: list[str], defaults: dict[str, object]) -> DataFrame:
+    """Store-format upgrade read: one DataFrame over parquet dirs of
+    DIFFERENT schema vintages (``mergeSchema`` unions the columns;
+    old files yield nulls for columns they predate), with explicit
+    per-column ``defaults`` filled in — the query-time rendering of the
+    reference's store migration (a 1.9 store opening 1.8 files upgrades
+    them; here old files stay valid and the default is part of the read
+    contract instead of a rewrite).
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("mergeSchema", "true").parquet(*dirs)
+    for col, default in defaults.items():
+        df = df.withColumn(col, F.coalesce(F.col(col), F.lit(default)))
+    return df

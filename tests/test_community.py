@@ -92,3 +92,47 @@ def test_neighborhood_jaccard_hub_cut_recomputes_degrees(spark):
         ).collect()
     }
     assert got == {(1, 2): (1, 1, 1, 1.0)}
+
+
+def test_partition_modularity_two_cliques(spark):
+    from neo4j_enterprise_spark.operators.community import partition_modularity
+
+    # two triangles joined by one bridge edge; communities = the triangles
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)],
+        "a long, b long",
+    )
+    com = spark.createDataFrame(
+        [(i, "left" if i < 3 else "right") for i in range(6)],
+        "node_id long, community string",
+    )
+    rows = {r.community: r for r in partition_modularity(edges, com).collect()}
+    # m=7; left: e_c=3, d_c=7 → q_num = 4*7*3 - 49 = 35; same for right
+    assert rows["left"].e_c == 3 and rows["left"].d_c == 7
+    assert rows["left"].q_num == 35 and rows["right"].q_num == 35
+    assert abs(rows["left"].q_total - 70 / 196) < 1e-12
+
+
+def test_merge_nodes_get_or_create(spark):
+    from neo4j_enterprise_spark.operators.mutation import merge_nodes
+
+    nodes = spark.createDataFrame(
+        [(1, "n", False, "a"), (2, "n", True, "b")],
+        "id long, kind string, in_use boolean, name string",
+    )
+    cand = spark.createDataFrame(
+        [("n", "a"), ("n", "zz")], "kind string, name string"
+    )
+    out = merge_nodes(
+        nodes,
+        cand,
+        match_keys=["kind", "name"],
+        high_water=100,
+        on_match={"in_use": True},
+        on_create={"in_use": True},
+    )
+    got = {r.name: (r.id, r.in_use) for r in out.collect()}
+    assert got["a"] == (1, True)        # matched: flag flipped, id kept
+    assert got["b"] == (2, True)        # untouched
+    assert got["zz"] == (101, True)     # created above high-water
+    assert out.count() == 3

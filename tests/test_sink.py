@@ -212,3 +212,35 @@ def test_engine_facade_cypher_and_pipeline(spark, sf_dir):
     assert ann.count() == 6
     prof = eng.profile("events", ["user_id", "value"])
     assert prof.count() == 2
+
+
+def test_jsonl_roundtrip_lossless(spark, tmp_path):
+    from neo4j_enterprise_spark.sources.sink import export_jsonl, import_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "a", True), (2, "b", False), (3, None, True)],
+        "id long, name string, flag boolean",
+    )
+    out = str(tmp_path / "jsonl")
+    export_jsonl(df, out)
+    back = import_jsonl(spark, out, "id long, name string, flag boolean")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_read_evolved_fills_defaults_only_for_missing_columns(spark, tmp_path):
+    from neo4j_enterprise_spark.sources.sink import read_evolved
+
+    old = spark.createDataFrame([(1, "x")], "k long, name string")
+    new = spark.createDataFrame(
+        [(2, "y", 9.5, "SEG")], "k long, name string, bal double, seg string"
+    )
+    d1, d2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    old.write.parquet(d1)
+    new.write.parquet(d2)
+    got = {
+        r.k: (r.name, r.bal, r.seg)
+        for r in read_evolved(
+            spark, [d1, d2], {"bal": 0.0, "seg": "UNKNOWN"}
+        ).collect()
+    }
+    assert got == {1: ("x", 0.0, "UNKNOWN"), 2: ("y", 9.5, "SEG")}
