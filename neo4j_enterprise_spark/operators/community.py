@@ -275,3 +275,52 @@ def partition_modularity(
             ).alias("q_total"),
         )
     )
+
+
+def ktruss_peel(edges: DataFrame, *, k: int, rounds: int = 2) -> DataFrame:
+    """Bounded k-truss peeling (dense-subgraph mining): ``rounds`` times,
+    delete every edge whose triangle support (common-neighbor count) is
+    below k−2; return the surviving edges with their support recomputed
+    on the surviving graph.
+
+    ``edges``: undirected distinct pairs (a, b), a < b. Bounded rounds
+    keep the operator a FIXED composition of joins (each round: one
+    wedge join shuffled on the shared neighbor + one anti-filter,
+    lineage cut by localCheckpoint) so an unrolled SQL oracle can replay
+    it exactly; run more rounds for a fixpoint — convergence is reached
+    when a round deletes nothing (the classic truss decomposition runs
+    O(max support) rounds; sparse real graphs converge in a handful).
+    """
+    e = edges.select("a", "b").filter(F.col("a") < F.col("b")).distinct()
+    e = e.localCheckpoint(eager=True)
+
+    def support(cur: DataFrame) -> DataFrame:
+        adj = cur.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            cur.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        x = adj.select(F.col("u").alias("a"), F.col("v").alias("c"))
+        y = adj.select(F.col("u").alias("b"), F.col("v").alias("c"))
+        return (
+            cur.join(x, "a")
+            .join(y, ["b", "c"])
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("sup"))
+        )
+
+    for _ in range(rounds):
+        sup = support(e)
+        e = (
+            e.join(sup, ["a", "b"], "left")
+            .filter(F.coalesce(F.col("sup"), F.lit(0)) >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    final = support(e)
+    return (
+        e.join(final, ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            F.coalesce(F.col("sup"), F.lit(0)).alias("support"),
+        )
+    )

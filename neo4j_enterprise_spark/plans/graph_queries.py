@@ -2617,3 +2617,79 @@ def graph_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, out, "id long, kind string, in_use boolean, name string"
     )
     return back.select("id", "kind", "in_use", "name").orderBy("id")
+
+
+@register(
+    "parts_ktruss_bounded",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_partkey < 500),
+    e0 AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+           FROM li a JOIN li b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2),
+    adj0 AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+    sup0 AS (SELECT e.a, e.b, COUNT(*) AS sup FROM e0 e
+             JOIN adj0 x ON x.u = e.a
+             JOIN adj0 y ON y.u = e.b AND y.v = x.v
+             GROUP BY e.a, e.b),
+    e1 AS (SELECT e.a, e.b FROM e0 e
+           LEFT JOIN sup0 s ON s.a = e.a AND s.b = e.b
+           WHERE COALESCE(s.sup, 0) >= 2),
+    adj1 AS (SELECT a AS u, b AS v FROM e1 UNION ALL SELECT b, a FROM e1),
+    sup1 AS (SELECT e.a, e.b, COUNT(*) AS sup FROM e1 e
+             JOIN adj1 x ON x.u = e.a
+             JOIN adj1 y ON y.u = e.b AND y.v = x.v
+             GROUP BY e.a, e.b),
+    e2 AS (SELECT e.a, e.b FROM e1 e
+           LEFT JOIN sup1 s ON s.a = e.a AND s.b = e.b
+           WHERE COALESCE(s.sup, 0) >= 2),
+    adj2 AS (SELECT a AS u, b AS v FROM e2 UNION ALL SELECT b, a FROM e2),
+    sup2 AS (SELECT e.a, e.b, COUNT(*) AS sup FROM e2 e
+             JOIN adj2 x ON x.u = e.a
+             JOIN adj2 y ON y.u = e.b AND y.v = x.v
+             GROUP BY e.a, e.b)
+    SELECT e.a AS part_a, e.b AS part_b,
+           COALESCE(s.sup, 0) AS support
+    FROM e2 e LEFT JOIN sup2 s ON s.a = e.a AND s.b = e.b
+    ORDER BY part_a, part_b
+    """,
+    doc="4-truss extraction (community.ktruss_peel, 2 bounded peel "
+    "rounds) over the co-purchase graph of a fixed 500-part slice "
+    "(density grows with scale on a fixed node set, so the truss is "
+    "non-trivial at every sf): edges with triangle support < 2 peel "
+    "away, "
+    "surviving edges report support recomputed on the survivor graph "
+    "— the dense-subgraph mining primitive under community detection. "
+    "Each round = one wedge join shuffled on the shared neighbor; "
+    "bounded rounds make the oracle an exact 2-round unroll (fixpoint "
+    "= run until a round deletes nothing).",
+)
+def parts_ktruss_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.community import ktruss_peel
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 500)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.select(F.col("l_orderkey"), F.col("l_partkey").alias("a"))
+        .join(
+            li.select(F.col("l_orderkey"), F.col("l_partkey").alias("b")),
+            "l_orderkey",
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return (
+        ktruss_peel(e, k=4, rounds=2)
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            "support",
+        )
+        .orderBy("part_a", "part_b")
+    )

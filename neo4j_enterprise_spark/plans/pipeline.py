@@ -1832,3 +1832,107 @@ def docs_source_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return sampling.source_interleave(docs).orderBy("interleave_pos")
+
+
+@register(
+    "docs_inverted_index",
+    r"""
+    WITH tf AS (
+      SELECT DISTINCT doc_id,
+             lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS tok
+      FROM documents),
+    post AS (
+      SELECT tok, COUNT(*) AS df,
+             list(doc_id ORDER BY doc_id) AS postings
+      FROM tf WHERE tok <> '' GROUP BY tok)
+    SELECT tok, df, postings FROM post
+    ORDER BY df, tok LIMIT 10
+    """,
+    doc="Inverted-index build (search primitive): term → sorted "
+    "posting list of doc_ids for the 10 RAREST terms (df asc — the "
+    "discriminative tail a retrieval engine scans first; head terms "
+    "belong in a stop list and their postings are the long tail you "
+    "cap). One "
+    "tokenize-distinct pass + one groupBy(term) with "
+    "sort_array(collect_list) — postings build map-side per term; at "
+    "100 TB partition the index by term-hash range and cap posting "
+    "length (doc-at-a-time engines stream the long tail). The "
+    "list-valued column is hash-compared against DuckDB's "
+    "list(ORDER BY) — payload-exact.",
+)
+def docs_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t0"),
+        )
+        .select("doc_id", F.lower(F.col("t0")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    return (
+        tf.groupBy("tok")
+        .agg(
+            F.count("*").alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .select("tok", "df", "postings")
+        .orderBy("df", "tok")
+        .limit(10)
+    )
+
+
+@register(
+    "docs_bigram_counts",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents),
+    u AS (
+      SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS ord
+      FROM toks),
+    bg AS (
+      SELECT a.tok AS w1, b.tok AS w2
+      FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+      WHERE a.tok <> '' AND b.tok <> ''),
+    pair AS (SELECT w1, w2, COUNT(*) AS pair_n FROM bg GROUP BY w1, w2),
+    pre AS (SELECT w1, SUM(pair_n) AS prefix_n FROM pair GROUP BY w1)
+    SELECT p.w1, p.w2, p.pair_n, r.prefix_n
+    FROM pair p JOIN pre r USING (w1)
+    ORDER BY pair_n DESC, w1, w2 LIMIT 30
+    """,
+    doc="Bigram conditional-count model (n-gram LM training counts): "
+    "top-30 adjacent token pairs with the pair count and the prefix "
+    "marginal — P(w2|w1) = pair_n/prefix_n as exact integers (the "
+    "division left to the consumer keeps the row engine-exact). Spark "
+    "builds bigrams ARRAY-SIDE (transform over the token array — "
+    "scan-fused, zero shuffle until the count) where the oracle "
+    "self-joins on ordinality; same multiset, Spark plan avoids the "
+    "per-doc join. Total order (count desc, w1, w2) bounds the LIMIT.",
+)
+def docs_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i - 1] AS w1, t[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    pair = bg.groupBy("w1", "w2").agg(F.count("*").alias("pair_n"))
+    pre = pair.groupBy("w1").agg(F.sum("pair_n").alias("prefix_n"))
+    return (
+        pair.join(pre, "w1")
+        .select("w1", "w2", "pair_n", "prefix_n")
+        .orderBy(F.desc("pair_n"), "w1", "w2")
+        .limit(30)
+    )

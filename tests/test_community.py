@@ -136,3 +136,26 @@ def test_merge_nodes_get_or_create(spark):
     assert got["b"] == (2, True)        # untouched
     assert got["zz"] == (101, True)     # created above high-water
     assert out.count() == 3
+
+
+def test_ktruss_peel_keeps_k4_drops_tail(spark):
+    from neo4j_enterprise_spark.operators.community import ktruss_peel
+
+    # K4 on {0,1,2,3} (every edge in 2 triangles) + tail 3-4-5 (support 0)
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = spark.createDataFrame(k4 + [(3, 4), (4, 5)], "a long, b long")
+    got = {(r.a, r.b): r.support for r in ktruss_peel(edges, k=4).collect()}
+    assert got == {e: 2 for e in k4}
+
+
+def test_ktruss_peel_cascading_deletion_needs_second_round(spark):
+    from neo4j_enterprise_spark.operators.community import ktruss_peel
+
+    # triangle {0,1,2} + triangle {2,3,4} sharing node 2, plus edge 1-3
+    # bridging: round 1 deletes the support-<2 edges, which drops the
+    # triangles' support below 2 in round 2 — everything peels for k=4
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 3), (2, 4), (3, 4), (1, 3)],
+        "a long, b long",
+    )
+    assert ktruss_peel(edges, k=4, rounds=3).count() == 0
