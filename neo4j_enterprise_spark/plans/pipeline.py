@@ -1936,3 +1936,83 @@ def docs_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_n"), "w1", "w2")
         .limit(30)
     )
+
+
+@register(
+    "docs_keyword_search",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS tok
+      FROM documents),
+    hits AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+             WHERE tok IN ('dup', 'vector', 'stream') GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks
+           WHERE tok IN ('dup', 'vector', 'stream') GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    sc AS (SELECT h.doc_id, h.tok,
+                  h.tf * (CAST(n.n_docs AS DOUBLE) / df.df) AS s
+           FROM hits h JOIN df USING (tok), n),
+    piv AS (
+      SELECT doc_id,
+             MAX(CASE WHEN tok = 'dup' THEN s END) AS s_dup,
+             MAX(CASE WHEN tok = 'vector' THEN s END) AS s_vector,
+             MAX(CASE WHEN tok = 'stream' THEN s END) AS s_stream
+      FROM sc GROUP BY doc_id)
+    SELECT doc_id, COALESCE(s_dup, 0) AS s_dup,
+           COALESCE(s_vector, 0) AS s_vector,
+           COALESCE(s_stream, 0) AS s_stream,
+           COALESCE(s_dup, 0) + COALESCE(s_vector, 0)
+             + COALESCE(s_stream, 0) AS score
+    FROM piv
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    doc="Keyword retrieval with tf·idf-ratio scoring: top-10 docs for "
+    "the query {dup, vector, stream} — per-term score tf·(N/df) (the "
+    "LINEAR idf ratio instead of log, so every float op is a single "
+    "deterministic IEEE divide/multiply; the rare term 'dup' dominates "
+    "exactly as log-idf would rank it). The per-doc total pivots the "
+    "≤3 term scores into FIXED columns and adds them in declared order "
+    "— no order-dependent float reduction. Query terms broadcast as a "
+    "3-row dim; one scan + one groupBy(doc, term).",
+)
+def docs_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["dup", "vector", "stream"]
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok").isin(terms))
+    hits = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_t = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    sc = (
+        hits.join(F.broadcast(df_t), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("tf") * (F.col("n_docs").cast("double") / F.col("df"))).alias("s"),
+        )
+    )
+    piv = sc.groupBy("doc_id").agg(
+        F.max(F.when(F.col("tok") == "dup", F.col("s"))).alias("s_dup"),
+        F.max(F.when(F.col("tok") == "vector", F.col("s"))).alias("s_vector"),
+        F.max(F.when(F.col("tok") == "stream", F.col("s"))).alias("s_stream"),
+    )
+    z = F.lit(0.0)
+    return (
+        piv.select(
+            "doc_id",
+            F.coalesce(F.col("s_dup"), z).alias("s_dup"),
+            F.coalesce(F.col("s_vector"), z).alias("s_vector"),
+            F.coalesce(F.col("s_stream"), z).alias("s_stream"),
+            (
+                F.coalesce(F.col("s_dup"), z)
+                + F.coalesce(F.col("s_vector"), z)
+                + F.coalesce(F.col("s_stream"), z)
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+    )

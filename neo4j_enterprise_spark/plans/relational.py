@@ -2717,3 +2717,41 @@ def store_upgrade_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
     ).orderBy("c_custkey")
+
+
+@register(
+    "events_path_trigrams",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT e1, e2, e3, COUNT(*) AS n_paths
+    FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY n_paths DESC, e1, e2, e3 LIMIT 20
+    """,
+    doc="Behavioral path mining: top-20 event-type trigrams over each "
+    "user's time-ordered stream (LEAD window ties broken by event_id — "
+    "total order, engine-stable) — the product-analytics sequel to the "
+    "funnel query: which 3-step paths actually happen. One window "
+    "PARTITIONED by user (no global sort) + one counting shuffle.",
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
+        .limit(20)
+    )
