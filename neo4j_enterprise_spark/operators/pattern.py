@@ -280,6 +280,32 @@ _EXISTS_RE = re.compile(
 
 
 def _parse_conds(body: str):
+    # top-level OR → disjunctive normal form: each OR branch is its own
+    # conjunction list, carried as one ("__or__", branches, None, None)
+    # cond so the whole disjunction compiles to a single Column filter
+    # (Catalyst still pushes it into the scan). EXISTS inside OR is not
+    # wired — it compiles to a join, not a Column.
+    branches = re.split(r"\bOR\b", body, flags=re.I)
+    if len(branches) > 1:
+
+        def unwrap(s: str) -> str:
+            # strip ONE outer paren pair only when it wraps the whole
+            # branch (never parens that belong to an inner pattern)
+            s = s.strip()
+            if s.startswith("(") and s.endswith(")"):
+                depth = 0
+                for i, ch in enumerate(s):
+                    depth += (ch == "(") - (ch == ")")
+                    if depth == 0 and i < len(s) - 1:
+                        return s  # outer parens close early — keep
+                return s[1:-1].strip()
+            return s
+
+        parsed = [_parse_conds(unwrap(b)) for b in branches]
+        for br in parsed:
+            if any(c[0] == "__exists__" for c in br):
+                raise ValueError(f"EXISTS inside OR unsupported: {body!r}")
+        return [("__or__", parsed, None, None)]
     conds = []
     for one in re.split(r"\bAND\b", body, flags=re.I):
         one = one.strip()
@@ -330,6 +356,34 @@ _WHEN_RE = re.compile(
 _ELSE_RE = re.compile(r"ELSE\s+('[^']*'|\"[^\"]*\"|[\w.+-]+)\s*$", re.I)
 
 
+def _cond_refs(conds):
+    """(var, prop) pairs referenced by a cond list, walking OR groups."""
+    refs = []
+    for var, prop, _, _ in conds:
+        if var == "__or__":
+            for branch in prop:
+                refs.extend(_cond_refs(branch))
+        elif prop:
+            refs.append((var, prop))
+    return refs
+
+
+def _conds_col(out: DataFrame, conds):
+    """One Column for a cond list: AND across items, OR groups expand
+    to a disjunction of their branch conjunctions."""
+    col = None
+    for var, prop, op, lit in conds:
+        if var == "__or__":
+            c = None
+            for branch in prop:
+                bc = _conds_col(out, branch)
+                c = bc if c is None else (c | bc)
+        else:
+            c = _cond_col(out, var, prop, op, lit)
+        col = c if col is None else (col & c)
+    return col
+
+
 def _cond_col(out: DataFrame, var, prop, op, lit):
     """One parsed condition as a Column against ``out``'s schema."""
     methods = {"=": "__eq__", "<>": "__ne__", "<": "__lt__", "<=": "__le__",
@@ -356,15 +410,12 @@ def _parse_case(body: str):
     em = _ELSE_RE.search(inner)
     parsed = [(_parse_conds(c), _parse_literal(v)) for c, v in whens]
     else_val = _parse_literal(em.group(1)) if em else None
-    refs = [(var, prop) for conds, _ in parsed for var, prop, _, _ in conds if prop]
+    refs = [ref for conds, _ in parsed for ref in _cond_refs(conds)]
 
     def build(out: DataFrame):
         col = None
         for conds, val in parsed:
-            cond = None
-            for var, prop, op, lit in conds:
-                c = _cond_col(out, var, prop, op, lit)
-                cond = c if cond is None else (cond & c)
+            cond = _conds_col(out, conds)
             col = (
                 F.when(cond, F.lit(val))
                 if col is None
@@ -467,6 +518,9 @@ def _apply_conds(out: DataFrame, conds) -> DataFrame:
                ">": "__gt__", ">=": "__ge__", "STARTS WITH": "startswith",
                "ENDS WITH": "endswith", "CONTAINS": "contains"}
     for var, prop, op, lit in conds:
+        if var == "__or__":
+            out = out.filter(_conds_col(out, [(var, prop, op, lit)]))
+            continue
         name = f"{var}_{prop}" if prop else var
         if prop and name not in out.columns and var in out.columns:
             # carried scalar aliased like a var — fall through to var
@@ -675,8 +729,11 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
     the variables shared with the carried rows — one equi-join, so a
     multi-stage pipeline is still a single Catalyst plan with no
     intermediate materialization. ``collect()`` renders as
-    ``sort_array(collect_list)`` for deterministic output. Conjunctions
-    only; ops ``= <> < <= > >= STARTS WITH/ENDS WITH/CONTAINS``.
+    ``sort_array(collect_list)`` for deterministic output. WHERE
+    supports AND plus top-level OR (disjunction of conjunction groups,
+    compiled to ONE Column so Catalyst still pushes it into the scan;
+    EXISTS inside OR is rejected — it is a join, not a Column); ops
+    ``= <> < <= > >= STARTS WITH/ENDS WITH/CONTAINS``.
 
     The Cypher read surface of the reference's embedded API
     (`LockableNode.java:178-201` navigation + property reads), expressed
@@ -815,7 +872,10 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
         for var, prop, _, _ in conds:
             # WHERE precedes SET (Cypher clause order) so it always reads
             # the stored column, even when the same prop is SET after
-            if prop:
+            if var == "__or__":
+                for v, p in _cond_refs([(var, prop, None, None)]):
+                    attach.setdefault(v, []).append(p)
+            elif prop:
                 attach.setdefault(var, []).append(prop)
         for kind, var, prop, _, _ in items or []:
             if kind == "case" or kind.startswith("aggcase:"):

@@ -809,3 +809,60 @@ def label_centroids(embeddings: DataFrame, label_col: str = "label") -> DataFram
             ).alias("centroid")
         )
     )
+
+
+def centroid_similarity_matrix(
+    embeddings: DataFrame, label_col: str = "label"
+) -> DataFrame:
+    """Pairwise cosine similarity between class centroids, engine-exact.
+
+    The quantize scale and member counts cancel out of the cosine:
+    with S_l[d] = Σ members' quantized dim-d values (exact BIGINT),
+    cos(l_a, l_b) = I_ab / (√I_aa · √I_bb) where I_xy = Σ_d S_x[d]·S_y[d]
+    is an exact integer inner product — the only float ops are two
+    IEEE-exact sqrts, one multiply, one divide. Returns
+    (label_a ≤ label_b, ip_num, cos); the diagonal is exactly 1.0.
+
+    Scale: one label×dims shuffle for the sums (map-side combinable),
+    then the pairwise join runs on the labels×dims matrix — tiny next
+    to the data; the inter-class confusion structure used for
+    cluster-balanced curation and label-noise auditing.
+    """
+    per_dim = embeddings.select(
+        label_col, F.posexplode(quantize(F.col("embedding"))).alias("d", "q")
+    )
+    sums = per_dim.groupBy(label_col, "d").agg(F.sum("q").alias("s"))
+    a = sums.select(
+        F.col(label_col).alias("label_a"), F.col("d"), F.col("s").alias("sa")
+    )
+    b = sums.select(
+        F.col(label_col).alias("label_b"), F.col("d"), F.col("s").alias("sb")
+    )
+    ip = (
+        a.join(b, "d")
+        .filter(F.col("label_a") <= F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("ip_num"))
+    )
+    diag = ip.filter(F.col("label_a") == F.col("label_b")).select(
+        F.col("label_a").alias("_l"), F.col("ip_num").alias("nrm")
+    )
+    return (
+        ip.join(F.broadcast(diag), F.col("label_a") == F.col("_l"))
+        .drop("_l")
+        .withColumnRenamed("nrm", "nrm_a")
+        .join(F.broadcast(diag), F.col("label_b") == F.col("_l"))
+        .drop("_l")
+        .select(
+            "label_a",
+            "label_b",
+            "ip_num",
+            (
+                F.col("ip_num").cast("double")
+                / (
+                    F.sqrt(F.col("nrm_a").cast("double"))
+                    * F.sqrt(F.col("nrm").cast("double"))
+                )
+            ).alias("cos"),
+        )
+    )

@@ -2693,3 +2693,39 @@ def parts_ktruss_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_a", "part_b")
     )
+
+
+@register(
+    "cypher_where_or",
+    f"""
+    {graph_cte()}
+    SELECT c.name AS name, n.name AS nation_name
+    FROM rels e
+    JOIN nodes c ON c.id = e.src AND c.kind = 'customer'
+    JOIN nodes n ON n.id = e.dst AND n.kind = 'nation'
+    WHERE e.type_name = 'IN_NATION'
+      AND (n.name = 'NATION_7'
+           OR (c.name >= 'Customer#000000190'
+               AND c.name < 'Customer#000000200'))
+    ORDER BY name
+    """,
+    doc="Cypher WHERE disjunction (pattern.cypher_query): "
+    "MATCH (c:customer)-[:IN_NATION]->(n:nation) WHERE n.name = ... OR "
+    "(c.name >= ... AND c.name < ...) — top-level OR of conjunction "
+    "groups compiled to ONE Column predicate, so Catalyst pushes the "
+    "whole disjunction into the pattern joins rather than unioning two "
+    "subplans.",
+)
+def cypher_where_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pattern import cypher_query
+
+    nodes = derived_nodes(spark, sf_dir)
+    rels = derived_rels(spark, sf_dir)
+    return cypher_query(
+        nodes,
+        rels,
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation) "
+        "WHERE n.name = 'NATION_7' "
+        "OR c.name >= 'Customer#000000190' AND c.name < 'Customer#000000200' "
+        "RETURN c.name AS name, n.name AS nation_name ORDER BY name",
+    )

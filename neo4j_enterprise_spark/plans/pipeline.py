@@ -2016,3 +2016,40 @@ def docs_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(10)
     )
+
+
+@register(
+    "emb_centroid_similarity",
+    """
+    WITH q AS (
+      SELECT label, generate_subscripts(embedding, 1) AS d,
+             CAST(ROUND(unnest(embedding) * 1000) AS BIGINT) AS qv
+      FROM embeddings),
+    s AS (SELECT label, d, SUM(qv) AS s FROM q GROUP BY label, d),
+    ip AS (SELECT a.label AS label_a, b.label AS label_b,
+                  SUM(a.s * b.s) AS ip_num
+           FROM s a JOIN s b ON a.d = b.d AND a.label <= b.label
+           GROUP BY 1, 2),
+    diag AS (SELECT label_a AS l, ip_num AS nrm FROM ip
+             WHERE label_a = label_b)
+    SELECT i.label_a, i.label_b, i.ip_num,
+           CAST(i.ip_num AS DOUBLE)
+             / (sqrt(CAST(da.nrm AS DOUBLE)) * sqrt(CAST(db.nrm AS DOUBLE)))
+             AS cos
+    FROM ip i JOIN diag da ON da.l = i.label_a
+    JOIN diag db ON db.l = i.label_b
+    ORDER BY label_a, label_b
+    """,
+    doc="Inter-class centroid cosine matrix "
+    "(similarity.centroid_similarity_matrix): quantize scale and "
+    "member counts cancel, so each cell is an exact BIGINT inner "
+    "product of per-label integer sum-vectors with two IEEE-exact "
+    "sqrts and one divide — the confusion-structure / label-noise "
+    "audit beside emb_label_centroids, bit-identical across engines "
+    "including the diagonal (exactly 1.0).",
+)
+def emb_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.centroid_similarity_matrix(emb).orderBy(
+        "label_a", "label_b"
+    )

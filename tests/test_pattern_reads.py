@@ -453,3 +453,50 @@ def test_cypher_union_rejects_mix_and_column_mismatch(spark):
             "MATCH (x)-[:A]->(y) RETURN x.name AS name "
             "UNION MATCH (x)-[:C]->(y) RETURN x.name AS other",
         )
+
+
+def test_cypher_where_or_and_precedence(spark):
+    from neo4j_enterprise_spark.operators.pattern import cypher_query
+
+    nodes, rels = _graph(spark)
+    # OR binds looser than AND: name = node4 OR (name >= node0 AND y < 2)
+    out = cypher_query(
+        nodes,
+        rels,
+        "MATCH (x)-[:A]->(y) "
+        "WHERE x.name = 'node4' OR x.name >= 'node0' AND y < 2 "
+        "RETURN x.name AS name ORDER BY name",
+    )
+    assert [r["name"] for r in out.collect()] == ["node0", "node4"]
+
+
+def test_cypher_where_or_rejects_exists_branch(spark):
+    from neo4j_enterprise_spark.operators.pattern import cypher_query
+
+    nodes, rels = _graph(spark)
+    with pytest.raises(ValueError, match="EXISTS inside OR"):
+        cypher_query(
+            nodes,
+            rels,
+            "MATCH (x)-[:A]->(y) "
+            "WHERE EXISTS((x)-[:C]->()) OR x.name = 'node4' "
+            "RETURN x.name AS name",
+        )
+
+
+def test_cypher_case_with_or_condition(spark):
+    from neo4j_enterprise_spark.operators.pattern import cypher_query
+
+    nodes, rels = _graph(spark)
+    out = cypher_query(
+        nodes,
+        rels,
+        "MATCH (x)-[:A]->(y) "
+        "RETURN x.name AS name, "
+        "CASE WHEN y = 1 OR y = 5 THEN 'odd' ELSE 'other' END AS tag "
+        "ORDER BY name",
+    )
+    assert [(r["name"], r["tag"]) for r in out.collect()] == [
+        ("node0", "odd"),
+        ("node4", "odd"),
+    ]
