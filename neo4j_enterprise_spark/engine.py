@@ -103,6 +103,33 @@ class Engine:
 
         return cypher_query(self.nodes(), self.rels(), query)
 
+    # -- graph structure analytics -------------------------------------
+    def similar_nodes(
+        self, rel_type: str = "CONTAINS", top_k: int = 20, **kw
+    ) -> DataFrame:
+        """Top-k node pairs by out-neighborhood Jaccard over one
+        relationship type (link prediction / recommendation)."""
+        from pyspark.sql import functions as F
+
+        from .operators.community import neighborhood_jaccard
+
+        edges = self.rels().filter(F.col("type_name") == rel_type)
+        return neighborhood_jaccard(edges, top_k=top_k, **kw)
+
+    def scc(self, edges: DataFrame | None = None) -> DataFrame:
+        """Strongly connected components (node_id, scc_id) of the given
+        (src, dst) edges — default: the full relationship store."""
+        from .operators.community import strongly_connected
+
+        return strongly_connected(edges if edges is not None else self.rels())
+
+    def merge(self, candidates: DataFrame, **kw) -> DataFrame:
+        """Bulk Cypher-MERGE (get-or-create) of candidate rows into the
+        node store; see mutation.merge_nodes for the key/setter knobs."""
+        from .operators.mutation import merge_nodes
+
+        return merge_nodes(self.nodes(), candidates, **kw)
+
     # -- training-data pipeline ----------------------------------------
     def dedup_exact(self) -> DataFrame:
         from .operators.dedup import exact_dup_groups

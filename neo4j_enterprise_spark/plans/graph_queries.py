@@ -2621,7 +2621,8 @@ def graph_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "parts_ktruss_bounded",
-    """
+    bench=True,  # iterative wedge-join peeling in the headline set
+    oracle="""
     WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
                 WHERE l_partkey < 500),
     e0 AS (SELECT a.l_partkey AS a, b.l_partkey AS b

@@ -1885,7 +1885,8 @@ def docs_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "docs_bigram_counts",
-    r"""
+    bench=True,  # array-side n-gram build (zero-shuffle until the count)
+    oracle=r"""
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
       FROM documents),

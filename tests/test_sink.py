@@ -244,3 +244,27 @@ def test_read_evolved_fills_defaults_only_for_missing_columns(spark, tmp_path):
         ).collect()
     }
     assert got == {1: ("x", 0.0, "UNKNOWN"), 2: ("y", 9.5, "SEG")}
+
+
+def test_engine_facade_structure_analytics(spark, sf_dir):
+    from neo4j_enterprise_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    sim = eng.similar_nodes(top_k=5)
+    assert set(sim.columns) == {
+        "node_a", "node_b", "n_shared", "deg_a", "deg_b", "jaccard"
+    }
+    assert sim.count() <= 5
+    scc = eng.scc()
+    assert set(scc.columns) == {"node_id", "scc_id"}
+    # the derived graph is a DAG — every SCC is a singleton
+    assert scc.filter(F.col("node_id") != F.col("scc_id")).count() == 0
+    cand = spark.createDataFrame(
+        [("customer", "Customer#000000001"), ("customer", "Customer#zzz")],
+        "kind string, name string",
+    )
+    merged = eng.merge(
+        cand, match_keys=["kind", "name"], high_water=9_000_000
+    )
+    assert merged.filter(F.col("name") == "Customer#zzz").count() == 1
+    assert merged.count() == eng.nodes().count() + 1
