@@ -159,3 +159,94 @@ def test_ktruss_peel_cascading_deletion_needs_second_round(spark):
         "a long, b long",
     )
     assert ktruss_peel(edges, k=4, rounds=3).count() == 0
+
+
+# --- property tests vs pure-python references ---------------------------
+
+from hypothesis import HealthCheck, given, settings as hsettings
+from hypothesis import strategies as st
+
+_hslow = hsettings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _py_closure(edges):
+    nodes = {u for e in edges for u in e}
+    reach = {u: set() for u in nodes}
+    for u, v in edges:
+        if u != v:
+            reach[u].add(v)
+    changed = True
+    while changed:
+        changed = False
+        for u in nodes:
+            add = set().union(*(reach[w] for w in reach[u])) - reach[u] if reach[u] else set()
+            add.discard(u)
+            if add:
+                reach[u] |= add
+                changed = True
+    return {(u, v) for u in nodes for v in reach[u]}
+
+
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)), min_size=1, max_size=16
+    ),
+    )
+@_hslow
+def test_closure_and_scc_match_python_reference(spark, edges):
+    from neo4j_enterprise_spark.operators.community import (
+        strongly_connected,
+        transitive_closure,
+    )
+
+    edf = spark.createDataFrame(sorted(edges), "src long, dst long")
+    ref = _py_closure(edges)
+    got = {tuple(r) for r in transitive_closure(edf, max_rounds=4).collect()}
+    assert got == ref
+    # SCC reference: mutual reachability from the same closure
+    nodes = {u for e in edges for u in e}
+    ref_scc = {
+        v: min(
+            [v]
+            + [u for u in nodes if (u, v) in ref and (v, u) in ref and u != v]
+        )
+        for v in nodes
+    }
+    got_scc = dict(map(tuple, strongly_connected(edf, max_rounds=4).collect()))
+    assert got_scc == ref_scc
+
+
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)), min_size=1, max_size=12
+    ),
+    n_com=st.integers(1, 3),
+)
+@_hslow
+def test_modularity_contributions_sum_to_newman_q(spark, edges, n_com):
+    from neo4j_enterprise_spark.operators.community import partition_modularity
+
+    und = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    if not und:
+        return
+    nodes = sorted({u for e in und for u in e})
+    com = {v: v % n_com for v in nodes}
+    m = len(und)
+    deg = {v: 0 for v in nodes}
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    q_ref = sum(
+        sum(1 for a, b in und if com[a] == c and com[b] == c) / m
+        - (sum(d for v, d in deg.items() if com[v] == c) / (2 * m)) ** 2
+        for c in range(n_com)
+    )
+    edf = spark.createDataFrame(und, "a long, b long")
+    cdf = spark.createDataFrame(sorted(com.items()), "node_id long, community int")
+    rows = partition_modularity(edf, cdf).collect()
+    assert abs(rows[0].q_total - q_ref) < 1e-9
+    assert abs(sum(r.q_contrib for r in rows) - q_ref) < 1e-9
