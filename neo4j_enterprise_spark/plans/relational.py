@@ -2755,3 +2755,178 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
         .limit(20)
     )
+
+
+@register(
+    "customer_rfm_segments",
+    """
+    WITH o AS (
+      SELECT o_custkey, o_orderdate,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    ref AS (SELECT MAX(o_orderdate) AS ref_date FROM o),
+    rfm AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(date_diff('day', MAX(o_orderdate), ref.ref_date) AS BIGINT)
+               AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(cents) AS monetary_cents
+      FROM o, ref GROUP BY o_custkey, ref.ref_date),
+    q AS (SELECT quantile_cont(recency_days, 0.25) AS r25,
+                 quantile_cont(recency_days, 0.75) AS r75,
+                 quantile_cont(frequency, 0.25) AS f25,
+                 quantile_cont(frequency, 0.75) AS f75,
+                 quantile_cont(monetary_cents, 0.25) AS m25,
+                 quantile_cont(monetary_cents, 0.75) AS m75
+          FROM rfm)
+    SELECT c_custkey, recency_days, frequency, monetary_cents,
+           CAST(CASE WHEN recency_days <= q.r25 THEN 3
+                     WHEN recency_days <= q.r75 THEN 2 ELSE 1 END AS INT)
+             AS r_score,
+           CAST(CASE WHEN frequency >= q.f75 THEN 3
+                     WHEN frequency >= q.f25 THEN 2 ELSE 1 END AS INT)
+             AS f_score,
+           CAST(CASE WHEN monetary_cents >= q.m75 THEN 3
+                     WHEN monetary_cents >= q.m25 THEN 2 ELSE 1 END AS INT)
+             AS m_score,
+           CASE WHEN recency_days <= q.r25 AND frequency >= q.f75
+                     AND monetary_cents >= q.m75 THEN 'champion'
+                WHEN recency_days > q.r75 AND monetary_cents >= q.m75
+                  THEN 'at_risk_big_spender'
+                WHEN recency_days > q.r75 THEN 'lapsed'
+                ELSE 'core' END AS segment
+    FROM rfm, q ORDER BY c_custkey
+    """,
+    doc="RFM customer segmentation: per-customer recency (days to the "
+    "corpus max order date), frequency, monetary (exact cents) scored "
+    "1-3 by EXACT-binary quartiles (0.25/0.75 interpolation is "
+    "engine-identical) and bucketed into champion/at-risk/lapsed/core "
+    "— the marketing-analytics staple. One orders aggregation + a "
+    "1-row quartile broadcast; no windows.",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    ref = o.agg(F.max("o_orderdate").alias("ref_date"))
+    rfm = (
+        o.crossJoin(F.broadcast(ref))
+        .groupBy("o_custkey", "ref_date")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum("cents").alias("monetary_cents"),
+        )
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.datediff(F.col("ref_date"), F.col("last_order"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    q = rfm.agg(
+        F.percentile("recency_days", F.lit(0.25)).alias("r25"),
+        F.percentile("recency_days", F.lit(0.75)).alias("r75"),
+        F.percentile("frequency", F.lit(0.25)).alias("f25"),
+        F.percentile("frequency", F.lit(0.75)).alias("f75"),
+        F.percentile("monetary_cents", F.lit(0.25)).alias("m25"),
+        F.percentile("monetary_cents", F.lit(0.75)).alias("m75"),
+    )
+    r = F.col("recency_days")
+    fq = F.col("frequency")
+    mn = F.col("monetary_cents")
+    return (
+        rfm.crossJoin(F.broadcast(q))
+        .select(
+            "c_custkey",
+            "recency_days",
+            "frequency",
+            "monetary_cents",
+            F.when(r <= F.col("r25"), 3)
+            .when(r <= F.col("r75"), 2)
+            .otherwise(1)
+            .cast("int")
+            .alias("r_score"),
+            F.when(fq >= F.col("f75"), 3)
+            .when(fq >= F.col("f25"), 2)
+            .otherwise(1)
+            .cast("int")
+            .alias("f_score"),
+            F.when(mn >= F.col("m75"), 3)
+            .when(mn >= F.col("m25"), 2)
+            .otherwise(1)
+            .cast("int")
+            .alias("m_score"),
+            F.when(
+                (r <= F.col("r25")) & (fq >= F.col("f75")) & (mn >= F.col("m75")),
+                "champion",
+            )
+            .when((r > F.col("r75")) & (mn >= F.col("m75")), "at_risk_big_spender")
+            .when(r > F.col("r75"), "lapsed")
+            .otherwise("core")
+            .alias("segment"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "supplier_pareto_share",
+    """
+    WITH rev AS (
+      SELECT s.s_suppkey, s.s_name,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS revenue
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_suppkey, s.s_name),
+    tot AS (SELECT SUM(revenue) AS total FROM rev),
+    c AS (
+      SELECT s_suppkey, s_name, revenue,
+             SUM(revenue) OVER (ORDER BY revenue DESC, s_suppkey) AS cum
+      FROM rev)
+    SELECT c.s_suppkey, c.s_name,
+           CAST(c.revenue AS DOUBLE) AS revenue,
+           CAST(c.cum AS DOUBLE) / CAST(t.total AS DOUBLE) AS cum_share
+    FROM c, tot t
+    WHERE (c.cum - c.revenue) * 5 < t.total * 4
+    ORDER BY c.revenue DESC, c.s_suppkey
+    """,
+    doc="Pareto concentration (80/20): the smallest revenue-ranked "
+    "supplier prefix covering 80% of lineitem revenue. The cutoff "
+    "compares (cum − revenue)·5 < total·4 — EXACT DECIMAL integer "
+    "arithmetic, no float threshold; only the reported cum_share "
+    "divides (one IEEE op). The cumulative window is global but runs "
+    "on the supplier DIMENSION (suppliers stay dimension-sized at any "
+    "fact scale); the fact-table work is one partial-aggregated join.",
+)
+def supplier_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("revenue"))
+    )
+    tot = rev.agg(F.sum("revenue").alias("total"))
+    w = Window.orderBy(F.desc("revenue"), F.asc("s_suppkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        rev.withColumn("cum", F.sum("revenue").over(w))
+        .crossJoin(F.broadcast(tot))
+        .filter((F.col("cum") - F.col("revenue")) * 5 < F.col("total") * 4)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("revenue").cast("double").alias("revenue"),
+            (F.col("cum").cast("double") / F.col("total").cast("double")).alias(
+                "cum_share"
+            ),
+        )
+        .orderBy(F.desc("revenue"), "s_suppkey")
+    )
