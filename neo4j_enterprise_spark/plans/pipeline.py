@@ -2054,3 +2054,110 @@ def emb_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.centroid_similarity_matrix(emb).orderBy(
         "label_a", "label_b"
     )
+
+
+@register(
+    "docs_prefix_simjoin",
+    bench=False,
+    oracle=r"""
+    WITH tf AS (
+      SELECT DISTINCT doc_id,
+             lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS tok
+      FROM documents),
+    tfc AS (SELECT doc_id, tok FROM tf WHERE tok <> ''),
+    df AS (SELECT tok, COUNT(*) AS df FROM tfc GROUP BY tok),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM tfc GROUP BY doc_id),
+    rk AS (
+      SELECT t.doc_id, t.tok,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                ORDER BY d.df, t.tok) AS rn
+      FROM tfc t JOIN df d USING (tok)),
+    pfx AS (
+      SELECT r.doc_id, r.tok
+      FROM rk r JOIN sz s USING (doc_id)
+      WHERE r.rn <= s.n - CAST(FLOOR((9 * s.n + 9) / 10.0) AS BIGINT) + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+    inter AS (
+      SELECT c.da, c.db, COUNT(*) AS i
+      FROM cand c
+      JOIN tfc x ON x.doc_id = c.da
+      JOIN tfc y ON y.doc_id = c.db AND y.tok = x.tok
+      GROUP BY c.da, c.db)
+    SELECT i.da AS doc_a, i.db AS doc_b, i.i AS n_shared,
+           x.n AS n_a, y.n AS n_b,
+           CAST(i.i AS DOUBLE) / (x.n + y.n - i.i) AS jaccard
+    FROM inter i JOIN sz x ON x.doc_id = i.da JOIN sz y ON y.doc_id = i.db
+    WHERE 10 * i.i >= 9 * (x.n + y.n - i.i)
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Prefix-filtered set-similarity self-join (ppjoin family): all "
+    "doc pairs with token-set Jaccard ≥ 0.9 WITHOUT the all-pairs "
+    "product — tokens rank by global rarity, each doc exposes only its "
+    "n−⌈0.9n⌉+1 rarest tokens as join keys (the prefix-filter lemma "
+    "guarantees no false negatives), candidates verify by exact count "
+    "with the integer cutoff 10·i ≥ 9·(n_a+n_b−i). The ⌈⌉ is integer "
+    "arithmetic (FLOOR((9n+9)/10)) — no float threshold anywhere; "
+    "jaccard divides once for reporting. The third dedup-ladder "
+    "retrieval besides MinHash-LSH (probabilistic) and SimHash bands "
+    "(hamming): exact, threshold-guaranteed, still bucket-joined.",
+)
+def docs_prefix_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tfc = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    df_t = tfc.groupBy("tok").agg(F.count("*").alias("df"))
+    sz = tfc.groupBy("doc_id").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    pfx = (
+        tfc.join(df_t, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sz, "doc_id")
+        .filter(
+            F.col("rn")
+            <= F.col("n")
+            - F.floor((9 * F.col("n") + 9) / F.lit(10.0)).cast("long")
+            + 1
+        )
+        .select("doc_id", "tok")
+    )
+    cand = (
+        pfx.select(F.col("doc_id").alias("da"), "tok")
+        .join(pfx.select(F.col("doc_id").alias("db"), "tok"), "tok")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    x = tfc.select(F.col("doc_id").alias("da"), F.col("tok"))
+    y = tfc.select(F.col("doc_id").alias("db"), F.col("tok"))
+    inter = (
+        cand.join(x, "da")
+        .join(y, ["db", "tok"])
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(sz.select(F.col("doc_id").alias("da"), F.col("n").alias("n_a")), "da")
+        .join(sz.select(F.col("doc_id").alias("db"), F.col("n").alias("n_b")), "db")
+        .filter(10 * F.col("i") >= 9 * (F.col("n_a") + F.col("n_b") - F.col("i")))
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.col("i").alias("n_shared"),
+            "n_a",
+            "n_b",
+            (F.col("i") / (F.col("n_a") + F.col("n_b") - F.col("i"))).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
