@@ -113,6 +113,20 @@ def merge_nodes(
     """
     on_match = on_match or {}
     on_create = on_create or {}
+    # MERGE is per-KEY get-or-create: duplicate candidate rows for one
+    # key must not create duplicate nodes. Deterministic dedup — keep
+    # the first row per key under a total order over all columns (the
+    # window runs on the candidate batch, which is metadata-sized).
+    other = [c for c in candidates.columns if c not in match_keys]
+    if other:
+        w = Window.partitionBy(*match_keys).orderBy(*other)
+        candidates = (
+            candidates.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        candidates = candidates.distinct()
     hit_keys = candidates.select(*match_keys).distinct()
     matched = nodes.join(F.broadcast(hit_keys), match_keys, "left_semi")
     untouched = nodes.join(F.broadcast(hit_keys), match_keys, "left_anti")

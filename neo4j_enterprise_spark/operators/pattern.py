@@ -703,7 +703,8 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
 
         MATCH <pattern>
         [WHERE <var>[.<prop>] <op> <literal> [AND ...]]
-        [WITH [DISTINCT] <item> [, ...] [WHERE ...] [UNWIND <list var> AS x]
+        [WITH [DISTINCT] <item> [, ...] [ORDER BY ... [SKIP n] [LIMIT n]]
+         [WHERE ...] [UNWIND <list var> AS x]
          [MATCH ...] [WHERE ...]]*
         [RETURN [DISTINCT] <item> [, ...]]
         [ORDER BY <alias> [ASC|DESC] [, ...]]
@@ -838,6 +839,22 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
         elif kw == "RETURN":
             tail["RETURN"] = body
             seen_return = True
+        elif kw in ("ORDER BY", "SKIP", "LIMIT"):
+            # mid-pipeline sort/pagination binds to the WITH projection
+            # it directly follows (Cypher's `WITH … ORDER BY … LIMIT`
+            # top-k horizon; a WHERE may come after — it filters the
+            # paginated rows, as in Cypher)
+            key = {"ORDER BY": "order_by", "SKIP": "skip", "LIMIT": "limit"}[kw]
+            pristine = (
+                cur["match"] is None
+                and not cur["unwind"]
+                and not cur["post_where"]
+            )
+            if not stages or stages[-1]["with_items"] is None or not pristine:
+                raise ValueError(f"{kw} must directly follow a WITH projection")
+            if stages[-1].get(key) is not None:
+                raise ValueError(f"duplicate {kw} after WITH")
+            stages[-1][key] = body
         else:
             raise ValueError(f"unexpected {kw} before RETURN")
     stages.append(cur)
@@ -980,6 +997,12 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
         if items is not None:
             out = _project_items(out, items, distinct_flag)
             if not is_final:
+                out = _apply_sort_page(
+                    out,
+                    stage.get("order_by"),
+                    stage.get("skip"),
+                    stage.get("limit"),
+                )
                 carried = out
                 carried_node_vars = {
                     a for k, v, p, _, a in items
@@ -991,19 +1014,27 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
         if is_final:
             break
 
-    if tail.get("ORDER BY"):
+    return _apply_sort_page(
+        out, tail.get("ORDER BY"), tail.get("SKIP"), tail.get("LIMIT")
+    )
+
+
+def _apply_sort_page(out: DataFrame, order_by, skip, limit) -> DataFrame:
+    """ORDER BY / SKIP / LIMIT tail — shared by the final clause and
+    mid-pipeline ``WITH … ORDER BY … LIMIT`` (Cypher's top-k horizon;
+    sort+limit fuse into one TakeOrdered-style plan under AQE)."""
+    if order_by:
         order_cols = []
-        for one in tail["ORDER BY"].split(","):
+        for one in order_by.split(","):
             om = re.match(r"^(\w+)(?:\s+(ASC|DESC))?$", one.strip(), re.I)
             if not om:
                 raise ValueError(f"unsupported ORDER BY item: {one.strip()!r}")
             c = F.col(om.group(1))
             order_cols.append(c.desc() if (om.group(2) or "").upper() == "DESC" else c)
         out = out.orderBy(*order_cols)
-    if tail.get("SKIP"):
-        # Cypher SKIP = relational OFFSET; composes with the sort and
-        # LIMIT into one TakeOrdered-style plan under AQE
-        out = out.offset(int(tail["SKIP"]))
-    if tail.get("LIMIT"):
-        out = out.limit(int(tail["LIMIT"]))
+    if skip:
+        # Cypher SKIP = relational OFFSET
+        out = out.offset(int(skip))
+    if limit:
+        out = out.limit(int(limit))
     return out

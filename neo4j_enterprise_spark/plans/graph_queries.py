@@ -2730,3 +2730,44 @@ def cypher_where_or(spark: SparkSession, sf_dir: str) -> DataFrame:
         "OR c.name >= 'Customer#000000190' AND c.name < 'Customer#000000200' "
         "RETURN c.name AS name, n.name AS nation_name ORDER BY name",
     )
+
+
+@register(
+    "cypher_with_topk_expand",
+    f"""
+    {graph_cte()},
+    placed AS (SELECT src, dst FROM rels WHERE type_name = 'PLACED'),
+    top3 AS (
+      SELECT src AS c, COUNT(*) AS n_orders
+      FROM placed GROUP BY src
+      ORDER BY n_orders DESC, c LIMIT 3),
+    innat AS (SELECT src, dst FROM rels WHERE type_name = 'IN_NATION')
+    SELECT t.c AS customer_id, t.n_orders, n.name AS nation_name
+    FROM top3 t
+    JOIN innat e ON e.src = t.c
+    JOIN nodes n ON n.id = e.dst AND n.kind = 'nation'
+    ORDER BY customer_id
+    """,
+    doc="Cypher mid-pipeline top-k (pattern.cypher_query): MATCH "
+    "(c:customer)-[:PLACED]->(o) WITH c, count(*) AS n_orders "
+    "ORDER BY n_orders DESC, c LIMIT 3 MATCH (c)-[:IN_NATION]->(n) "
+    "RETURN … — the WITH horizon aggregates, the attached ORDER "
+    "BY/LIMIT selects top-k INSIDE the pipeline (TakeOrderedAndProject "
+    "— no global sort), and the following MATCH expands only the 3 "
+    "survivors. The most common analytic Cypher shape (top-k then "
+    "expand) as one Catalyst plan.",
+)
+def cypher_with_topk_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pattern import cypher_query
+
+    nodes = derived_nodes(spark, sf_dir)
+    rels = derived_rels(spark, sf_dir)
+    return cypher_query(
+        nodes,
+        rels,
+        "MATCH (c:customer)-[:PLACED]->(o) "
+        "WITH c, count(*) AS n_orders ORDER BY n_orders DESC, c LIMIT 3 "
+        "MATCH (c)-[:IN_NATION]->(n:nation) "
+        "RETURN c AS customer_id, n_orders, n.name AS nation_name "
+        "ORDER BY customer_id",
+    )

@@ -250,3 +250,17 @@ def test_modularity_contributions_sum_to_newman_q(spark, edges, n_com):
     rows = partition_modularity(edf, cdf).collect()
     assert abs(rows[0].q_total - q_ref) < 1e-9
     assert abs(sum(r.q_contrib for r in rows) - q_ref) < 1e-9
+
+
+def test_merge_nodes_dedupes_duplicate_candidates(spark):
+    from neo4j_enterprise_spark.operators.mutation import merge_nodes
+
+    nodes = spark.createDataFrame(
+        [(1, "n", True, "a")], "id long, kind string, in_use boolean, name string"
+    )
+    cand = spark.createDataFrame(
+        [("n", "zz"), ("n", "zz"), ("n", "a")], "kind string, name string"
+    )
+    out = merge_nodes(nodes, cand, match_keys=["kind", "name"], high_water=100)
+    assert out.count() == 2  # one existing + ONE created, not two
+    assert out.filter(F.col("name") == "zz").count() == 1

@@ -500,3 +500,30 @@ def test_cypher_case_with_or_condition(spark):
         ("node0", "odd"),
         ("node4", "odd"),
     ]
+
+
+def test_cypher_with_order_by_limit_midpipeline(spark):
+    from neo4j_enterprise_spark.operators.pattern import cypher_query
+
+    nodes, rels = _graph(spark)
+    # B-edges out of node1 (two of them); take top-1 source by count,
+    # then expand its A-in-neighbors
+    out = cypher_query(
+        nodes,
+        rels,
+        "MATCH (x)-[:B]->(y) WITH x, count(*) AS n ORDER BY n DESC, x LIMIT 1 "
+        "MATCH (z)-[:A]->(x) RETURN x, n, z ORDER BY z",
+    )
+    assert [tuple(r) for r in out.collect()] == [(1, 2, 0)]
+
+
+def test_cypher_order_by_requires_with(spark):
+    from neo4j_enterprise_spark.operators.pattern import cypher_query
+
+    nodes, rels = _graph(spark)
+    with pytest.raises(ValueError, match="must directly follow a WITH"):
+        cypher_query(
+            nodes,
+            rels,
+            "MATCH (x)-[:A]->(y) ORDER BY x MATCH (y)-[:B]->(z) RETURN z",
+        )
