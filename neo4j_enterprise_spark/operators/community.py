@@ -324,3 +324,84 @@ def ktruss_peel(edges: DataFrame, *, k: int, rounds: int = 2) -> DataFrame:
             F.coalesce(F.col("sup"), F.lit(0)).alias("support"),
         )
     )
+
+
+def louvain_move_round(
+    edges: DataFrame, communities: DataFrame | None = None
+) -> DataFrame:
+    """One synchronous Louvain phase-1 move round, engine-exact.
+
+    ``edges``: undirected distinct pairs (a, b), a < b. ``communities``:
+    (node_id, community) — default: singletons (community = node_id),
+    the canonical Louvain start. Every node evaluates moving into each
+    neighbor community (or staying): the modularity gain ordering
+    ΔQ(C) ∝ k_in(C)/m − Σtot(C)·k_i/(2m²) is decided by the EXACT
+    BIGINT score  f(C) = 2m·k_in(C) − Σtot′(C)·k_i  (Σtot′ excludes the
+    node itself when C is its current community) — no float appears
+    anywhere, so the argmax (tiebreak: smaller community id) is
+    bit-deterministic and an SQL oracle replays the round verbatim.
+
+    Returns (node_id, old_com, new_com, score_num). Iterating rounds +
+    graph condensation gives full Louvain; one exact round is the
+    verifiable unit (the same contract as ktruss_peel's bounded rounds).
+    One shuffle for degrees, one for (node, neighbor-community) gains,
+    dimension-sized community sums.
+    """
+    e = edges.select("a", "b").filter(F.col("a") < F.col("b")).distinct()
+    if communities is None:
+        communities = (
+            e.select(F.col("a").alias("node_id"))
+            .unionByName(e.select(F.col("b").alias("node_id")))
+            .distinct()
+            .withColumn("community", F.col("node_id"))
+        )
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    m = e.agg(F.count("*").alias("m"))
+    deg = adj.groupBy(F.col("u").alias("node_id")).agg(F.count("*").alias("deg"))
+    com = communities.select("node_id", "community")
+    # k_in(u → C): edges from u into community C
+    nbr_com = (
+        adj.join(com.withColumnRenamed("node_id", "v"), "v")
+        .groupBy(F.col("u").alias("node_id"), F.col("community").alias("cand"))
+        .agg(F.count("*").alias("k_in"))
+    )
+    # staying is always a candidate (its k_in may be absent → 0)
+    own = com.select("node_id", F.col("community").alias("cand"))
+    cands = nbr_com.join(own, ["node_id", "cand"], "full_outer").select(
+        "node_id", "cand", F.coalesce(F.col("k_in"), F.lit(0)).alias("k_in")
+    )
+    d_tot = (
+        com.join(deg, "node_id", "left")
+        .groupBy(F.col("community").alias("cand"))
+        .agg(F.sum(F.coalesce(F.col("deg"), F.lit(0))).alias("d_tot"))
+    )
+    scored = (
+        cands.join(com, "node_id")
+        .join(d_tot, "cand")
+        .join(deg, "node_id")
+        .crossJoin(F.broadcast(m))
+        .withColumn(
+            "d_eff",
+            F.when(F.col("cand") == F.col("community"), F.col("d_tot") - F.col("deg"))
+            .otherwise(F.col("d_tot")),
+        )
+        .withColumn(
+            "score_num",
+            2 * F.col("m") * F.col("k_in") - F.col("d_eff") * F.col("deg"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("node_id").orderBy(F.desc("score_num"), F.asc("cand"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "node_id",
+            F.col("community").alias("old_com"),
+            F.col("cand").alias("new_com"),
+            "score_num",
+        )
+    )

@@ -2771,3 +2771,122 @@ def cypher_with_topk_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RETURN c AS customer_id, n_orders, n.name AS nation_name "
         "ORDER BY customer_id",
     )
+
+
+@register(
+    "parts_frequent_triples",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_partkey < 500),
+    t AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, c.l_partkey AS pc,
+             COUNT(*) AS support
+      FROM li a
+      JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      JOIN li c ON b.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+      GROUP BY 1, 2, 3)
+    SELECT pa, pb, pc, support FROM t
+    ORDER BY support DESC, pa, pb, pc LIMIT 20
+    """,
+    doc="Frequent 3-itemsets (A-priori family): top-20 part triples "
+    "co-occurring in orders within the fixed 500-part slice — the "
+    "market-basket step above parts_copurchase_top20. Two self-joins "
+    "keyed on the order (ordered keys a<b<c kill permutations); "
+    "per-order blow-up is C(k,3) ≤ 35 at k≤7 lines, and at scale the "
+    "A-priori prune (join only pairs above pair-support) bounds the "
+    "candidate space — documented, not needed at fixture k.",
+)
+def parts_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 500)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    c = li.select("l_orderkey", F.col("l_partkey").alias("pc"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .join(c, "l_orderkey")
+        .filter(F.col("pb") < F.col("pc"))
+        .groupBy("pa", "pb", "pc")
+        .agg(F.count("*").alias("support"))
+        .orderBy(F.desc("support"), "pa", "pb", "pc")
+        .limit(20)
+    )
+
+
+@register(
+    "graph_louvain_move_round",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_partkey < 500),
+    e AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+          FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+    adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+    m AS (SELECT COUNT(*) AS m FROM e),
+    deg AS (SELECT u AS node_id, COUNT(*) AS deg FROM adj GROUP BY 1),
+    com AS (SELECT node_id, node_id AS community FROM deg),
+    nbr AS (SELECT a.u AS node_id, c.community AS cand, COUNT(*) AS k_in
+            FROM adj a JOIN com c ON c.node_id = a.v GROUP BY 1, 2),
+    own AS (SELECT node_id, community AS cand FROM com),
+    cands AS (
+      SELECT COALESCE(n.node_id, o.node_id) AS node_id,
+             COALESCE(n.cand, o.cand) AS cand,
+             COALESCE(n.k_in, 0) AS k_in
+      FROM nbr n FULL OUTER JOIN own o
+        ON n.node_id = o.node_id AND n.cand = o.cand),
+    dtot AS (SELECT c.community AS cand, SUM(COALESCE(d.deg, 0)) AS d_tot
+             FROM com c LEFT JOIN deg d USING (node_id) GROUP BY 1),
+    scored AS (
+      SELECT x.node_id, x.cand, c.community,
+             2 * m.m * x.k_in
+               - (CASE WHEN x.cand = c.community
+                       THEN t.d_tot - d.deg ELSE t.d_tot END) * d.deg
+               AS score_num
+      FROM cands x
+      JOIN com c USING (node_id)
+      JOIN dtot t ON t.cand = x.cand
+      JOIN deg d ON d.node_id = x.node_id, m),
+    best AS (
+      SELECT node_id, community AS old_com, cand AS new_com, score_num,
+             ROW_NUMBER() OVER (PARTITION BY node_id
+                                ORDER BY score_num DESC, cand) AS rk
+      FROM scored)
+    SELECT node_id, old_com, new_com, score_num
+    FROM best WHERE rk = 1 ORDER BY node_id
+    """,
+    doc="One exact Louvain phase-1 move round "
+    "(community.louvain_move_round) over the 500-part co-purchase "
+    "slice from the singleton start: each node's best community by "
+    "modularity gain, decided by the EXACT BIGINT score "
+    "f(C) = 2m·k_in(C) − Σtot′(C)·k_i (Σtot′ drops the node itself "
+    "for its current community) — the float-free rendering of the "
+    "Louvain gain argmax, so the oracle replays the round verbatim. "
+    "Iterating rounds + condensation = full Louvain; the exact round "
+    "is the verifiable unit, like ktruss_peel's bounded rounds.",
+)
+def graph_louvain_move_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.community import louvain_move_round
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 500)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.select(F.col("l_orderkey"), F.col("l_partkey").alias("a"))
+        .join(
+            li.select(F.col("l_orderkey"), F.col("l_partkey").alias("b")),
+            "l_orderkey",
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return louvain_move_round(e).orderBy("node_id")

@@ -2930,3 +2930,61 @@ def supplier_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), "s_suppkey")
     )
+
+
+@register(
+    "events_activity_streaks",
+    """
+    WITH h AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS hr
+      FROM events),
+    isl AS (
+      SELECT user_id, hr,
+             hr - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY hr)
+               AS grp
+      FROM h),
+    st AS (
+      SELECT user_id, COUNT(*) AS streak_hours, MIN(hr) AS start_hr
+      FROM isl GROUP BY user_id, grp),
+    best AS (
+      SELECT user_id, streak_hours, start_hr,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY streak_hours DESC, start_hr)
+               AS rk
+      FROM st)
+    SELECT user_id, streak_hours, start_hr
+    FROM best WHERE rk = 1 AND streak_hours >= 3
+    ORDER BY streak_hours DESC, user_id
+    """,
+    doc="Gaps-and-islands streak detection: each user's LONGEST run of "
+    "consecutive active hours (the hr − row_number island key groups "
+    "consecutive hours without a join), users with streaks ≥ 3 ordered "
+    "by length — engagement-streak analytics. Every window is "
+    "PARTITIONED by user; integer hour epochs keep the island key "
+    "exact on both engines.",
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "user_id",
+        (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+        .cast("long")
+        .alias("hr"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("hr")
+    isl = h.withColumn("grp", F.col("hr") - F.row_number().over(w))
+    st = isl.groupBy("user_id", "grp").agg(
+        F.count("*").alias("streak_hours"), F.min("hr").alias("start_hr")
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_hours"), F.asc("start_hr")
+    )
+    return (
+        st.withColumn("rk", F.row_number().over(wb))
+        .filter((F.col("rk") == 1) & (F.col("streak_hours") >= 3))
+        .select("user_id", "streak_hours", "start_hr")
+        .orderBy(F.desc("streak_hours"), "user_id")
+    )

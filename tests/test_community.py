@@ -264,3 +264,44 @@ def test_merge_nodes_dedupes_duplicate_candidates(spark):
     out = merge_nodes(nodes, cand, match_keys=["kind", "name"], high_water=100)
     assert out.count() == 2  # one existing + ONE created, not two
     assert out.filter(F.col("name") == "zz").count() == 1
+
+
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)), min_size=2, max_size=14
+    ),
+)
+@_hslow
+def test_louvain_round_matches_python_gain_argmax(spark, edges):
+    from neo4j_enterprise_spark.operators.community import louvain_move_round
+
+    und = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    if not und:
+        return
+    nodes = sorted({u for e in und for u in e})
+    m = len(und)
+    adj = {v: [] for v in nodes}
+    for a, b in und:
+        adj[a].append(b)
+        adj[b].append(a)
+    deg = {v: len(adj[v]) for v in nodes}
+    ref = {}
+    for u in nodes:
+        k_in = {}
+        for v in adj[u]:
+            k_in[v] = k_in.get(v, 0) + 1  # singleton: community(v) = v
+        k_in.setdefault(u, 0)
+        best = None
+        for c, ki in k_in.items():
+            d_eff = (deg[c] if c in nodes else 0) - (deg[u] if c == u else 0)
+            score = 2 * m * ki - d_eff * deg[u]
+            key = (-score, c)
+            if best is None or key < best[0]:
+                best = (key, c, score)
+        ref[u] = (u, best[1], best[2])
+    edf = spark.createDataFrame(und, "a long, b long")
+    got = {
+        r.node_id: (r.old_com, r.new_com, r.score_num)
+        for r in louvain_move_round(edf).collect()
+    }
+    assert got == ref
