@@ -405,3 +405,34 @@ def louvain_move_round(
             "score_num",
         )
     )
+
+
+def louvain_communities(
+    edges: DataFrame, *, max_rounds: int = 4
+) -> DataFrame:
+    """Louvain phase-1 to (bounded) fixpoint: iterate exact move rounds
+    (:func:`louvain_move_round`) until no node moves or ``max_rounds``.
+
+    Synchronous parallel moves can oscillate two labels A↔B forever; the
+    standard symmetric-tie breaker — a node only moves to a SMALLER
+    community id when scores tie — is already in the round's argmax
+    (tiebreak min cand), and the loop exits when a round changes
+    nothing. Returns (node_id, community). The exact-integer gain means
+    every accepted round is deterministic; modularity monotonicity is
+    pinned in tests via partition_modularity.
+    """
+    e = edges.select("a", "b").filter(F.col("a") < F.col("b")).distinct()
+    e = e.localCheckpoint(eager=True)
+    com = None
+    for _ in range(max_rounds):
+        moved = louvain_move_round(e, com)
+        new_com = moved.select(
+            "node_id", F.col("new_com").alias("community")
+        ).localCheckpoint(eager=True)
+        changed = (
+            moved.filter(F.col("new_com") != F.col("old_com")).limit(1).count()
+        )
+        com = new_com
+        if changed == 0:
+            break
+    return com

@@ -2890,3 +2890,85 @@ def graph_louvain_move_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return louvain_move_round(e).orderBy("node_id")
+
+
+def _louvain_round_cte(r: int) -> str:
+    """One unrolled Louvain move round as CTE text: com{r} → com{r+1}.
+    A no-change round is idempotent, so unrolling a FIXED number of
+    rounds equals the Spark loop even when it early-exits."""
+    return f"""
+    nbr{r} AS (SELECT a.u AS node_id, c.community AS cand, COUNT(*) AS k_in
+               FROM adj a JOIN com{r} c ON c.node_id = a.v GROUP BY 1, 2),
+    own{r} AS (SELECT node_id, community AS cand FROM com{r}),
+    cands{r} AS (
+      SELECT COALESCE(n.node_id, o.node_id) AS node_id,
+             COALESCE(n.cand, o.cand) AS cand,
+             COALESCE(n.k_in, 0) AS k_in
+      FROM nbr{r} n FULL OUTER JOIN own{r} o
+        ON n.node_id = o.node_id AND n.cand = o.cand),
+    dtot{r} AS (SELECT c.community AS cand, SUM(COALESCE(d.deg, 0)) AS d_tot
+                FROM com{r} c LEFT JOIN deg d USING (node_id) GROUP BY 1),
+    best{r} AS (
+      SELECT x.node_id, x.cand,
+             ROW_NUMBER() OVER (
+               PARTITION BY x.node_id
+               ORDER BY 2 * m.m * x.k_in
+                        - (CASE WHEN x.cand = c.community
+                                THEN t.d_tot - d.deg ELSE t.d_tot END)
+                          * d.deg DESC,
+                        x.cand) AS rk
+      FROM cands{r} x
+      JOIN com{r} c USING (node_id)
+      JOIN dtot{r} t ON t.cand = x.cand
+      JOIN deg d ON d.node_id = x.node_id, m),
+    com{r + 1} AS (SELECT node_id, cand AS community FROM best{r}
+                   WHERE rk = 1)"""
+
+
+@register(
+    "graph_louvain_communities",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_partkey < 500),
+    e AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+          FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+    adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+    m AS (SELECT COUNT(*) AS m FROM e),
+    deg AS (SELECT u AS node_id, COUNT(*) AS deg FROM adj GROUP BY 1),
+    com0 AS (SELECT node_id, node_id AS community FROM deg),
+    """
+    + ",\n".join(_louvain_round_cte(r) for r in range(4))
+    + """
+    SELECT node_id, community FROM com4 ORDER BY node_id
+    """,
+    doc="Louvain phase-1 to bounded fixpoint "
+    "(community.louvain_communities, 4 exact move rounds) over the "
+    "500-part co-purchase slice: the full community assignment, "
+    "hash-matched against a PROGRAMMATICALLY UNROLLED 4-round oracle — "
+    "possible only because each round's gain argmax is exact BIGINT "
+    "arithmetic and a no-change round is idempotent (early exit ≡ "
+    "running the remaining rounds). Clique-recovery and "
+    "modularity-improvement pinned in tests.",
+)
+def graph_louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.community import louvain_communities
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 500)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.select(F.col("l_orderkey"), F.col("l_partkey").alias("a"))
+        .join(
+            li.select(F.col("l_orderkey"), F.col("l_partkey").alias("b")),
+            "l_orderkey",
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return louvain_communities(e, max_rounds=4).orderBy("node_id")

@@ -305,3 +305,25 @@ def test_louvain_round_matches_python_gain_argmax(spark, edges):
         for r in louvain_move_round(edf).collect()
     }
     assert got == ref
+
+
+def test_louvain_rounds_increase_modularity_and_find_cliques(spark):
+    from neo4j_enterprise_spark.operators.community import (
+        louvain_communities,
+        partition_modularity,
+    )
+
+    # two 4-cliques + one bridge: Louvain must find the two cliques
+    k4a = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    k4b = [(a + 10, b + 10) for a, b in k4a]
+    edges = spark.createDataFrame(k4a + k4b + [(3, 10)], "a long, b long")
+    com = louvain_communities(edges)
+    got = dict(map(tuple, com.collect()))
+    assert len({got[v] for v in range(4)}) == 1
+    assert len({got[v + 10] for v in range(4)}) == 1
+    assert got[0] != got[10]
+    # modularity of the found partition beats the singleton partition
+    singles = com.select("node_id").withColumn("community", F.col("node_id"))
+    q_found = partition_modularity(edges, com).collect()[0].q_total
+    q_single = partition_modularity(edges, singles).collect()[0].q_total
+    assert q_found > q_single
