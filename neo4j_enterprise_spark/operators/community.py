@@ -436,3 +436,169 @@ def louvain_communities(
         if changed == 0:
             break
     return com
+
+
+def betweenness_sampled(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    max_depth: int = 6,
+) -> DataFrame:
+    """Brandes betweenness centrality from a sampled source set,
+    undirected. Returns (node_id, bc) — the exact Brandes contribution
+    summed over the given sources (sample all nodes for exact BC; a
+    uniform source sample is the standard unbiased estimator at scale).
+
+    All sources advance TOGETHER: state is keyed (source, node), so
+    each BFS level is ONE join shuffled on the node key regardless of
+    |S| — the batched-multi-source form that amortizes scheduling at
+    cluster scale. Forward pass: level-synchronous shortest-path DAG
+    with path counts (sigma); backward pass: dependency accumulation
+    delta(v) = Σ_w σ(v)/σ(w)·(1+delta(w)) walked level-by-level from
+    the deepest frontier. Float ratios appear only here (like
+    pagerank, the reduction order is engine-internal → rows-only
+    oracle; the python-reference property test pins values).
+    """
+    from pyspark.sql.window import Window  # noqa: F401  (parity with siblings)
+
+    e = edges.select("a", "b").filter(F.col("a") != F.col("b")).distinct()
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).localCheckpoint(eager=True)
+
+    frontier = sources.select(
+        F.col("source").alias("s"),
+        F.col("source").alias("v"),
+        F.lit(0).alias("dist"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint(eager=True)
+    visited = frontier
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(adj, frontier["v"] == adj["u"])
+            .groupBy("s", adj["v"].alias("w"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .select(
+                "s",
+                F.col("w").alias("v"),
+                F.lit(d).alias("dist"),
+                "sigma",
+            )
+            .join(visited.select("s", "v"), ["s", "v"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+
+    # predecessor pairs on the shortest-path DAG: u at dist d, w at d+1
+    vu = visited.select(
+        F.col("s"), F.col("v").alias("u"), F.col("dist").alias("du"),
+        F.col("sigma").alias("sig_u"),
+    )
+    vw = visited.select(
+        F.col("s"), F.col("v").alias("w"), F.col("dist").alias("dw"),
+        F.col("sigma").alias("sig_w"),
+    )
+    dag = (
+        vu.join(adj, "u")
+        .join(vw, (F.col("v") == F.col("w")) & (vu["s"] == vw["s"]))
+        .filter(F.col("dw") == F.col("du") + 1)
+        .select(vu["s"], "u", "du", "sig_u", "w", "dw", "sig_w")
+        .localCheckpoint(eager=True)
+    )
+    dmax = visited.agg(F.max("dist")).collect()[0][0] or 0
+    # delta accumulates level by level, deepest first
+    delta = visited.select("s", "v", F.lit(0.0).alias("delta"))
+    for d in range(dmax - 1, -1, -1):
+        contrib = (
+            dag.filter(F.col("du") == d)
+            .join(
+                delta.select("s", F.col("v").alias("w"), F.col("delta")),
+                ["s", "w"],
+            )
+            .groupBy("s", F.col("u").alias("v"))
+            .agg(
+                F.sum(
+                    (F.col("sig_u").cast("double") / F.col("sig_w"))
+                    * (F.lit(1.0) + F.col("delta"))
+                ).alias("inc")
+            )
+        )
+        delta = (
+            delta.join(contrib, ["s", "v"], "left")
+            .select(
+                "s",
+                "v",
+                (F.col("delta") + F.coalesce(F.col("inc"), F.lit(0.0))).alias(
+                    "delta"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    # undirected: every pair counted from both endpoints via sources —
+    # report the raw per-source sum (caller halves/normalizes as needed)
+    return (
+        delta.filter(F.col("s") != F.col("v"))
+        .groupBy(F.col("v").alias("node_id"))
+        .agg(F.sum("delta").alias("bc"))
+    )
+
+
+def maximal_independent_set(
+    edges: DataFrame, *, seed: int = 0, max_rounds: int = 8
+) -> DataFrame:
+    """Luby's maximal-independent-set, made DETERMINISTIC: priorities
+    are md5(seed|node) strings, so the classic randomized algorithm
+    becomes a pure function of (graph, seed) — re-runs, retries and an
+    SQL oracle all agree bit-for-bit (md5 has no ties).
+
+    Per round: every active node whose priority beats all active
+    neighbors joins the set; winners and their neighbors deactivate.
+    O(log n) rounds w.h.p.; a round over an empty active set is a
+    no-op, so a FIXED unroll ≥ the actual round count replays the loop
+    exactly (the louvain_communities idempotency trick). Each round is
+    one neighbor-min join shuffled on the node key. Returns (node_id).
+
+    The symmetry-breaking primitive under distributed coloring /
+    scheduling — the dataflow shadow of the reference's coordinator
+    election (`ClusterManager` masters pick one winner per partition).
+    """
+    e = edges.select("a", "b").filter(F.col("a") != F.col("b")).distinct()
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).localCheckpoint(eager=True)
+    pri = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("node_id").cast("string")))
+    active = (
+        adj.select(F.col("u").alias("node_id")).distinct().withColumn("pri", pri)
+    ).localCheckpoint(eager=True)
+    mis = None
+    for _ in range(max_rounds):
+        if active.limit(1).count() == 0:
+            break
+        nbr_min = (
+            adj.join(
+                active.select(F.col("node_id").alias("v"), F.col("pri").alias("vp")),
+                "v",
+            )
+            .groupBy(F.col("u").alias("node_id"))
+            .agg(F.min("vp").alias("min_nbr"))
+        )
+        winners = (
+            active.join(nbr_min, "node_id", "left")
+            .filter(F.col("min_nbr").isNull() | (F.col("pri") < F.col("min_nbr")))
+            .select("node_id")
+            .localCheckpoint(eager=True)
+        )
+        mis = winners if mis is None else mis.unionByName(winners)
+        killed = winners.unionByName(
+            adj.join(winners.withColumnRenamed("node_id", "u"), "u")
+            .select(F.col("v").alias("node_id"))
+            .distinct()
+        ).distinct()
+        active = active.join(killed, "node_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+    out = mis if mis is not None else active.select("node_id").limit(0)
+    return out.localCheckpoint(eager=True)

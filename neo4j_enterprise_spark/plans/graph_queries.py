@@ -2897,7 +2897,8 @@ def _louvain_round_cte(r: int) -> str:
     A no-change round is idempotent, so unrolling a FIXED number of
     rounds equals the Spark loop even when it early-exits."""
     return f"""
-    nbr{r} AS (SELECT a.u AS node_id, c.community AS cand, COUNT(*) AS k_in
+    nbr{r} AS MATERIALIZED (SELECT a.u AS node_id, c.community AS cand,
+                      COUNT(*) AS k_in
                FROM adj a JOIN com{r} c ON c.node_id = a.v GROUP BY 1, 2),
     own{r} AS (SELECT node_id, community AS cand FROM com{r}),
     cands{r} AS (
@@ -2921,8 +2922,8 @@ def _louvain_round_cte(r: int) -> str:
       JOIN com{r} c USING (node_id)
       JOIN dtot{r} t ON t.cand = x.cand
       JOIN deg d ON d.node_id = x.node_id, m),
-    com{r + 1} AS (SELECT node_id, cand AS community FROM best{r}
-                   WHERE rk = 1)"""
+    com{r + 1} AS MATERIALIZED (SELECT node_id, cand AS community
+                   FROM best{r} WHERE rk = 1)"""
 
 
 @register(
@@ -2934,10 +2935,12 @@ def _louvain_round_cte(r: int) -> str:
           FROM li a JOIN li b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
           GROUP BY 1, 2),
-    adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+    adj AS MATERIALIZED (SELECT a AS u, b AS v FROM e
+                         UNION ALL SELECT b, a FROM e),
     m AS (SELECT COUNT(*) AS m FROM e),
-    deg AS (SELECT u AS node_id, COUNT(*) AS deg FROM adj GROUP BY 1),
-    com0 AS (SELECT node_id, node_id AS community FROM deg),
+    deg AS MATERIALIZED (SELECT u AS node_id, COUNT(*) AS deg
+                         FROM adj GROUP BY 1),
+    com0 AS MATERIALIZED (SELECT node_id, node_id AS community FROM deg),
     """
     + ",\n".join(_louvain_round_cte(r) for r in range(4))
     + """
@@ -2972,3 +2975,122 @@ def graph_louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return louvain_communities(e, max_rounds=4).orderBy("node_id")
+
+
+@register(
+    "graph_betweenness_sampled",
+    None,  # float dependency accumulation (reduction order) → rows-only;
+    # values pinned vs a pure-python Brandes reference in test_community
+    doc="Sampled Brandes betweenness over the 500-part co-purchase "
+    "slice (community.betweenness_sampled): 8 lowest-id parts as "
+    "sources, all advancing TOGETHER — each BFS level and each "
+    "backward dependency level is ONE join keyed on (source, node), "
+    "the batched-multi-source form that amortizes scheduling at "
+    "cluster scale. Top-20 nodes by accumulated dependency. The "
+    "bridge-detection centrality beside harmonic/PageRank.",
+)
+def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.community import betweenness_sampled
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 500)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.select(F.col("l_orderkey"), F.col("l_partkey").alias("a"))
+        .join(
+            li.select(F.col("l_orderkey"), F.col("l_partkey").alias("b")),
+            "l_orderkey",
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sources = (
+        e.select(F.col("a").alias("source"))
+        .unionByName(e.select(F.col("b").alias("source")))
+        .distinct()
+        .orderBy("source")
+        .limit(8)
+    )
+    return (
+        betweenness_sampled(e, sources, max_depth=4)
+        .orderBy(F.desc("bc"), "node_id")
+        .limit(20)
+    )
+
+
+def _mis_round_cte(r: int) -> str:
+    """One unrolled Luby round: act{r} → win{r}/act{r+1} (md5
+    priorities make the randomized algorithm a pure function of the
+    seed, so the oracle replays it; empty-active rounds are no-ops)."""
+    return f"""
+    nmin{r} AS MATERIALIZED (SELECT a.u AS node_id, MIN(p.pri) AS min_nbr
+                FROM adj a JOIN act{r} p ON p.node_id = a.v GROUP BY 1),
+    win{r} AS MATERIALIZED (SELECT x.node_id FROM act{r} x
+               LEFT JOIN nmin{r} n USING (node_id)
+               WHERE n.min_nbr IS NULL OR x.pri < n.min_nbr),
+    kill{r} AS MATERIALIZED (SELECT node_id FROM win{r}
+                UNION
+                SELECT a.v FROM adj a JOIN win{r} w ON w.node_id = a.u),
+    act{r + 1} AS MATERIALIZED (SELECT x.node_id, x.pri FROM act{r} x
+                   LEFT JOIN kill{r} k USING (node_id)
+                   WHERE k.node_id IS NULL)"""
+
+
+@register(
+    "graph_mis_luby",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_partkey < 500),
+    e AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+          FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+    adj AS MATERIALIZED (SELECT a AS u, b AS v FROM e
+                         UNION ALL SELECT b, a FROM e),
+    act0 AS MATERIALIZED (SELECT DISTINCT u AS node_id,
+                    md5('0|' || CAST(u AS VARCHAR)) AS pri
+             FROM adj),
+    """
+    + ",\n".join(_mis_round_cte(r) for r in range(8))
+    + """
+    SELECT node_id FROM (
+      SELECT node_id FROM win0 UNION ALL SELECT node_id FROM win1
+      UNION ALL SELECT node_id FROM win2 UNION ALL SELECT node_id FROM win3
+      UNION ALL SELECT node_id FROM win4 UNION ALL SELECT node_id FROM win5
+      UNION ALL SELECT node_id FROM win6 UNION ALL SELECT node_id FROM win7)
+    ORDER BY node_id
+    """,
+    doc="Luby maximal independent set, deterministic "
+    "(community.maximal_independent_set): md5(seed|node) priorities "
+    "turn the randomized symmetry-breaker into a pure function of the "
+    "seed, so the full 8-round loop hash-matches a programmatically "
+    "unrolled oracle (empty rounds are no-ops — same idempotency "
+    "contract as graph_louvain_communities). Independence and "
+    "maximality asserted in tests; the distributed-coloring / "
+    "scheduling primitive, and the dataflow shadow of coordinator "
+    "election.",
+)
+def graph_mis_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.community import maximal_independent_set
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 500)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.select(F.col("l_orderkey"), F.col("l_partkey").alias("a"))
+        .join(
+            li.select(F.col("l_orderkey"), F.col("l_partkey").alias("b")),
+            "l_orderkey",
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return maximal_independent_set(e, seed=0, max_rounds=8).orderBy("node_id")

@@ -327,3 +327,142 @@ def test_louvain_rounds_increase_modularity_and_find_cliques(spark):
     q_found = partition_modularity(edges, com).collect()[0].q_total
     q_single = partition_modularity(edges, singles).collect()[0].q_total
     assert q_found > q_single
+
+
+def _py_brandes(und, nodes, sources):
+    # reference Brandes (Algorithm 1, Brandes 2001), unnormalized,
+    # summed over the given sources only
+    import collections
+
+    adj = collections.defaultdict(list)
+    for a, b in und:
+        adj[a].append(b)
+        adj[b].append(a)
+    bc = {v: 0.0 for v in nodes}
+    for s in sources:
+        stack, preds = [], {v: [] for v in nodes}
+        sigma = {v: 0 for v in nodes}
+        dist = {v: -1 for v in nodes}
+        sigma[s], dist[s] = 1, 0
+        queue = collections.deque([s])
+        while queue:
+            v = queue.popleft()
+            stack.append(v)
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    queue.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = {v: 0.0 for v in nodes}
+        while stack:
+            w = stack.pop()
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc
+
+
+def test_betweenness_star_exact(spark):
+    from neo4j_enterprise_spark.operators.community import betweenness_sampled
+
+    k = 5
+    edges = spark.createDataFrame([(0, i) for i in range(1, k + 1)], "a long, b long")
+    sources = spark.createDataFrame([(i,) for i in range(k + 1)], "source long")
+    got = dict(map(tuple, betweenness_sampled(edges, sources).collect()))
+    assert got.get(0, 0.0) == k * (k - 1)
+    for leaf in range(1, k + 1):
+        assert got.get(leaf, 0.0) == 0.0
+
+
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)), min_size=2, max_size=12
+    ),
+)
+@_hslow
+def test_betweenness_matches_python_brandes(spark, edges):
+    from neo4j_enterprise_spark.operators.community import betweenness_sampled
+
+    und = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    if not und:
+        return
+    nodes = sorted({u for e in und for u in e})
+    ref = _py_brandes(und, nodes, nodes)
+    edf = spark.createDataFrame(und, "a long, b long")
+    sdf = spark.createDataFrame([(v,) for v in nodes], "source long")
+    got = dict(map(tuple, betweenness_sampled(edf, sdf, max_depth=8).collect()))
+    for v in nodes:
+        assert abs(got.get(v, 0.0) - ref[v]) < 1e-9, (v, got, ref)
+
+
+def test_mis_independent_and_maximal(spark):
+    from neo4j_enterprise_spark.operators.community import (
+        maximal_independent_set,
+    )
+
+    # path + clique mix
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0), (2, 5)],
+        "a long, b long",
+    )
+    mis = maximal_independent_set(edges, seed=1)
+    m = {r.node_id for r in mis.collect()}
+    und = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0), (2, 5)]
+    assert all(not (a in m and b in m) for a, b in und)  # independent
+    nodes = {u for e_ in und for u in e_}
+    nbrs = {v: set() for v in nodes}
+    for a, b in und:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    assert all(v in m or nbrs[v] & m for v in nodes)  # maximal
+
+
+def _py_luby(und, seed, rounds=8):
+    import hashlib
+
+    def pri(v):
+        return hashlib.md5(f"{seed}|{v}".encode()).hexdigest()
+
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    active = set(nbrs)
+    mis = set()
+    for _ in range(rounds):
+        if not active:
+            break
+        win = {
+            v
+            for v in active
+            if all(pri(v) < pri(u) for u in nbrs[v] & active)
+        }
+        mis |= win
+        killed = set(win)
+        for w in win:
+            killed |= nbrs[w]
+        active -= killed
+    return mis
+
+
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)), min_size=1, max_size=14
+    ),
+    seed=st.integers(0, 3),
+)
+@_hslow
+def test_mis_matches_python_luby(spark, edges, seed):
+    from neo4j_enterprise_spark.operators.community import (
+        maximal_independent_set,
+    )
+
+    und = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    if not und:
+        return
+    edf = spark.createDataFrame(und, "a long, b long")
+    got = {r.node_id for r in maximal_independent_set(edf, seed=seed).collect()}
+    assert got == _py_luby(und, seed)
