@@ -602,3 +602,107 @@ def maximal_independent_set(
         )
     out = mis if mis is not None else active.select("node_id").limit(0)
     return out.localCheckpoint(eager=True)
+
+
+def hits_unnormalized(edges: DataFrame, *, iterations: int = 2) -> DataFrame:
+    """HITS hub/authority scores, kept in EXACT integers by skipping
+    the per-round normalization (ranking is invariant to it): with
+    h₀ ≡ 1,  aₖ = Aᵀhₖ₋₁,  hₖ = A aₖ — every score is a path COUNT
+    (a₁ = in-degree, h₁ = Σ authorities pointed to, …), so the result
+    is BIGINT-exact and an SQL oracle replays the unrolled rounds.
+    Normalize at the consumer (one division) if scores must be [0,1].
+
+    ``edges``: directed (src, dst). Returns (node_id, hub, auth).
+    Each half-round is one shuffle keyed on the join endpoint.
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .unionByName(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    h = nodes.withColumn("hub", F.lit(1).cast("long"))
+    a = None
+    for _ in range(iterations):
+        a = (
+            e.join(h.select(F.col("node_id").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("node_id"))
+            .agg(F.sum("hub").alias("auth"))
+        )
+        a = nodes.join(a, "node_id", "left").select(
+            "node_id", F.coalesce(F.col("auth"), F.lit(0)).alias("auth")
+        )
+        h = (
+            e.join(a.select(F.col("node_id").alias("dst"), "auth"), "dst")
+            .groupBy(F.col("src").alias("node_id"))
+            .agg(F.sum("auth").alias("hub"))
+        )
+        h = nodes.join(h, "node_id", "left").select(
+            "node_id", F.coalesce(F.col("hub"), F.lit(0)).alias("hub")
+        )
+        h = h.localCheckpoint(eager=True)
+    return h.join(a, "node_id").select("node_id", "hub", "auth")
+
+
+def katz_truncated(
+    edges: DataFrame, *, max_len: int = 3, alpha_denom: int = 4
+) -> DataFrame:
+    """Truncated Katz centrality, engine-exact: katz(v) = Σₖ αᵏ·pₖ(v)
+    for path lengths k ≤ K, with α = 1/alpha_denom. Path counts pₖ are
+    exact integers (k adjacency joins); scaling by alpha_denom^K gives
+    the single BIGINT numerator  Σₖ alpha_denom^(K−k)·pₖ(v)  — the one
+    reported float is num / alpha_denom^K (one IEEE division).
+
+    Returns (node_id, katz_num, katz). K joins shuffled on the node
+    key; truncation is the standard scale trade (full Katz inverts
+    (I−αA) — not a dataflow op).
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .unionByName(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    # walks(v) at step k: number of length-k paths ENDING at v
+    walks = e.select(F.col("src"), F.col("dst")).withColumn(
+        "n", F.lit(1).cast("long")
+    )
+    scale = alpha_denom ** (max_len - 1)
+    total = (
+        walks.groupBy(F.col("dst").alias("node_id"))
+        .agg(F.sum("n").alias("p"))
+        .select("node_id", (F.col("p") * scale).alias("num"))
+    )
+    frontier = walks.groupBy(F.col("dst").alias("node_id")).agg(
+        F.sum("n").alias("cnt")
+    )
+    for k in range(2, max_len + 1):
+        frontier = (
+            frontier.join(
+                e.select(F.col("src").alias("node_id"), "dst"), "node_id"
+            )
+            .groupBy(F.col("dst").alias("node_id"))
+            .agg(F.sum("cnt").alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+        scale = alpha_denom ** (max_len - k)
+        total = (
+            total.join(
+                frontier.select("node_id", (F.col("cnt") * scale).alias("add")),
+                "node_id",
+                "full_outer",
+            )
+            .select(
+                "node_id",
+                (
+                    F.coalesce(F.col("num"), F.lit(0))
+                    + F.coalesce(F.col("add"), F.lit(0))
+                ).alias("num"),
+            )
+        )
+    denom = float(alpha_denom**max_len)
+    return nodes.join(total, "node_id", "left").select(
+        "node_id",
+        F.coalesce(F.col("num"), F.lit(0)).alias("katz_num"),
+        (F.coalesce(F.col("num"), F.lit(0)).cast("double") / denom).alias("katz"),
+    )

@@ -3094,3 +3094,88 @@ def graph_mis_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return maximal_independent_set(e, seed=0, max_rounds=8).orderBy("node_id")
+
+
+@register(
+    "graph_hits_scores",
+    f"""
+    {graph_cte(nodes=False)},
+    e AS MATERIALIZED (SELECT DISTINCT src, dst FROM rels),
+    n AS MATERIALIZED (SELECT DISTINCT node_id FROM
+         (SELECT src AS node_id FROM e UNION ALL SELECT dst FROM e)),
+    a1 AS (SELECT dst AS node_id, COUNT(*) AS auth FROM e GROUP BY 1),
+    a1f AS MATERIALIZED (SELECT n.node_id, COALESCE(a1.auth, 0) AS auth
+           FROM n LEFT JOIN a1 USING (node_id)),
+    h1 AS (SELECT e.src AS node_id, SUM(a.auth) AS hub
+           FROM e JOIN a1f a ON a.node_id = e.dst GROUP BY 1),
+    h1f AS MATERIALIZED (SELECT n.node_id, COALESCE(h1.hub, 0) AS hub
+           FROM n LEFT JOIN h1 USING (node_id)),
+    a2 AS (SELECT e.dst AS node_id, SUM(h.hub) AS auth
+           FROM e JOIN h1f h ON h.node_id = e.src GROUP BY 1),
+    a2f AS MATERIALIZED (SELECT n.node_id, COALESCE(a2.auth, 0) AS auth
+           FROM n LEFT JOIN a2 USING (node_id)),
+    h2 AS (SELECT e.src AS node_id, SUM(a.auth) AS hub
+           FROM e JOIN a2f a ON a.node_id = e.dst GROUP BY 1),
+    h2f AS (SELECT n.node_id, COALESCE(h2.hub, 0) AS hub
+            FROM n LEFT JOIN h2 USING (node_id))
+    SELECT h.node_id, h.hub, a.auth
+    FROM h2f h JOIN a2f a USING (node_id)
+    ORDER BY hub DESC, node_id LIMIT 30
+    """,
+    doc="HITS hub/authority (community.hits_unnormalized, 2 exact "
+    "iterations) over the directed derived graph: normalization is "
+    "skipped so every score is an exact BIGINT path count (a₁ = "
+    "in-degree, h₁ = Σ pointed-to authorities, …) — ranking is "
+    "normalization-invariant, and the oracle replays the unrolled "
+    "rounds. Top-30 hubs (customers fan out through orders to parts).",
+)
+def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.community import hits_unnormalized
+
+    e = derived_rels(spark, sf_dir).select("src", "dst")
+    return (
+        hits_unnormalized(e, iterations=2)
+        .orderBy(F.desc("hub"), "node_id")
+        .limit(30)
+    )
+
+
+@register(
+    "graph_katz_truncated",
+    f"""
+    {graph_cte(nodes=False)},
+    e AS MATERIALIZED (SELECT DISTINCT src, dst FROM rels),
+    n AS MATERIALIZED (SELECT DISTINCT node_id FROM
+         (SELECT src AS node_id FROM e UNION ALL SELECT dst FROM e)),
+    w1 AS MATERIALIZED (SELECT dst AS node_id, COUNT(*) AS c
+                        FROM e GROUP BY 1),
+    w2 AS MATERIALIZED (SELECT e.dst AS node_id, SUM(w1.c) AS c
+                        FROM e JOIN w1 ON w1.node_id = e.src GROUP BY 1),
+    w3 AS (SELECT e.dst AS node_id, SUM(w2.c) AS c
+           FROM e JOIN w2 ON w2.node_id = e.src GROUP BY 1),
+    num AS (
+      SELECT n.node_id,
+             COALESCE(w1.c, 0) * 16 + COALESCE(w2.c, 0) * 4
+               + COALESCE(w3.c, 0) AS katz_num
+      FROM n LEFT JOIN w1 USING (node_id)
+      LEFT JOIN w2 USING (node_id)
+      LEFT JOIN w3 USING (node_id))
+    SELECT node_id, katz_num, CAST(katz_num AS DOUBLE) / 64 AS katz
+    FROM num ORDER BY katz_num DESC, node_id LIMIT 30
+    """,
+    doc="Truncated Katz centrality (community.katz_truncated, K=3, "
+    "α=1/4): katz(v) = Σₖ αᵏ·(length-k paths ending at v), carried as "
+    "ONE exact BIGINT numerator Σₖ 4^(3−k)·pₖ(v) over the common 4³ "
+    "denominator — path counts are integers, so the only float is the "
+    "single reported division. K adjacency joins; truncation is the "
+    "dataflow-scale trade vs inverting (I−αA).",
+)
+def graph_katz_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.community import katz_truncated
+
+    e = derived_rels(spark, sf_dir).select("src", "dst")
+    return (
+        katz_truncated(e, max_len=3, alpha_denom=4)
+        .orderBy(F.desc("katz_num"), "node_id")
+        .limit(30)
+    )

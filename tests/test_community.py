@@ -466,3 +466,23 @@ def test_mis_matches_python_luby(spark, edges, seed):
     edf = spark.createDataFrame(und, "a long, b long")
     got = {r.node_id for r in maximal_independent_set(edf, seed=seed).collect()}
     assert got == _py_luby(und, seed)
+
+
+def test_hits_exact_on_small_dag(spark):
+    from neo4j_enterprise_spark.operators.community import hits_unnormalized
+
+    # 0→2, 1→2, 2→3: a1 = in-deg {2:2, 3:1}; h1 = {0:2, 1:2, 2:1};
+    # a2 = {2: h(0)+h(1)=4, 3: h(2)=1}; h2 = {0:4, 1:4, 2:1, 3:0}
+    e = spark.createDataFrame([(0, 2), (1, 2), (2, 3)], "src long, dst long")
+    got = {r.node_id: (r.hub, r.auth) for r in hits_unnormalized(e).collect()}
+    assert got == {0: (4, 0), 1: (4, 0), 2: (1, 4), 3: (0, 1)}
+
+
+def test_katz_exact_on_path(spark):
+    from neo4j_enterprise_spark.operators.community import katz_truncated
+
+    # path 0→1→2→3: paths ending at 1: len1=1; at 2: len1=1,len2=1;
+    # at 3: len1=1,len2=1,len3=1 → nums: 16, 20, 21 (α=1/4, K=3)
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    got = {r.node_id: r.katz_num for r in katz_truncated(e).collect()}
+    assert got == {0: 0, 1: 16, 2: 20, 3: 21}
