@@ -706,3 +706,101 @@ def katz_truncated(
         F.coalesce(F.col("num"), F.lit(0)).alias("katz_num"),
         (F.coalesce(F.col("num"), F.lit(0)).cast("double") / denom).alias("katz"),
     )
+
+
+def greedy_coloring(
+    edges: DataFrame, *, seed: int = 0, max_colors: int = 12
+) -> DataFrame:
+    """Distributed graph coloring by iterated MIS peeling: color c =
+    the c-th deterministic Luby MIS extracted from the still-uncolored
+    subgraph. Independence of each layer makes the coloring proper by
+    construction; determinism comes from the md5 priorities (same
+    contract as :func:`maximal_independent_set`). Returns
+    (node_id, color). Uses at most Δ+1 colors on bounded-degree
+    graphs in O(Δ·log n) rounds — the scheduling/register-allocation
+    primitive over shuffle-join rounds.
+    """
+    remaining = (
+        edges.select("a", "b").filter(F.col("a") != F.col("b")).distinct()
+    ).localCheckpoint(eager=True)
+    nodes = (
+        remaining.select(F.col("a").alias("node_id"))
+        .unionByName(remaining.select(F.col("b").alias("node_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    colored = None
+    for c in range(max_colors):
+        if nodes.limit(1).count() == 0:
+            break
+        if remaining.limit(1).count() == 0:
+            # isolated remainder: all one color
+            layer = nodes.withColumn("color", F.lit(c))
+            colored = layer if colored is None else colored.unionByName(layer)
+            nodes = nodes.limit(0)
+            break
+        mis = maximal_independent_set(remaining, seed=seed)
+        isolated = nodes.join(
+            remaining.select(F.col("a").alias("node_id"))
+            .unionByName(remaining.select(F.col("b").alias("node_id")))
+            .distinct(),
+            "node_id",
+            "left_anti",
+        )
+        layer = mis.unionByName(isolated).withColumn("color", F.lit(c))
+        colored = layer if colored is None else colored.unionByName(layer)
+        done = layer.select("node_id")
+        nodes = nodes.join(done, "node_id", "left_anti").localCheckpoint(eager=True)
+        remaining = (
+            remaining.join(done.withColumnRenamed("node_id", "a"), "a", "left_anti")
+            .join(done.withColumnRenamed("node_id", "b"), "b", "left_anti")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return colored
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman r) of an undirected
+    graph, from EXACT integer sufficient statistics: over the 2m
+    directed edge-stubs with endpoint degrees (x, y), accumulate
+    Σx, Σy, Σxy, Σx², Σy² as BIGINTs, then evaluate the Pearson
+    formula in a FIXED float expression order (each cast/multiply/
+    sqrt/divide is a single deterministic IEEE op). Returns one row
+    (n_edges, sxy, sx, sx2, r) — the homophily diagnostic that says
+    whether hubs attach to hubs.
+    """
+    e = edges.select("a", "b").filter(F.col("a") != F.col("b")).distinct()
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy(F.col("u").alias("node_id")).agg(F.count("*").alias("deg"))
+    stubs = (
+        adj.join(deg.select(F.col("node_id").alias("u"), F.col("deg").alias("x")), "u")
+        .join(deg.select(F.col("node_id").alias("v"), F.col("deg").alias("y")), "v")
+    )
+    s = stubs.agg(
+        F.count("*").alias("m2"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+    )
+    # symmetric stubs → Σx = Σy and Σx² = Σy²; r collapses to
+    # (m2·sxy − sx²) / (m2·sx2 − sx²). The sums are exact BIGINTs; cast
+    # each FACTOR to double before multiplying (products can pass 2^63 on
+    # big graphs — double keeps them exact to 2^53 and the op order is
+    # fixed, so both engines round identically)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("m2") * d("sxy") - d("sx") * d("sx")
+    den = d("m2") * d("sx2") - d("sx") * d("sx")
+    # degree-regular graph → zero degree variance → r undefined: den=0
+    # forces num=0 (|cov| ≤ var), report NaN like IEEE 0/0 instead of
+    # tripping ANSI-mode divide-by-zero
+    r = F.when(den == 0.0, F.lit(float("nan"))).otherwise(num / den)
+    return s.select(
+        (F.col("m2") / 2).cast("long").alias("n_edges"),
+        "sxy",
+        "sx",
+        "sx2",
+        r.alias("r"),
+    )

@@ -3179,3 +3179,98 @@ def graph_katz_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("katz_num"), "node_id")
         .limit(30)
     )
+
+
+@register(
+    "graph_degree_assortativity",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_partkey < 500),
+    e AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+          FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+    adj AS MATERIALIZED (SELECT a AS u, b AS v FROM e
+                         UNION ALL SELECT b, a FROM e),
+    deg AS MATERIALIZED (SELECT u AS node_id, COUNT(*) AS deg
+                         FROM adj GROUP BY 1),
+    s AS (
+      SELECT COUNT(*) AS m2,
+             SUM(dx.deg * dy.deg) AS sxy,
+             SUM(dx.deg) AS sx,
+             SUM(dx.deg * dx.deg) AS sx2
+      FROM adj a
+      JOIN deg dx ON dx.node_id = a.u
+      JOIN deg dy ON dy.node_id = a.v)
+    SELECT CAST(m2 / 2 AS BIGINT) AS n_edges, sxy, sx, sx2,
+           (CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           / (CAST(m2 AS DOUBLE) * CAST(sx2 AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS r
+    FROM s
+    """,
+    doc="Degree assortativity (Newman r) of the 500-part co-purchase "
+    "graph (community.degree_assortativity): Pearson correlation of "
+    "endpoint degrees over edge stubs from EXACT BIGINT sufficient "
+    "statistics, with the final formula a fixed sequence of single "
+    "IEEE ops — the hubs-attach-to-hubs homophily diagnostic, "
+    "engine-exact. One degree shuffle + one stub aggregation.",
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.community import degree_assortativity
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 500)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.select(F.col("l_orderkey"), F.col("l_partkey").alias("a"))
+        .join(
+            li.select(F.col("l_orderkey"), F.col("l_partkey").alias("b")),
+            "l_orderkey",
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return degree_assortativity(e)
+
+
+@register(
+    "graph_coloring_luby",
+    None,  # MIS-peel rounds are data-dependent across colors — the
+    # proper-coloring INVARIANTS are asserted in test_community; the
+    # single-MIS layer is the oracle-checked unit (graph_mis_luby)
+    doc="Distributed graph coloring by iterated deterministic-Luby MIS "
+    "peeling (community.greedy_coloring) over the 500-part co-purchase "
+    "slice: color c = c-th independent layer, proper by construction, "
+    "deterministic via md5 priorities. Reports nodes-per-color — the "
+    "conflict-free scheduling partition (≤ Δ+1 colors).",
+)
+def graph_coloring_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.community import greedy_coloring
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 500)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.select(F.col("l_orderkey"), F.col("l_partkey").alias("a"))
+        .join(
+            li.select(F.col("l_orderkey"), F.col("l_partkey").alias("b")),
+            "l_orderkey",
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return (
+        greedy_coloring(e, seed=0, max_colors=24)
+        .groupBy("color")
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy("color")
+    )

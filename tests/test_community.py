@@ -486,3 +486,29 @@ def test_katz_exact_on_path(spark):
     e = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
     got = {r.node_id: r.katz_num for r in katz_truncated(e).collect()}
     assert got == {0: 0, 1: 16, 2: 20, 3: 21}
+
+
+def test_coloring_proper_and_complete(spark):
+    from neo4j_enterprise_spark.operators.community import greedy_coloring
+
+    und = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3), (6, 7)]
+    edges = spark.createDataFrame(und, "a long, b long")
+    got = {r.node_id: r.color for r in greedy_coloring(edges, seed=2).collect()}
+    nodes = {u for e in und for u in e}
+    assert set(got) == nodes                      # complete
+    assert all(got[a] != got[b] for a, b in und)  # proper
+    assert max(got.values()) <= 3                 # ≤ Δ+1 = 4 colors
+
+
+def test_assortativity_exact_star_and_cycle(spark):
+    from neo4j_enterprise_spark.operators.community import degree_assortativity
+
+    # star K1,3 is perfectly disassortative: r = -1
+    star = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "a long, b long")
+    row = degree_assortativity(star).collect()[0]
+    assert row.n_edges == 3 and row.r == -1.0
+    # cycle is degree-regular: denominator 0 → r is NaN (undefined)
+    import math
+
+    cyc = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "a long, b long")
+    assert math.isnan(degree_assortativity(cyc).collect()[0].r)
