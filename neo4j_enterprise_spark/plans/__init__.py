@@ -59,7 +59,22 @@ def register(
 # ROUND 4 TODO: after CORRECTNESS_r03 lands, rotate again — move the r3-green
 # first-50 to the back and promote the next never-driver-checked block
 # (positions ~51-110: the demoted docs extras + every round-3 addition from
-# "cypher_with_having" onward) into the top 50.
+# "cypher_with_having" onward) into the top 50. The late-r3 additions are
+# prime candidates: the community/centrality family
+# (graph_node_similarity, graph_nation_trade_scc,
+# graph_trade_condensation_layers, parts_brand_modularity,
+# parts_ktruss_bounded, graph_louvain_move_round,
+# graph_louvain_communities, graph_mis_luby, graph_hits_scores,
+# graph_katz_truncated, graph_degree_assortativity), the Cypher extensions
+# (cypher_union_dedup, cypher_where_or, cypher_merge_nodes,
+# cypher_with_topk_expand), the store-format pair (graph_jsonl_roundtrip,
+# store_upgrade_read), and the docs/events additions
+# (docs_unigram_commonness, docs_curriculum_phases, docs_source_interleave,
+# docs_inverted_index, docs_bigram_counts, docs_keyword_search,
+# docs_prefix_simjoin, emb_centroid_similarity, customer_rfm_segments,
+# supplier_pareto_share, events_path_trigrams, events_activity_streaks,
+# parts_frequent_triples) — all locally sf0.01-gate-green in r3, none
+# driver-checked yet.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # TPC-H family (18) — never driver-checked
     "q1_pricing_summary",
