@@ -3274,3 +3274,147 @@ def graph_coloring_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_nodes"))
         .orderBy("color")
     )
+
+
+@register(
+    "graph_trade_reciprocity",
+    """
+    WITH flow AS (
+      SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey),
+    recip AS (
+      SELECT COUNT(*) AS n_edges,
+             SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_reciprocated
+      FROM flow f
+      LEFT JOIN flow r ON r.src = f.dst AND r.dst = f.src)
+    SELECT n_edges, CAST(n_reciprocated AS BIGINT) AS n_reciprocated,
+           CAST(n_reciprocated AS DOUBLE) / n_edges AS reciprocity
+    FROM recip
+    """,
+    doc="Reciprocity of the nation-trade digraph (any-revenue edges): "
+    "the fraction of directed edges whose reverse also exists — the "
+    "mutual-trade diagnostic. One self-join on the flipped key; exact "
+    "integer counts, a single reported division.",
+)
+def graph_trade_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    flow = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .distinct()
+    )
+    rev = flow.select(F.col("src").alias("r_dst"), F.col("dst").alias("r_src"))
+    joined = flow.join(
+        rev,
+        (F.col("src") == F.col("r_src")) & (F.col("dst") == F.col("r_dst")),
+        "left",
+    )
+    return joined.agg(
+        F.count("*").alias("n_edges"),
+        F.sum(F.col("r_src").isNotNull().cast("int")).cast("long").alias(
+            "n_reciprocated"
+        ),
+    ).select(
+        "n_edges",
+        "n_reciprocated",
+        (F.col("n_reciprocated").cast("double") / F.col("n_edges")).alias(
+            "reciprocity"
+        ),
+    )
+
+
+@register(
+    "graph_rich_club",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_partkey < 500),
+    e AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+          FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+    adj AS (SELECT a AS u FROM e UNION ALL SELECT b FROM e),
+    deg AS (SELECT u AS node_id, COUNT(*) AS deg FROM adj GROUP BY 1),
+    ks(k) AS (VALUES (5), (10), (20)),
+    club AS (SELECT ks.k, d.node_id FROM ks JOIN deg d ON d.deg > ks.k),
+    nk AS (SELECT k, COUNT(*) AS n_k FROM club GROUP BY k),
+    ek AS (SELECT c1.k, COUNT(*) AS e_k
+           FROM e
+           JOIN club c1 ON c1.node_id = e.a
+           JOIN club c2 ON c2.node_id = e.b AND c2.k = c1.k
+           GROUP BY c1.k)
+    SELECT n.k, n.n_k, COALESCE(ek.e_k, 0) AS e_k,
+           CAST(2 * COALESCE(ek.e_k, 0) AS DOUBLE)
+             / (n.n_k * (n.n_k - 1)) AS phi
+    FROM nk n LEFT JOIN ek USING (k)
+    WHERE n.n_k >= 2
+    ORDER BY n.k
+    """,
+    doc="Rich-club coefficient φ(k) of the 500-part co-purchase graph "
+    "at k ∈ {5,10,20}: the edge density among nodes of degree > k — "
+    "do hubs preferentially interconnect. Exact integer node/edge "
+    "counts (the k table is a 3-row broadcast dim); one reported "
+    "division per k.",
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 500)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.select(F.col("l_orderkey"), F.col("l_partkey").alias("a"))
+        .join(
+            li.select(F.col("l_orderkey"), F.col("l_partkey").alias("b")),
+            "l_orderkey",
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node_id"))
+        .unionByName(e.select(F.col("b").alias("node_id")))
+        .groupBy("node_id")
+        .agg(F.count("*").alias("deg"))
+    )
+    ks = spark.createDataFrame([(5,), (10,), (20,)], "k int")
+    club = F.broadcast(ks).join(deg, F.col("deg") > F.col("k")).select(
+        "k", "node_id"
+    )
+    nk = club.groupBy("k").agg(F.count("*").alias("n_k"))
+    ek = (
+        e.join(club.select(F.col("k"), F.col("node_id").alias("a")), "a")
+        .join(club.select(F.col("k").alias("k2"), F.col("node_id").alias("b")), "b")
+        .filter(F.col("k") == F.col("k2"))
+        .groupBy("k")
+        .agg(F.count("*").alias("e_k"))
+    )
+    return (
+        nk.join(ek, "k", "left")
+        .withColumn("e_k", F.coalesce(F.col("e_k"), F.lit(0)))
+        .filter(F.col("n_k") >= 2)
+        .select(
+            "k",
+            "n_k",
+            "e_k",
+            (
+                (2 * F.col("e_k")).cast("double")
+                / (F.col("n_k") * (F.col("n_k") - 1))
+            ).alias("phi"),
+        )
+        .orderBy("k")
+    )

@@ -2988,3 +2988,38 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "streak_hours", "start_hr")
         .orderBy(F.desc("streak_hours"), "user_id")
     )
+
+
+@register(
+    "events_time_profile",
+    """
+    SELECT CAST(dayofweek(ts) AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hour_of_day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT)
+             AS total_value_milli
+    FROM events
+    GROUP BY 1, 2 ORDER BY dow, hour_of_day
+    """,
+    doc="Time-of-week seasonality profile: event volume and exact "
+    "milli-unit value totals by (day-of-week, hour-of-day) — the "
+    "traffic-shape matrix behind capacity planning and anomaly "
+    "baselines. Spark's 1-based dayofweek is shifted to DuckDB's "
+    "0=Sunday convention; one map-side-combinable aggregation, 168 "
+    "output cells regardless of event volume.",
+)
+def events_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hour_of_day"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000).cast("long"))
+            .cast("long")
+            .alias("total_value_milli"),
+        )
+        .orderBy("dow", "hour_of_day")
+    )
