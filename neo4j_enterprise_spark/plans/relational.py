@@ -3023,3 +3023,41 @@ def events_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour_of_day")
     )
+
+
+@register(
+    "events_stream_leaderboard",
+    """
+    WITH hourly AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+             event_type, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT hour_epoch, event_type, n_events,
+             ROW_NUMBER() OVER (PARTITION BY hour_epoch
+                                ORDER BY n_events DESC, event_type) AS rk
+      FROM hourly)
+    SELECT hour_epoch, event_type, n_events, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3 ORDER BY hour_epoch, rk
+    """,
+    doc="STREAMING leaderboard: top-3 event types per hour computed on "
+    "the APPEND-mode streaming rollup's closed-window sink output "
+    "(run_events_append_rollup — watermark-evicted, exactly-once) with "
+    "a serving-layer rank window per window bucket — the lambda-free "
+    "production shape: the stream maintains closed aggregates, the "
+    "read path ranks them; hash-matched against the batch "
+    "count-and-rank oracle end-to-end.",
+)
+def events_stream_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    rolled, _ = run_events_append_rollup(spark, sf_dir)
+    w = Window.partitionBy("hour_epoch").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        rolled.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("hour_epoch", "event_type", "n_events", "rk")
+        .orderBy("hour_epoch", "rk")
+    )
