@@ -3061,3 +3061,85 @@ def events_stream_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("hour_epoch", "event_type", "n_events", "rk")
         .orderBy("hour_epoch", "rk")
     )
+
+
+@register(
+    "events_hourly_autocorr",
+    """
+    WITH b AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS hr,
+             COUNT(*) AS c
+      FROM events GROUP BY 1),
+    bounds AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM b),
+    grid AS (SELECT unnest(generate_series(lo, hi)) AS hr FROM bounds),
+    s AS (SELECT g.hr, COALESCE(b.c, 0) AS c
+          FROM grid g LEFT JOIN b USING (hr)),
+    lags(lag) AS (VALUES (1), (2), (3), (24)),
+    pairs AS (
+      SELECT l.lag, x.c AS x, y.c AS y
+      FROM lags l
+      JOIN s x ON TRUE
+      JOIN s y ON y.hr = x.hr + l.lag),
+    stats AS (
+      SELECT lag, COUNT(*) AS n, SUM(x * y) AS sxy,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sx2, SUM(y * y) AS sy2
+      FROM pairs GROUP BY lag)
+    SELECT CAST(lag AS INT) AS lag, n, sxy,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
+    FROM stats ORDER BY lag
+    """,
+    doc="Autocorrelation of the hourly event-count series at lags "
+    "{1, 2, 3, 24}: Pearson r of (count_t, count_t+lag) over the "
+    "gap-filled dense hour grid — the seasonality detector (lag-24 ≫ "
+    "lag-3 means daily rhythm). Sufficient statistics are exact "
+    "BIGINTs; the final formula is a fixed IEEE sequence (factor "
+    "pre-casts, two sqrts, one divide). Grid cost O(hours), lag dim "
+    "is a 4-row broadcast.",
+)
+def events_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+        .cast("long")
+        .alias("hr")
+    ).agg(F.count("*").alias("c"))
+    bounds = b.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("hr")
+    )
+    s = grid.join(b, "hr", "left").select(
+        "hr", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    lags = spark.createDataFrame([(1,), (2,), (3,), (24,)], "lag int")
+    x = s.select(F.col("hr"), F.col("c").alias("x"))
+    y = s.select(F.col("hr").alias("hr_y"), F.col("c").alias("y"))
+    pairs = (
+        F.broadcast(lags)
+        .join(x)
+        .join(y, F.col("hr_y") == F.col("hr") + F.col("lag"))
+    )
+    stats = pairs.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(d("n") * d("sx2") - d("sx") * d("sx")) * F.sqrt(
+        d("n") * d("sy2") - d("sy") * d("sy")
+    )
+    return stats.select(
+        F.col("lag").cast("int").alias("lag"),
+        "n",
+        "sxy",
+        (num / den).alias("acf"),
+    ).orderBy("lag")
