@@ -3143,3 +3143,58 @@ def events_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sxy",
         (num / den).alias("acf"),
     ).orderBy("lag")
+
+
+@register(
+    "events_burst_hours",
+    """
+    WITH hourly AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+             CAST(dayofweek(ts) AS INT) AS dow,
+             CAST(hour(ts) AS INT) AS hod,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2, 3),
+    cell AS (SELECT dow, hod, COUNT(*) AS n_cell, SUM(c) AS cell_total
+             FROM hourly GROUP BY dow, hod)
+    SELECT h.hour_epoch, h.dow, h.hod, h.c AS n_events,
+           l.cell_total, l.n_cell,
+           CAST(h.c AS DOUBLE) * l.n_cell / l.cell_total AS lift
+    FROM hourly h JOIN cell l USING (dow, hod)
+    WHERE 5 * h.c * l.n_cell > 6 * l.cell_total
+    ORDER BY hour_epoch
+    """,
+    doc="Burst detection against the time-of-week baseline: an hour is "
+    "a burst when its event count exceeds 1.2× the mean of its "
+    "(day-of-week, hour-of-day) cell — the comparison is the exact "
+    "integer cross-product 5·c·n_cell > 6·cell_total (no float "
+    "threshold); the reported lift is one division. The anomaly layer "
+    "on top of events_time_profile: baseline broadcast is 168 rows.",
+)
+def events_burst_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+        .cast("long")
+        .alias("hour_epoch"),
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.count("*").alias("c"))
+    cell = hourly.groupBy("dow", "hod").agg(
+        F.count("*").alias("n_cell"), F.sum("c").alias("cell_total")
+    )
+    return (
+        hourly.join(F.broadcast(cell), ["dow", "hod"])
+        .filter(5 * F.col("c") * F.col("n_cell") > 6 * F.col("cell_total"))
+        .select(
+            "hour_epoch",
+            "dow",
+            "hod",
+            F.col("c").alias("n_events"),
+            "cell_total",
+            "n_cell",
+            (F.col("c").cast("double") * F.col("n_cell") / F.col("cell_total")).alias(
+                "lift"
+            ),
+        )
+        .orderBy("hour_epoch")
+    )
