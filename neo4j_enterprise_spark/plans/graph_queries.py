@@ -3418,3 +3418,82 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@register(
+    "parts_association_rules",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_partkey < 500),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+    supp AS (SELECT l_partkey AS item, COUNT(*) AS s FROM li GROUP BY 1),
+    pair AS (SELECT a.l_partkey AS ante, b.l_partkey AS cons,
+                    COUNT(*) AS s_ab
+             FROM li a JOIN li b
+             ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey <> b.l_partkey
+             GROUP BY 1, 2)
+    SELECT p.ante, p.cons, p.s_ab, sa.s AS s_ante, sc.s AS s_cons,
+           CAST(p.s_ab AS DOUBLE) / sa.s AS confidence,
+           CAST(n.n_orders AS DOUBLE) * p.s_ab / (sa.s * sc.s) AS lift
+    FROM pair p
+    JOIN supp sa ON sa.item = p.ante
+    JOIN supp sc ON sc.item = p.cons, n
+    WHERE p.s_ab >= 3
+    ORDER BY lift DESC, ante, cons LIMIT 20
+    """,
+    doc="Association rules A→B from the 500-part basket slice: "
+    "confidence = supp(AB)/supp(A) and lift = N·supp(AB)/(supp(A)·"
+    "supp(B)) — each a fixed one-or-two-op IEEE expression over exact "
+    "integer supports; min-support 3 prunes noise and the (lift desc, "
+    "ante, cons) total order bounds the LIMIT. Completes the basket "
+    "family: pair counts → triples → directed rules.",
+)
+def parts_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 500)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    supp = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count("*").alias("s")
+    )
+    pair = (
+        li.select(F.col("l_orderkey"), F.col("l_partkey").alias("ante"))
+        .join(
+            li.select(F.col("l_orderkey"), F.col("l_partkey").alias("cons")),
+            "l_orderkey",
+        )
+        .filter(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count("*").alias("s_ab"))
+        .filter(F.col("s_ab") >= 3)
+    )
+    return (
+        pair.join(
+            F.broadcast(supp.select(F.col("item").alias("ante"), F.col("s").alias("s_ante"))),
+            "ante",
+        )
+        .join(
+            F.broadcast(supp.select(F.col("item").alias("cons"), F.col("s").alias("s_cons"))),
+            "cons",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ante",
+            "cons",
+            "s_ab",
+            "s_ante",
+            "s_cons",
+            (F.col("s_ab").cast("double") / F.col("s_ante")).alias("confidence"),
+            (
+                F.col("n_orders").cast("double")
+                * F.col("s_ab")
+                / (F.col("s_ante") * F.col("s_cons"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "ante", "cons")
+        .limit(20)
+    )
