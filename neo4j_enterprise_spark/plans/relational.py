@@ -3198,3 +3198,61 @@ def events_burst_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_epoch")
     )
+
+
+@register(
+    "nation_supplier_hhi",
+    """
+    WITH rev AS (
+      SELECT s.s_nationkey AS nation, l.l_suppkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS r
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2),
+    revq AS (
+      SELECT nation, CAST(FLOOR(CAST(r AS DOUBLE) / 1000) AS BIGINT) AS rq
+      FROM rev),
+    agg AS (
+      SELECT nation, COUNT(*) AS n_suppliers,
+             SUM(rq) AS total_k, SUM(rq * rq) AS sum_sq
+      FROM revq GROUP BY nation)
+    SELECT CAST(nation AS INT) AS nation, n_suppliers, total_k, sum_sq,
+           CAST(sum_sq AS DOUBLE)
+             / (CAST(total_k AS DOUBLE) * CAST(total_k AS DOUBLE)) AS hhi
+    FROM agg ORDER BY nation
+    """,
+    doc="Herfindahl-Hirschman supplier concentration per nation: "
+    "HHI = Σ share² as Σr²/total² over revenues QUANTIZED to exact "
+    "thousand-unit BIGINTs first — raw DECIMAL squares carry 21 "
+    "significant digits, past double precision, where the two engines' "
+    "decimal→double casts differ by an ulp; the quantized sums stay "
+    "below 2^53 so every op is exact. HHI→1 = monopoly supplier, "
+    "→1/n = fragmented market. One partial-agg pass over lineitem "
+    "keyed (nation, supplier).",
+)
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(F.col("s_nationkey").alias("nation"), F.col("l_suppkey"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r"))
+    )
+    revq = rev.select(
+        "nation",
+        F.floor(F.col("r").cast("double") / 1000).cast("long").alias("rq"),
+    )
+    agg = revq.groupBy("nation").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("rq").alias("total_k"),
+        F.sum(F.col("rq") * F.col("rq")).alias("sum_sq"),
+    )
+    return agg.select(
+        F.col("nation").cast("int").alias("nation"),
+        "n_suppliers",
+        "total_k",
+        "sum_sq",
+        (
+            F.col("sum_sq").cast("double")
+            / (F.col("total_k").cast("double") * F.col("total_k").cast("double"))
+        ).alias("hhi"),
+    ).orderBy("nation")
