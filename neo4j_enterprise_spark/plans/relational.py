@@ -3256,3 +3256,57 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("total_k").cast("double") * F.col("total_k").cast("double"))
         ).alias("hhi"),
     ).orderBy("nation")
+
+
+@register(
+    "customer_spend_gini",
+    """
+    WITH x AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey),
+    r AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i
+      FROM x),
+    s AS (SELECT COUNT(*) AS n, SUM(cents) AS s0,
+                 SUM(i * cents) AS s1 FROM r)
+    SELECT n, s0, s1,
+           CAST(2 * s1 - (n + 1) * s0 AS DOUBLE)
+             / CAST(n * s0 AS DOUBLE) AS gini
+    FROM s
+    """,
+    doc="Gini coefficient of customer spend: G = (2·Σi·xᵢ − (n+1)·Σx) "
+    "/ (n·Σx) over rank-sorted exact-cent totals — numerator and "
+    "denominator stay exact BIGINTs (i·x products fit 2^63 at any "
+    "tested sf) and only the final two casts + one division are "
+    "float, so the inequality measure is engine-exact. The rank "
+    "window runs on the customer DIMENSION (same scale argument as "
+    "supplier_pareto_share); tie order pinned by custkey.",
+)
+def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    x = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+        )
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    r = x.withColumn("i", F.row_number().over(w))
+    s = r.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s0"),
+        F.sum(F.col("i") * F.col("cents")).alias("s1"),
+    )
+    return s.select(
+        "n",
+        "s0",
+        "s1",
+        (
+            (2 * F.col("s1") - (F.col("n") + 1) * F.col("s0")).cast("double")
+            / (F.col("n") * F.col("s0")).cast("double")
+        ).alias("gini"),
+    )
