@@ -116,12 +116,21 @@ class Engine:
         edges = self.rels().filter(F.col("type_name") == rel_type)
         return neighborhood_jaccard(edges, top_k=top_k, **kw)
 
-    def scc(self, edges: DataFrame | None = None) -> DataFrame:
+    def scc(
+        self, edges: DataFrame | None = None, *, max_rounds: int = 6
+    ) -> DataFrame:
         """Strongly connected components (node_id, scc_id) of the given
-        (src, dst) edges — default: the full relationship store."""
+        (src, dst) edges — default: the full relationship store.
+
+        ``max_rounds`` bounds the path-doubling closure: labels are
+        exact only when the graph diameter is ≤ 2**max_rounds (the
+        default 6 covers diameter 64 — ample for the derived store;
+        raise it for deeper caller-supplied edge sets)."""
         from .operators.community import strongly_connected
 
-        return strongly_connected(edges if edges is not None else self.rels())
+        return strongly_connected(
+            edges if edges is not None else self.rels(), max_rounds=max_rounds
+        )
 
     def merge(self, candidates: DataFrame, **kw) -> DataFrame:
         """Bulk Cypher-MERGE (get-or-create) of candidate rows into the

@@ -719,6 +719,12 @@ def greedy_coloring(
     (node_id, color). Uses at most Δ+1 colors on bounded-degree
     graphs in O(Δ·log n) rounds — the scheduling/register-allocation
     primitive over shuffle-join rounds.
+
+    Completeness is enforced: if nodes remain uncolored after
+    ``max_colors`` peel rounds (graph chromatic number exceeds the
+    budget), raises ``ValueError`` rather than silently returning a
+    partial coloring. An edge-free input yields an empty (node_id,
+    color) frame, never ``None``.
     """
     remaining = (
         edges.select("a", "b").filter(F.col("a") != F.col("b")).distinct()
@@ -756,6 +762,15 @@ def greedy_coloring(
             .join(done.withColumnRenamed("node_id", "b"), "b", "left_anti")
             .select("a", "b")
             .localCheckpoint(eager=True)
+        )
+    if colored is None:
+        # edge-free input: stable empty frame, not None
+        return nodes.withColumn("color", F.lit(0)).limit(0)
+    leftover = nodes.limit(1).count()
+    if leftover:
+        raise ValueError(
+            f"greedy_coloring: nodes remain uncolored after {max_colors} "
+            "MIS-peel rounds; raise max_colors (needs ≥ chromatic number)"
         )
     return colored
 

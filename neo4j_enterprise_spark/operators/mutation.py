@@ -23,7 +23,7 @@ import os
 import re
 import shutil
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -131,12 +131,12 @@ def merge_nodes(
     matched = nodes.join(F.broadcast(hit_keys), match_keys, "left_semi")
     untouched = nodes.join(F.broadcast(hit_keys), match_keys, "left_anti")
     for c, v in on_match.items():
-        matched = matched.withColumn(c, v if hasattr(v, "_jc") else F.lit(v))
+        matched = matched.withColumn(c, v if isinstance(v, Column) else F.lit(v))
     existing_keys = nodes.select(*match_keys).distinct()
     created = candidates.join(F.broadcast(existing_keys), match_keys, "left_anti")
     created = assign_ids(created.drop("id"), high_water, match_keys)
     for c, v in on_create.items():
-        created = created.withColumn(c, v if hasattr(v, "_jc") else F.lit(v))
+        created = created.withColumn(c, v if isinstance(v, Column) else F.lit(v))
     for c in nodes.columns:
         if c not in created.columns:
             created = created.withColumn(c, F.lit(None))

@@ -249,6 +249,51 @@ _KW_SPLIT_RE = re.compile(
     r"SET|RETURN|ORDER\s+BY|SKIP|LIMIT)\b",
     re.I,
 )
+_UNION_RE = re.compile(r"\bUNION(\s+ALL)?\b", re.I)
+_OR_RE = re.compile(r"\bOR\b", re.I)
+_AND_RE = re.compile(r"\bAND\b", re.I)
+
+
+def _quoted_spans(text: str) -> list[tuple[int, int]]:
+    """[start, end) spans of single/double-quoted string literals."""
+    spans = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in "'\"":
+            j = text.find(ch, i + 1)
+            if j == -1:
+                break  # unterminated — rest is literal text
+            spans.append((i, j + 1))
+            i = j + 1
+        else:
+            i += 1
+    return spans
+
+
+def _split_outside(pattern: re.Pattern, text: str) -> list:
+    """``re.split`` twin that ignores keyword matches inside quoted
+    string literals, so ``WHERE c.name = 'A OR B'`` never mis-splits
+    (same return shape: segments interleaved with capture groups when
+    the pattern has any)."""
+    spans = _quoted_spans(text)
+
+    def quoted(a: int, b: int) -> bool:
+        return any(a >= s and b <= e for s, e in spans)
+
+    parts: list = []
+    last = 0
+    for m in pattern.finditer(text):
+        if quoted(m.start(), m.end()):
+            continue
+        parts.append(text[last : m.start()])
+        if pattern.groups:
+            parts.extend(m.groups())
+        last = m.end()
+    parts.append(text[last:])
+    return parts
+
+
 _COND_RE = re.compile(
     r"^(\w+)(?:\.(\w+))?\s*"
     r"(STARTS\s+WITH|ENDS\s+WITH|CONTAINS|<>|<=|>=|=|<|>)\s*"
@@ -285,7 +330,7 @@ def _parse_conds(body: str):
     # cond so the whole disjunction compiles to a single Column filter
     # (Catalyst still pushes it into the scan). EXISTS inside OR is not
     # wired — it compiles to a join, not a Column.
-    branches = re.split(r"\bOR\b", body, flags=re.I)
+    branches = _split_outside(_OR_RE, body)
     if len(branches) > 1:
 
         def unwrap(s: str) -> str:
@@ -307,7 +352,7 @@ def _parse_conds(body: str):
                 raise ValueError(f"EXISTS inside OR unsupported: {body!r}")
         return [("__or__", parsed, None, None)]
     conds = []
-    for one in re.split(r"\bAND\b", body, flags=re.I):
+    for one in _split_outside(_AND_RE, body):
         one = one.strip()
         em = _EXISTS_RE.match(one)
         if em:
@@ -746,7 +791,7 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
     # segment must RETURN the same column names. Compiles to
     # unionByName over the per-segment plans (+ one distinct for
     # UNION) — still a single Catalyst plan.
-    segs = re.split(r"(?i)\bUNION(\s+ALL)?\b", query)
+    segs = _split_outside(_UNION_RE, query)
     if len(segs) > 1:
         all_flags = {segs[i] is not None for i in range(1, len(segs), 2)}
         if len(all_flags) > 1:
@@ -765,7 +810,7 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
             out = out.unionByName(b)
         return out if union_all else out.distinct()
 
-    parts = _KW_SPLIT_RE.split(query)
+    parts = _split_outside(_KW_SPLIT_RE, query)
     if parts[0].strip():
         raise ValueError(f"query must start with MATCH: {query!r}")
     pairs: list[tuple[str, str]] = []

@@ -1923,7 +1923,8 @@ def cypher_rel_var_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM rels r JOIN nodes nn ON nn.id = r.src AND nn.kind = 'customer'
              WHERE r.type_name = 'IN_NATION')
     SELECT n,
-           SUM(CASE WHEN name LIKE '%1%' THEN 1 ELSE 0 END) AS n_ones,
+           CAST(SUM(CASE WHEN name LIKE '%1%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ones,
            COUNT(*) AS n_customers
     FROM cust GROUP BY n ORDER BY n
     """,
@@ -2488,7 +2489,8 @@ def cypher_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AS q_num, m.m AS m
             FROM dsum s LEFT JOIN intra i USING (community), m),
     tot AS (SELECT SUM(q_num) AS q_total_num FROM per)
-    SELECT community, n_nodes, e_c, d_c, q_num,
+    SELECT community, n_nodes, e_c, CAST(d_c AS BIGINT) AS d_c,
+           CAST(q_num AS BIGINT) AS q_num,
            CAST(q_num AS DOUBLE) / (4.0 * m * m) AS q_contrib,
            CAST(q_total_num AS DOUBLE) / (4.0 * m * m) AS q_total
     FROM per, tot ORDER BY community
@@ -2609,7 +2611,15 @@ def graph_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.sink import export_jsonl, import_jsonl
 
     nodes = derived_nodes(spark, sf_dir)
-    tag = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    # tag includes the source mtimes so a regenerated fixture at the
+    # same path invalidates the staged export (ADVICE r3)
+    real = os.path.realpath(sf_dir)
+    mtimes = ",".join(
+        str(int(os.path.getmtime(os.path.join(real, f))))
+        for f in sorted(os.listdir(real))
+        if f.endswith(".parquet")
+    )
+    tag = hashlib.md5(f"{real}|{mtimes}".encode()).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), f"nes_jsonl_nodes_{tag}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         export_jsonl(nodes, out)
@@ -2857,7 +2867,8 @@ def parts_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY node_id
                                 ORDER BY score_num DESC, cand) AS rk
       FROM scored)
-    SELECT node_id, old_com, new_com, score_num
+    SELECT node_id, old_com, new_com,
+           CAST(score_num AS BIGINT) AS score_num
     FROM best WHERE rk = 1 ORDER BY node_id
     """,
     doc="One exact Louvain phase-1 move round "
@@ -3118,7 +3129,8 @@ def graph_mis_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM e JOIN a2f a ON a.node_id = e.dst GROUP BY 1),
     h2f AS (SELECT n.node_id, COALESCE(h2.hub, 0) AS hub
             FROM n LEFT JOIN h2 USING (node_id))
-    SELECT h.node_id, h.hub, a.auth
+    SELECT h.node_id, CAST(h.hub AS BIGINT) AS hub,
+           CAST(a.auth AS BIGINT) AS auth
     FROM h2f h JOIN a2f a USING (node_id)
     ORDER BY hub DESC, node_id LIMIT 30
     """,
@@ -3160,7 +3172,8 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM n LEFT JOIN w1 USING (node_id)
       LEFT JOIN w2 USING (node_id)
       LEFT JOIN w3 USING (node_id))
-    SELECT node_id, katz_num, CAST(katz_num AS DOUBLE) / 64 AS katz
+    SELECT node_id, CAST(katz_num AS BIGINT) AS katz_num,
+           CAST(katz_num AS DOUBLE) / 64 AS katz
     FROM num ORDER BY katz_num DESC, node_id LIMIT 30
     """,
     doc="Truncated Katz centrality (community.katz_truncated, K=3, "
@@ -3202,7 +3215,9 @@ def graph_katz_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM adj a
       JOIN deg dx ON dx.node_id = a.u
       JOIN deg dy ON dy.node_id = a.v)
-    SELECT CAST(m2 / 2 AS BIGINT) AS n_edges, sxy, sx, sx2,
+    SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+           CAST(sxy AS BIGINT) AS sxy, CAST(sx AS BIGINT) AS sx,
+           CAST(sx2 AS BIGINT) AS sx2,
            (CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
            / (CAST(m2 AS DOUBLE) * CAST(sx2 AS DOUBLE)

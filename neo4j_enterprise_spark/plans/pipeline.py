@@ -1757,7 +1757,8 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT d.doc_id, COUNT(*) AS n_tokens, SUM(c.cf) AS sum_cf,
              SUM(CASE WHEN c.cf < 3 THEN 1 ELSE 0 END) AS n_rare
       FROM tf d JOIN cf c USING (tok) GROUP BY d.doc_id)
-    SELECT doc_id, n_tokens, sum_cf, n_rare,
+    SELECT doc_id, n_tokens, CAST(sum_cf AS BIGINT) AS sum_cf,
+           CAST(n_rare AS BIGINT) AS n_rare,
            CAST(sum_cf AS DOUBLE)
              / (CAST(n_tokens AS DOUBLE) * CAST(t_total AS DOUBLE))
              AS avg_token_prob,
@@ -1898,7 +1899,8 @@ def docs_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
       WHERE a.tok <> '' AND b.tok <> ''),
     pair AS (SELECT w1, w2, COUNT(*) AS pair_n FROM bg GROUP BY w1, w2),
-    pre AS (SELECT w1, SUM(pair_n) AS prefix_n FROM pair GROUP BY w1)
+    pre AS (SELECT w1, CAST(SUM(pair_n) AS BIGINT) AS prefix_n
+            FROM pair GROUP BY w1)
     SELECT p.w1, p.w2, p.pair_n, r.prefix_n
     FROM pair p JOIN pre r USING (w1)
     ORDER BY pair_n DESC, w1, w2 LIMIT 30
@@ -2033,7 +2035,7 @@ def docs_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY 1, 2),
     diag AS (SELECT label_a AS l, ip_num AS nrm FROM ip
              WHERE label_a = label_b)
-    SELECT i.label_a, i.label_b, i.ip_num,
+    SELECT i.label_a, i.label_b, CAST(i.ip_num AS BIGINT) AS ip_num,
            CAST(i.ip_num AS DOUBLE)
              / (sqrt(CAST(da.nrm AS DOUBLE)) * sqrt(CAST(db.nrm AS DOUBLE)))
              AS cos

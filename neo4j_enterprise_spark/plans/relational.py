@@ -775,13 +775,13 @@ def q11_part_value_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_delay_class_priority",
     """
     SELECT delay_class,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 0 ELSE 1 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
     FROM (
       SELECT o_orderpriority,
-             CASE WHEN l_shipdate >= o_orderdate + INTERVAL 60 DAY
+             CASE WHEN CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE) + 60
                   THEN 'LATE' ELSE 'ONTIME' END AS delay_class
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01')
@@ -799,7 +799,7 @@ def q12_delay_class_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = load_table(spark, sf_dir, "orders")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    late = F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    late = F.col("l_shipdate").cast("date") >= F.date_add(F.col("o_orderdate").cast("date"), 60)
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(
@@ -864,7 +864,7 @@ def q20_supplier_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH ol AS (
       SELECT l_orderkey, l_suppkey,
-             CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+             CASE WHEN CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 90
                   THEN 1 ELSE 0 END AS late
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
     agg AS (SELECT l_orderkey, l_suppkey, MAX(late) AS late
@@ -890,7 +890,7 @@ def q20_supplier_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    late = F.col("l_shipdate").cast("date") > F.date_add(F.col("o_orderdate").cast("date"), 90)
     agg = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select("l_orderkey", "l_suppkey", F.when(late, 1).otherwise(0).alias("late"))
@@ -2700,7 +2700,12 @@ def store_upgrade_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.sink import read_evolved
 
     cust = load_table(spark, sf_dir, "customer")
-    tag = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    # tag includes the source mtime so a regenerated fixture at the
+    # same path invalidates the staged vintages (ADVICE r3)
+    src = os.path.join(os.path.realpath(sf_dir), "customer.parquet")
+    tag = hashlib.md5(
+        f"{src}|{int(os.path.getmtime(src))}".encode()
+    ).hexdigest()[:12]
     base = os.path.join(tempfile.gettempdir(), f"nes_store_vintages_{tag}")
     v1, v2 = os.path.join(base, "v1"), os.path.join(base, "v2")
     if not (
@@ -2770,7 +2775,7 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(date_diff('day', MAX(o_orderdate), ref.ref_date) AS BIGINT)
                AS recency_days,
              COUNT(*) AS frequency,
-             SUM(cents) AS monetary_cents
+             CAST(SUM(cents) AS BIGINT) AS monetary_cents
       FROM o, ref GROUP BY o_custkey, ref.ref_date),
     q AS (SELECT quantile_cont(recency_days, 0.25) AS r25,
                  quantile_cont(recency_days, 0.75) AS r75,
@@ -3085,7 +3090,7 @@ def events_stream_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(x) AS sx, SUM(y) AS sy,
              SUM(x * x) AS sx2, SUM(y * y) AS sy2
       FROM pairs GROUP BY lag)
-    SELECT CAST(lag AS INT) AS lag, n, sxy,
+    SELECT CAST(lag AS INT) AS lag, n, CAST(sxy AS BIGINT) AS sxy,
            (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
            / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
@@ -3154,7 +3159,8 @@ def events_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(hour(ts) AS INT) AS hod,
              COUNT(*) AS c
       FROM events GROUP BY 1, 2, 3),
-    cell AS (SELECT dow, hod, COUNT(*) AS n_cell, SUM(c) AS cell_total
+    cell AS (SELECT dow, hod, COUNT(*) AS n_cell,
+                    CAST(SUM(c) AS BIGINT) AS cell_total
              FROM hourly GROUP BY dow, hod)
     SELECT h.hour_epoch, h.dow, h.hod, h.c AS n_events,
            l.cell_total, l.n_cell,
@@ -3215,7 +3221,9 @@ def events_burst_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT nation, COUNT(*) AS n_suppliers,
              SUM(rq) AS total_k, SUM(rq * rq) AS sum_sq
       FROM revq GROUP BY nation)
-    SELECT CAST(nation AS INT) AS nation, n_suppliers, total_k, sum_sq,
+    SELECT CAST(nation AS INT) AS nation, n_suppliers,
+           CAST(total_k AS BIGINT) AS total_k,
+           CAST(sum_sq AS BIGINT) AS sum_sq,
            CAST(sum_sq AS DOUBLE)
              / (CAST(total_k AS DOUBLE) * CAST(total_k AS DOUBLE)) AS hhi
     FROM agg ORDER BY nation
@@ -3271,7 +3279,7 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM x),
     s AS (SELECT COUNT(*) AS n, SUM(cents) AS s0,
                  SUM(i * cents) AS s1 FROM r)
-    SELECT n, s0, s1,
+    SELECT n, CAST(s0 AS BIGINT) AS s0, CAST(s1 AS BIGINT) AS s1,
            CAST(2 * s1 - (n + 1) * s0 AS DOUBLE)
              / CAST(n * s0 AS DOUBLE) AS gini
     FROM s
