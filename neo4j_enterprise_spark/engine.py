@@ -139,6 +139,14 @@ class Engine:
 
         return merge_nodes(self.nodes(), candidates, **kw)
 
+    def merge_rels(self, candidates: DataFrame, **kw) -> DataFrame:
+        """Bulk Cypher-MERGE over relationships: get-or-create candidate
+        edges by (src, dst, type_name) with ON MATCH / ON CREATE
+        setters; see mutation.merge_rels."""
+        from .operators.mutation import merge_rels
+
+        return merge_rels(self.rels(), candidates, **kw)
+
     # -- training-data pipeline ----------------------------------------
     def dedup_exact(self) -> DataFrame:
         from .operators.dedup import exact_dup_groups

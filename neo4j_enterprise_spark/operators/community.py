@@ -546,6 +546,98 @@ def betweenness_sampled(
     )
 
 
+def betweenness_exact_tree(edges: DataFrame, *, max_depth: int = 8) -> DataFrame:
+    """EXACT Brandes betweenness for unique-shortest-path graphs
+    (forests/hierarchies): when every σ_st = 1 the dependency recursion
+    δ_s(v) = Σ_{w ∈ succ(v)} (1 + δ_s(w)) stays in BIGINTs, so the
+    result is engine-exact and hash-checkable against a SQL oracle —
+    the integer-δ counterpart of :func:`betweenness_sampled` (whose
+    float σ-ratio accumulation keeps it rows-only). Raises
+    ``ValueError`` if any σ > 1 (the graph has parallel shortest paths;
+    use the sampled estimator there).
+
+    Returns (node_id, bc BIGINT) over ALL sources: bc(v) = # ordered
+    (s, t) pairs, s ≠ v ≠ t, whose unique shortest path has v strictly
+    interior (halve for the undirected convention). All-pairs is
+    inherently quadratic in reach — at cluster scale you run the same
+    batched-multi-source machinery on a source sample; every BFS level
+    and every δ level is ONE join shuffled on the node key regardless
+    of |S|.
+    """
+    e = edges.select("a", "b").filter(F.col("a") != F.col("b")).distinct()
+    adj = (
+        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    sources = adj.select(F.col("u").alias("s")).distinct()
+    frontier = sources.select(
+        "s",
+        F.col("s").alias("v"),
+        F.lit(0).alias("dist"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint(eager=True)
+    visited = frontier
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(adj, frontier["v"] == adj["u"])
+            .groupBy("s", adj["v"].alias("w"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .select("s", F.col("w").alias("v"), F.lit(d).alias("dist"), "sigma")
+            .join(visited.select("s", "v"), ["s", "v"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    max_sigma = visited.agg(F.max("sigma")).collect()[0][0] or 1
+    if max_sigma > 1:
+        raise ValueError(
+            "betweenness_exact_tree: graph has parallel shortest paths "
+            f"(max sigma = {max_sigma}); exact integer deltas need unique "
+            "paths — use betweenness_sampled"
+        )
+    vu = visited.select(
+        "s", F.col("v").alias("u"), F.col("dist").alias("du")
+    )
+    vw = visited.select(
+        "s", F.col("v").alias("w"), F.col("dist").alias("dw")
+    )
+    dag = (
+        vu.join(adj, "u")
+        .join(vw, (F.col("v") == F.col("w")) & (vu["s"] == vw["s"]))
+        .filter(F.col("dw") == F.col("du") + 1)
+        .select(vu["s"], "u", "du", "w")
+        .localCheckpoint(eager=True)
+    )
+    dmax = visited.agg(F.max("dist")).collect()[0][0] or 0
+    delta = visited.select("s", "v", F.lit(0).cast("long").alias("delta"))
+    for d in range(dmax - 1, -1, -1):
+        contrib = (
+            dag.filter(F.col("du") == d)
+            .join(delta.select("s", F.col("v").alias("w"), "delta"), ["s", "w"])
+            .groupBy("s", F.col("u").alias("v"))
+            .agg(F.sum(F.lit(1) + F.col("delta")).alias("inc"))
+        )
+        delta = (
+            delta.join(contrib, ["s", "v"], "left")
+            .select(
+                "s",
+                "v",
+                (F.col("delta") + F.coalesce(F.col("inc"), F.lit(0)))
+                .cast("long")
+                .alias("delta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        delta.filter(F.col("s") != F.col("v"))
+        .groupBy(F.col("v").alias("node_id"))
+        .agg(F.sum("delta").cast("long").alias("bc"))
+    )
+
+
 def maximal_independent_set(
     edges: DataFrame, *, seed: int = 0, max_rounds: int = 8
 ) -> DataFrame:

@@ -142,3 +142,60 @@ def merge_nodes(
             created = created.withColumn(c, F.lit(None))
     created = created.select(*nodes.columns)
     return untouched.unionByName(matched.select(*nodes.columns)).unionByName(created)
+
+
+def merge_rels(
+    rels: DataFrame,
+    candidates: DataFrame,
+    *,
+    match_keys: list[str] | None = None,
+    high_water: int,
+    on_match: dict[str, object] | None = None,
+    on_create: dict[str, object] | None = None,
+) -> DataFrame:
+    """Bulk Cypher ``MERGE (a)-[r:T]->(b)`` over the relationship store:
+    get-or-create each candidate edge by ``match_keys`` (default
+    ``(src, dst, type_name)``), applying ON MATCH setters to existing
+    edges and ON CREATE setters (plus fresh ids above ``high_water``)
+    to new ones. Returns the post-merge relationship store.
+
+    The reference's HA test workloads create relationships idempotently
+    under the lock manager (`ha/src/test/java/slavetest/
+    CommonJobs.java:102-140` — getOrCreate then setProperty); batched on
+    Spark it is the same left-semi/left-anti pair as :func:`merge_nodes`
+    but WITHOUT a forced broadcast: an edge batch can be fact-sized, so
+    the merge key drives an ordinary shuffle join and AQE picks
+    broadcast when the batch is small. Duplicate candidate edges for one
+    key collapse to one created edge (MERGE semantics), deterministically.
+
+    Setter values are literals or Columns; setter columns must already
+    exist in the relationship schema so the union stays aligned.
+    """
+    match_keys = list(match_keys or ("src", "dst", "type_name"))
+    on_match = on_match or {}
+    on_create = on_create or {}
+    other = [c for c in candidates.columns if c not in match_keys]
+    if other:
+        w = Window.partitionBy(*match_keys).orderBy(*other)
+        candidates = (
+            candidates.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        candidates = candidates.distinct()
+    hit_keys = candidates.select(*match_keys).distinct()
+    matched = rels.join(hit_keys, match_keys, "left_semi")
+    untouched = rels.join(hit_keys, match_keys, "left_anti")
+    for c, v in on_match.items():
+        matched = matched.withColumn(c, v if isinstance(v, Column) else F.lit(v))
+    existing_keys = rels.select(*match_keys).distinct()
+    created = candidates.join(existing_keys, match_keys, "left_anti")
+    created = assign_ids(created.drop("id"), high_water, match_keys)
+    for c, v in on_create.items():
+        created = created.withColumn(c, v if isinstance(v, Column) else F.lit(v))
+    for c in rels.columns:
+        if c not in created.columns:
+            created = created.withColumn(c, F.lit(None))
+    created = created.select(*rels.columns)
+    return untouched.unionByName(matched.select(*rels.columns)).unionByName(created)

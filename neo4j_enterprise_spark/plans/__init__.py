@@ -87,7 +87,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "graph_trade_reciprocity",
     "graph_rich_club",
     "graph_random_walks",
-    "graph_schema_summary",
+    "graph_betweenness_exact_small",
     "cypher_shortest_path",
     "cypher_union_dedup",
     "cypher_where_or",
@@ -118,7 +118,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_stream_interval_join",
     "events_stream_stateful_totals",
     "events_stream_dedup_rollup",
-    "events_stream_leaderboard",
+    "cypher_merge_rels",
     "customer_rfm_segments",
     "customer_spend_gini",
 )

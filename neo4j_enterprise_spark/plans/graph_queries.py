@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..graph.derive import RELS_SQL, derived_nodes, derived_rels, graph_cte
 from ..graph.derive import ORDER_OFF as ORDER_OFF_SQL
-from ..operators import reads, traversal, validation
+from ..operators import community, reads, traversal, validation
 from ..operators.diff import snapshot_added
 from . import register
 from ..catalog import load_table
@@ -1005,6 +1005,58 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_reached"),
         )
         .orderBy("seed")
+    )
+
+
+@register(
+    "graph_betweenness_exact_small",
+    """
+    WITH cl AS (SELECT c_nationkey AS nk, COUNT(*) AS c
+                FROM customer GROUP BY 1),
+    sl AS (SELECT s_nationkey AS nk, COUNT(*) AS c
+           FROM supplier GROUP BY 1),
+    ln AS (SELECT n_nationkey AS nk, n_regionkey AS rk,
+                  CAST(COALESCE(cl.c, 0) + COALESCE(sl.c, 0) AS BIGINT) AS l
+           FROM nation LEFT JOIN cl ON cl.nk = n_nationkey
+           LEFT JOIN sl ON sl.nk = n_nationkey),
+    tr AS (SELECT rk, CAST(1 + SUM(1 + l) AS BIGINT) AS t,
+                  CAST(SUM((1 + l) * (1 + l)) AS BIGINT) AS sq
+           FROM ln GROUP BY rk),
+    nat AS (SELECT CAST(nk + 4000000 AS BIGINT) AS node_id,
+                   (t - 1) * (t - 1) - l - (t - 1 - l) * (t - 1 - l) AS bc
+            FROM ln JOIN tr USING (rk)),
+    reg AS (SELECT CAST(rk + 5000000 AS BIGINT) AS node_id,
+                   (t - 1) * (t - 1) - sq AS bc
+            FROM tr)
+    SELECT node_id, bc FROM
+      (SELECT * FROM nat UNION ALL SELECT * FROM reg)
+    WHERE bc > 0 ORDER BY bc DESC, node_id
+    """,
+    doc="EXACT betweenness centrality "
+    "(community.betweenness_exact_tree) over the membership hierarchy "
+    "(customer/supplier -IN_NATION/SUPP_NATION-> nation -IN_REGION-> "
+    "region, undirected): a forest, so every pair has a UNIQUE "
+    "shortest path (sigma = 1, asserted) and Brandes' delta "
+    "accumulation stays in BIGINTs — the hash-checkable exact variant "
+    "beside the rows-only float-sigma sampled estimator. bc(v) = # "
+    "ordered (s,t) pairs routed strictly through v; only nations and "
+    "regions score > 0 (the broker nodes). The oracle derives the "
+    "same counts independently via the tree-component identity "
+    "bc(v) = (T-1)^2 - sum |C_i|^2 over the components left by "
+    "removing v — two disjoint derivations, one hash. Spark side is "
+    "the generic batched-all-sources machinery: each BFS level and "
+    "each delta level is ONE join shuffled on the node key; at scale "
+    "the identical plan runs on a source sample.",
+)
+def graph_betweenness_exact_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rels = derived_rels(spark, sf_dir)
+    tree = rels.filter(
+        F.col("type_name").isin("IN_NATION", "SUPP_NATION", "IN_REGION")
+    ).select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    return (
+        community.betweenness_exact_tree(tree, max_depth=4)
+        .filter(F.col("bc") > 0)
+        .orderBy(F.desc("bc"), "node_id")
     )
 
 
@@ -2584,6 +2636,82 @@ def cypher_merge_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.join(cand, ["kind", "name"])
         .select("id", "kind", "name", "in_use")
         .orderBy("name")
+    )
+
+
+@register(
+    "cypher_merge_rels",
+    f"""
+    {graph_cte(nodes=False)},
+    cand AS (
+      SELECT CAST(c_custkey AS BIGINT) AS src,
+             CAST(c_nationkey + 4000000 AS BIGINT) AS dst,
+             'IN_NATION' AS type_name, 3 AS type_id
+      FROM customer WHERE c_custkey IN (1, 2)
+      UNION ALL
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'FOLLOWS', 6),
+        (CAST(2 AS BIGINT), CAST(3 AS BIGINT), 'FOLLOWS', 6))
+        v(src, dst, type_name, type_id)),
+    matched AS (
+      SELECT r.id, c.src, c.dst, r.type_id, c.type_name,
+             TRUE AS was_matched
+      FROM rels r JOIN cand c
+        ON r.src = c.src AND r.dst = c.dst AND r.type_name = c.type_name),
+    created AS (
+      SELECT CAST(3000000000 + ROW_NUMBER() OVER (ORDER BY c.src, c.dst,
+                  c.type_name) AS BIGINT) AS id,
+             c.src, c.dst, c.type_id, c.type_name, FALSE AS was_matched
+      FROM cand c LEFT JOIN rels r
+        ON r.src = c.src AND r.dst = c.dst AND r.type_name = c.type_name
+      WHERE r.id IS NULL)
+    SELECT id, src, dst, type_id, type_name, was_matched FROM matched
+    UNION ALL
+    SELECT id, src, dst, type_id, type_name, was_matched FROM created
+    ORDER BY src, dst, type_name
+    """,
+    doc="Cypher MERGE over relationships (mutation.merge_rels): "
+    "get-or-create four edges by (src, dst, type_name) — two IN_NATION "
+    "edges exist (ON MATCH SET flags was_matched=true, original ids "
+    "kept: no duplicate edge creation), two FOLLOWS edges are new "
+    "(ON CREATE + dense ids above the 3e9 relationship high-water "
+    "mark). The reference creates relationships idempotently in its HA "
+    "workloads (ha/src/test/java/slavetest/CommonJobs.java:102-140, "
+    "getOrCreate under the lock manager); the batch rendering is one "
+    "left-semi + left-anti join pair on the merge key with NO forced "
+    "broadcast — edge batches can be fact-sized, AQE decides.",
+)
+def cypher_merge_rels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+    from ..operators import mutation
+
+    existing = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey").isin(1, 2))
+        .select(
+            F.col("c_custkey").cast("long").alias("src"),
+            (F.col("c_nationkey") + 4000000).cast("long").alias("dst"),
+            F.lit("IN_NATION").alias("type_name"),
+            F.lit(3).alias("type_id"),
+        )
+    )
+    new = spark.createDataFrame(
+        [(1, 2, "FOLLOWS", 6), (2, 3, "FOLLOWS", 6)],
+        "src long, dst long, type_name string, type_id int",
+    )
+    cand = existing.unionByName(new)
+    rels0 = derived_rels(spark, sf_dir).withColumn("was_matched", F.lit(False))
+    merged = mutation.merge_rels(
+        rels0,
+        cand,
+        high_water=3_000_000_000,
+        on_match={"was_matched": True},
+        on_create={"was_matched": False},
+    )
+    return (
+        merged.join(cand.select("src", "dst", "type_name"), ["src", "dst", "type_name"])
+        .select("id", "src", "dst", "type_id", "type_name", "was_matched")
+        .orderBy("src", "dst", "type_name")
     )
 
 

@@ -512,3 +512,64 @@ def test_assortativity_exact_star_and_cycle(spark):
 
     cyc = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "a long, b long")
     assert math.isnan(degree_assortativity(cyc).collect()[0].r)
+
+
+def test_merge_rels_get_or_create_idempotent(spark):
+    from neo4j_enterprise_spark.operators.mutation import merge_rels
+
+    rels = spark.createDataFrame(
+        [(10, 1, 2, 3, "IN_NATION", False), (11, 2, 3, 3, "IN_NATION", False)],
+        "id long, src long, dst long, type_id int, type_name string,"
+        " was_matched boolean",
+    )
+    cand = spark.createDataFrame(
+        [(1, 2, "IN_NATION", 3), (5, 6, "FOLLOWS", 6), (5, 6, "FOLLOWS", 6)],
+        "src long, dst long, type_name string, type_id int",
+    )
+    out = merge_rels(
+        rels,
+        cand,
+        high_water=1000,
+        on_match={"was_matched": True},
+        on_create={"was_matched": False},
+    )
+    got = {(r.src, r.dst, r.type_name): (r.id, r.type_id, r.was_matched)
+           for r in out.collect()}
+    assert out.count() == 3  # duplicate candidate edge collapsed
+    assert got[(1, 2, "IN_NATION")] == (10, 3, True)   # matched, id kept
+    assert got[(2, 3, "IN_NATION")] == (11, 3, False)  # untouched
+    assert got[(5, 6, "FOLLOWS")] == (1001, 6, False)  # created above hwm
+    # idempotency: re-merging the same batch creates nothing new
+    again = merge_rels(
+        out, cand, high_water=2000,
+        on_match={"was_matched": True}, on_create={"was_matched": False},
+    )
+    assert again.count() == 3
+    assert {r.id for r in again.collect()} == {10, 11, 1001}
+
+
+def test_betweenness_exact_tree_star_and_reject(spark):
+    import pytest as _pytest
+
+    from neo4j_enterprise_spark.operators.community import (
+        betweenness_exact_tree,
+    )
+
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "a long, b long"
+    )
+    got = {r.node_id: r.bc for r in betweenness_exact_tree(star).collect()}
+    # removing the hub leaves {1},{2},{3}: ordered pairs through it =
+    # 3^2 - 3 = 6; leaves route nothing
+    assert got[0] == 6 and got[1] == got[2] == got[3] == 0
+    # two-level tree: 0-1, 1-2, 1-3 → bc(1) = 3^2 - (1+1+1)... comps
+    # {0},{2},{3} → 9 - 3 = 6; bc(0)=bc(2)=bc(3)=0
+    chain = spark.createDataFrame([(0, 1), (1, 2), (1, 3)], "a long, b long")
+    got2 = {r.node_id: r.bc for r in betweenness_exact_tree(chain).collect()}
+    assert got2[1] == 6 and got2[0] == 0
+    # a 4-cycle has two shortest paths between opposite corners → reject
+    cyc = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "a long, b long"
+    )
+    with _pytest.raises(ValueError, match="parallel shortest paths"):
+        betweenness_exact_tree(cyc)
