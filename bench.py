@@ -79,6 +79,11 @@ def main() -> None:
         samples = []
         n = 0
         for _ in range(runs):
+            # drive ContextCleaner before the timer starts: weak-ref
+            # cleanup of prior runs' shuffle/broadcast state otherwise
+            # lags on a large heap and reads as query-time regression
+            # (measured 2s->45s->159s at sf1 without this)
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             df = q.spark(spark, sf_dir)
             n = df.count()  # full materialization
@@ -143,6 +148,56 @@ def main() -> None:
             print(f"# b1_check_{fam}: {n_rec} records in {round(dt, 3)}s", file=sys.stderr)
         timings["graph_validation_suite_100k"] = round(b1_total, 3)
 
+    # Reference-canonical B1 run: the 10M-node / 30M-rel / 40M-prop
+    # store (ConsistencyPerformanceCheck.java:76-87) checked in ONE cold
+    # pass — the volume-dominated number where the per-query JVM floor
+    # amortizes away (BASELINE.md §7). Generation is un-timed (the
+    # reference also builds the store outside the timed FullCheck).
+    # Clearly labeled as a single cold pass: no warmup, no median.
+    # SPARK_GRAFT_B1_CANONICAL=0 skips; a custom node count can be set
+    # (e.g. 1000000 for a quick rig check). Failure or timeout of this
+    # extra phase must never invalidate the headline artifact — hence
+    # the broad try/except.
+    b1c = os.environ.get("SPARK_GRAFT_B1_CANONICAL", "10000000")
+    canonical = None
+    if b1_split and b1c != "0":
+        try:
+            from neo4j_enterprise_spark.graph.generator import fixture_graph
+            from neo4j_enterprise_spark.operators import record_checks as rc
+
+            n_nodes = int(b1c)
+            t0 = time.perf_counter()
+            gc = fixture_graph(spark, node_count=n_nodes)
+            c_counts = rc.family_element_counts(gc)
+            gen_s = time.perf_counter() - t0
+            n_rec = sum(c_counts.values())
+            print(
+                f"# b1_canonical fixture: {n_nodes} nodes, {n_rec} records,"
+                f" built in {gen_s:.1f}s (un-timed)",
+                file=sys.stderr,
+            )
+            t0 = time.perf_counter()
+            for df in rc.check_families(gc).values():
+                df.count()
+            dt = time.perf_counter() - t0
+            # kept OUT of ``timings``/``phases`` so the headline
+            # ``value`` and total stay comparable round-over-round; the
+            # canonical number rides as its own clearly-labeled block
+            canonical = {
+                "name": f"b1_canonical_{n_nodes // 1_000_000}m_cold",
+                "elementCount": n_rec,
+                "time": round(dt * 1000),
+                "recordsPerSecond": round(n_rec / dt) if dt > 0 else 0,
+                "note": "single cold pass, generation un-timed",
+            }
+            print(
+                f"# b1_canonical: {n_rec} records in {round(dt, 1)}s "
+                f"= {round(n_rec / dt)}/s (single cold pass)",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # canonical run is best-effort extra
+            print(f"# b1_canonical skipped: {exc!r}", file=sys.stderr)
+
     total_sec = round(sum(timings.values()), 3)
     total_rows = sum(p["elementCount"] for p in phases)
     print(
@@ -159,6 +214,7 @@ def main() -> None:
                     "time": round(total_sec * 1000),
                     "recordsPerSecond": round(total_rows / total_sec) if total_sec else 0,
                 },
+                **({"b1_canonical": canonical} if canonical else {}),
             }
         )
     )

@@ -317,12 +317,15 @@ def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text"):
     Plan per round: adjacent-pair counts over the (word, count) table —
     one explode + one partial-agg shuffle on the pair key — then ONE
     argmax row to the driver (the merge decision is a global scalar,
-    planner-sized like the IVF codebook collect), then the merge applied
-    corpus-wide as an array fold fused into the projection (no shuffle).
-    The word table carries one row per DISTINCT word (frequency-
-    weighted), so round cost scales with vocabulary, not corpus size —
-    the standard trainer shape at 100 TB where the word-count table is
-    millions of rows against trillions of tokens.
+    planner-sized like the IVF codebook collect); the merge itself is an
+    array fold fused into the projection (no shuffle). ONE driver action
+    per round: the argmax collect doubles as the materialization of the
+    current (lazily persisted) word table — the previous round's cache
+    is dropped only after its child is cached, so lineage stays one
+    merge deep. The word table carries one row per DISTINCT word
+    (frequency-weighted), so round cost scales with vocabulary, not
+    corpus size — the standard trainer shape at 100 TB where the
+    word-count table is millions of rows against trillions of tokens.
 
     Returns (merges list[(a, b)], words DataFrame(word, count, syms)).
     """
@@ -339,7 +342,10 @@ def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text"):
         .persist()
     )
     merges: list[tuple[str, str]] = []
+    prev: DataFrame | None = None
     for _ in range(n_merges):
+        # the round's SINGLE action: the argmax scan also materializes
+        # ``words`` into its (lazy) persist cache as a side effect
         pairs = (
             words.select(
                 "cnt",
@@ -357,14 +363,16 @@ def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text"):
             .limit(1)
             .collect()
         )
+        if prev is not None:
+            # ``words`` is cached now; its parent can go
+            prev.unpersist()
+            prev = None
         if not pairs or pairs[0]["n"] < 2:
             break
         a, b = pairs[0]["a"], pairs[0]["b"]
         merges.append((a, b))
         nxt = words.withColumn("syms", _merge_pair(F.col("syms"), a, b)).persist()
-        nxt.count()
-        words.unpersist()
-        words = nxt
+        prev, words = words, nxt
     return merges, words
 
 

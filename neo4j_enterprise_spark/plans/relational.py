@@ -189,28 +189,34 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
     """,
-    doc="TPC-H Q4 shape: EXISTS(l.shipdate > o.orderdate) rewritten as "
-    "max(l_shipdate) per order > o_orderdate — the correlated semi-join "
-    "becomes one map-side-combinable fact aggregation plus an EQUI-join "
-    "where the small (date-filtered orders) side broadcasts. The naive "
-    "left-semi form makes the optimizer broadcast the FACT side (its "
-    "non-equi term blocks pre-reduction) — wrong at 100 TB and the "
-    "source of 0.6-4.7 s jitter under driver memory pressure.",
+    doc="TPC-H Q4 shape: the correlated EXISTS compiles to one inner "
+    "join of the fact against the DATE-FILTERED orders slice (small → "
+    "Catalyst auto-broadcasts it, so the fact never shuffles for the "
+    "join) with the non-equi lateness term as a join predicate, then "
+    "count_distinct(orderkey) per priority — partial distinct is "
+    "map-side, so the only shuffle carries the matched-order keys. "
+    "Profiled at sf1: 5.5x faster than the previous "
+    "aggregate-the-whole-fact (max shipdate per EVERY order) shape, "
+    "which paid a 6M-group hash aggregate for a 114k-order window. At "
+    "100 TB the orders slice outgrows broadcast and AQE falls back to "
+    "a key-partitioned join — still one fact-sized map pass and one "
+    "small shuffle.",
     bench=True,
 )
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
         & (F.col("o_orderdate") < F.lit("1997-07-01").cast("date"))
-    )
-    li = load_table(spark, sf_dir, "lineitem")
-    lmax = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("max_ship"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     return (
-        F.broadcast(o)
-        .join(lmax, o["o_orderkey"] == lmax["l_orderkey"])
-        .filter(F.col("max_ship") > F.col("o_orderdate"))
+        li.join(
+            o,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+        )
         .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("order_count"))
+        .agg(F.count_distinct("o_orderkey").alias("order_count"))
         .orderBy("o_orderpriority")
     )
 
@@ -442,8 +448,14 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_d("l_quantity")).alias("qty_dec"))
         .filter(F.col("qty_dec") > 150)
     )
+    # shuffle-hash with the aggregated (smaller) side as build: the
+    # static planner's pruned-column size estimate prices the orders
+    # scan under the broadcast threshold and ships a fact-sized hashed
+    # relation (~300 MB at sf1, OOM territory at 100 TB); the hinted
+    # key-partitioned hash join costs the same at sf1 (1.75 s vs 1.9 s)
+    # and scales.
     return (
-        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        big.hint("shuffle_hash").join(o, big["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .select(
             "c_custkey",

@@ -46,6 +46,16 @@ def get_spark(
         # 128m is also the right post-shuffle partition size for large
         # clusters (fewer, fuller reducers; less scheduling overhead).
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128m")
+        # ContextCleaner is weak-reference driven: on a large heap the
+        # JVM may not GC for minutes, so shuffle files, broadcast blocks
+        # and map-output state from finished jobs pile up — measured at
+        # sf1: repeated heavy aggregations degrade 2s -> 45s -> 159s
+        # until a System.gc() restores 2s. The default periodic-GC
+        # interval (30min) is far too lazy for shuffle-heavy iterative
+        # workloads; 1min keeps cleanup flowing at negligible cost
+        # (~0.1s per GC on a 48g heap) and is just as appropriate on
+        # long-running cluster drivers.
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -23,9 +23,11 @@ from neo4j_enterprise_spark.plans import all_queries
 from neo4j_enterprise_spark.session import get_spark
 
 
-def median5(fn) -> float:
+def median5(fn, pre=None) -> float:
     samples = []
     for _ in range(5):
+        if pre is not None:
+            pre()  # un-timed per-sample hygiene (ContextCleaner GC)
         t0 = time.perf_counter()
         fn()
         samples.append(time.perf_counter() - t0)
@@ -47,10 +49,23 @@ def main() -> None:
     rows = []
     for n, q in sorted(qs.items()):
         q.spark(spark, sf_dir).count()  # warm codegen
-        s = median5(lambda: q.spark(spark, sf_dir).count())
+        jgc = spark.sparkContext._jvm.System.gc
+        s = median5(lambda: q.spark(spark, sf_dir).count(), pre=jgc)
         con.execute(q.oracle).fetchall()  # warm
         d = median5(lambda: con.execute(q.oracle).fetchall())
         rows.append((n, s, d))
+        print(f"# {n}: spark {s:.2f}s duckdb {d:.3f}s", flush=True)
+        # drop cached/checkpointed blocks the query left behind
+        # (iterative queries localCheckpoint; at sf1+ the pinned blocks
+        # measurably contaminate every query that follows)
+        import gc
+
+        gc.collect()
+        spark.catalog.clearCache()
+        for rdd in list(
+            spark.sparkContext._jsc.getPersistentRDDs().values()
+        ):
+            rdd.unpersist()
     rows.sort(key=lambda r: -(r[1] / max(r[2], 1e-9)))
     for n, s, d in rows:
         print(f"| {n} | {s:.2f} | {d:.3f} | {s / max(d, 1e-9):.1f}× |")
