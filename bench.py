@@ -29,6 +29,7 @@ from neo4j_enterprise_spark.session import get_spark
 
 
 def main() -> None:
+    t_start = time.perf_counter()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -158,8 +159,18 @@ def main() -> None:
     # (e.g. 1000000 for a quick rig check). Failure or timeout of this
     # extra phase must never invalidate the headline artifact — hence
     # the broad try/except.
-    b1c = os.environ.get("SPARK_GRAFT_B1_CANONICAL", "10000000")
+    # default 4M nodes (~64M records): volume-dominated enough that the
+    # per-phase JVM floor is noise, yet gen+check fit the bench budget
+    # alongside the headline loop; the full 10M reference-canonical run
+    # rides tools/b1_scale.py and BASELINE.md §7 (set
+    # SPARK_GRAFT_B1_CANONICAL=10000000 to run it here).
+    b1c = os.environ.get("SPARK_GRAFT_B1_CANONICAL", "4000000")
     canonical = None
+    if time.perf_counter() - t_start > 300:
+        # headline+B1 ran unusually slow (loaded machine): skip the
+        # canonical extra rather than risk the harness budget
+        print("# b1_canonical skipped: bench already past 300s", file=sys.stderr)
+        b1c = "0"
     if b1_split and b1c != "0":
         try:
             from neo4j_enterprise_spark.graph.generator import fixture_graph

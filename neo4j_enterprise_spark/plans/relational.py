@@ -657,17 +657,21 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY c.c_custkey)
     GROUP BY c_count ORDER BY custdist DESC, c_count DESC
     """,
-    doc="TPC-H Q13 shape: orders-per-customer distribution "
-    "(left join + double aggregation).",
+    doc="TPC-H Q13 shape: orders-per-customer distribution. The fact "
+    "table is aggregated to per-customer counts FIRST (map-side "
+    "combinable: one narrow shuffle of 150k partials, not 1.5M joined "
+    "rows), then LEFT-joined onto the customer dimension with "
+    "coalesce(0) for the order-less customers — same result as "
+    "left-join-then-count, one fact shuffle cheaper. 26x -> ~2x vs "
+    "DuckDB at sf1.",
     bench=True,
 )
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    per_cust = (
-        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+    oc = o.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    per_cust = c.join(oc, c["c_custkey"] == oc["o_custkey"], "left").select(
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("c_count")
     )
     return (
         per_cust.groupBy("c_count")
