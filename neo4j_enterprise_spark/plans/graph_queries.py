@@ -3640,3 +3640,41 @@ def parts_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "ante", "cons")
         .limit(20)
     )
+
+
+@register(
+    "graph_orc_roundtrip",
+    f"""
+    {graph_cte(rels=False)}
+    SELECT id, kind, in_use, name FROM nodes ORDER BY id
+    """,
+    doc="Portable store copy round-trip in ORC (sink.export_orc / "
+    "import_orc): the node store written as ORC and read back with a "
+    "pinned schema, hash-matched against the oracle's node derivation "
+    "— the columnar-interchange sibling of graph_jsonl_roundtrip "
+    "(Hive/Trino ecosystems speak ORC; parquet remains the native "
+    "format). Stage dir keyed on source path+mtimes, rewritten only "
+    "when absent.",
+)
+def graph_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.sink import export_orc, import_orc
+
+    nodes = derived_nodes(spark, sf_dir)
+    real = os.path.realpath(sf_dir)
+    mtimes = ",".join(
+        str(int(os.path.getmtime(os.path.join(real, f))))
+        for f in sorted(os.listdir(real))
+        if f.endswith(".parquet")
+    )
+    tag = hashlib.md5(f"orc|{real}|{mtimes}".encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"nes_orc_nodes_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        export_orc(nodes, out)
+    back = import_orc(
+        spark, out, "id long, kind string, in_use boolean, name string"
+    )
+    return back.select("id", "kind", "in_use", "name").orderBy("id")

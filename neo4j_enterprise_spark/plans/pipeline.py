@@ -2163,3 +2163,69 @@ def docs_prefix_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "docs_countmin_freq",
+    r"""
+    WITH toks AS (
+      SELECT lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS tok
+      FROM documents),
+    tf AS (SELECT tok FROM toks WHERE tok <> ''),
+    true_cnt AS (SELECT tok, COUNT(*) AS true_n FROM tf GROUP BY tok),
+    probes AS (SELECT tok, true_n FROM true_cnt
+               ORDER BY true_n DESC, tok LIMIT 10),
+    cells AS (
+      SELECT CAST(r.i AS INT) AS row,
+             CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || '|' || tok),
+                                  1, 15))::BIGINT % 256 AS INT) AS cell,
+             COUNT(*) AS cnt
+      FROM tf CROSS JOIN range(4) r(i) GROUP BY 1, 2),
+    est AS (
+      SELECT p.tok, p.true_n, MIN(COALESCE(c.cnt, 0)) AS cm_est
+      FROM probes p CROSS JOIN range(4) r(i)
+      LEFT JOIN cells c
+        ON c.row = CAST(r.i AS INT)
+       AND c.cell = CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || '|'
+                          || p.tok), 1, 15))::BIGINT % 256 AS INT)
+      GROUP BY p.tok, p.true_n)
+    SELECT tok AS term, true_n, CAST(cm_est AS BIGINT) AS cm_est,
+           CAST(cm_est - true_n AS BIGINT) AS overcount
+    FROM est ORDER BY true_n DESC, term
+    """,
+    doc="Count-Min sketch frequency estimation "
+    "(sketches.count_min_build/estimate, depth 4 × width 256): token "
+    "counts estimated from a fixed 1 KB-per-task counter table, probed "
+    "for the 10 highest-frequency terms beside their exact counts and "
+    "the (always ≥ 0) overcount. The md5-derived row hashes make the "
+    "sketch DETERMINISTIC with an exact SQL twin — hash-checkable "
+    "where HLL/GK sketches are rows-only — and cell-wise MERGEABLE: "
+    "per-shard sketches roll up with a groupBy-sum whose exchange "
+    "carries ≤ depth·width rows, the keep-state-not-data pattern a "
+    "100 TB pipeline needs for streaming frequency monitoring.",
+)
+def docs_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok0")
+        )
+        .select(F.lower(F.col("tok0")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    sketch = sketches.count_min_build(toks, "tok", depth=4, width=256)
+    probes = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("true_n"))
+        .orderBy(F.desc("true_n"), "tok")
+        .limit(10)
+    )
+    est = sketches.count_min_estimate(sketch, probes, "tok", depth=4, width=256)
+    return est.select(
+        F.col("tok").alias("term"),
+        "true_n",
+        "cm_est",
+        (F.col("cm_est") - F.col("true_n")).cast("long").alias("overcount"),
+    ).orderBy(F.desc("true_n"), "term")

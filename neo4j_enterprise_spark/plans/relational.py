@@ -249,8 +249,14 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     # customer over the (much smaller) per-order aggregate — one fact
     # shuffle instead of carrying c_name/n_name through the big join
     per_order = li.groupBy("l_orderkey").agg(F.sum(revenue).alias("rev_dec"))
+    # shuffle-hash on the orderkey join: the static planner under-prices
+    # the pruned orders scan and broadcasts a fact-sized hashed relation
+    # (same defect profiled on q18 — ~300 MB at sf1, degrading 4.7s ->
+    # 11s across runs; OOM at cluster scale)
     return (
-        per_order.join(o, per_order["l_orderkey"] == o["o_orderkey"])
+        per_order.hint("shuffle_hash").join(
+            o, per_order["l_orderkey"] == o["o_orderkey"]
+        )
         .groupBy("o_custkey")
         .agg(F.sum("rev_dec").alias("rev_cust"))
         .join(c, F.col("o_custkey") == c["c_custkey"])

@@ -240,6 +240,25 @@ def import_jsonl(spark, in_dir: str, schema) -> DataFrame:
     return spark.read.schema(schema).json(in_dir)
 
 
+def export_orc(df: DataFrame, out_dir: str) -> str:
+    """Columnar interchange in ORC (the other big-data columnar format
+    beside parquet — Hive/Trino ecosystems): same overwrite-idempotent
+    contract as ``export_jsonl``, with predicate pushdown and column
+    pruning preserved on re-read."""
+    df.write.mode("overwrite").orc(out_dir)
+    return out_dir
+
+
+def import_orc(spark, in_dir: str, schema=None) -> DataFrame:
+    """Read an ORC export; pass ``schema`` to pin types (ORC is
+    self-describing, so unlike JSONL the schema argument is a
+    verification contract, not a requirement)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(in_dir)
+
+
 def read_evolved(spark, dirs: list[str], defaults: dict[str, object]) -> DataFrame:
     """Store-format upgrade read: one DataFrame over parquet dirs of
     DIFFERENT schema vintages (``mergeSchema`` unions the columns;

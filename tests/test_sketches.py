@@ -139,3 +139,34 @@ def test_heavy_hitters_superset_and_undercount(spark):
         for r in verify_heavy_hitters(df, "v", hh).collect()
     }
     assert exact["hot"] == 800 and exact["warm"] == 400
+
+
+def test_count_min_overestimates_and_merges(spark):
+    from pyspark.sql import functions as F
+
+    from neo4j_enterprise_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    vals = [f"t{i % 7}" for i in range(100)] + ["rare"]
+    df = spark.createDataFrame([(v,) for v in vals], "tok string")
+    sk = count_min_build(df, "tok", depth=4, width=16)
+    truth = df.groupBy("tok").agg(F.count("*").alias("true_n"))
+    est = count_min_estimate(sk, truth, "tok", depth=4, width=16)
+    rows = est.collect()
+    assert len(rows) == 8
+    for r in rows:  # CM never under-counts
+        assert r.cm_est >= r.true_n
+    # mergeability: sketch(a ∪ b) == cellwise-sum(sketch(a), sketch(b))
+    a = spark.createDataFrame([(v,) for v in vals[:40]], "tok string")
+    b = spark.createDataFrame([(v,) for v in vals[40:]], "tok string")
+    merged = (
+        count_min_build(a, "tok", depth=4, width=16)
+        .unionByName(count_min_build(b, "tok", depth=4, width=16))
+        .groupBy("row", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = count_min_build(df, "tok", depth=4, width=16)
+    assert merged.subtract(whole).count() == 0
+    assert whole.subtract(merged).count() == 0
