@@ -3678,3 +3678,64 @@ def graph_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, out, "id long, kind string, in_use boolean, name string"
     )
     return back.select("id", "kind", "in_use", "name").orderBy("id")
+
+
+@register(
+    "graph_label_propagation",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_partkey < 500),
+    e AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+          FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+    adj AS MATERIALIZED (SELECT a AS u, b AS v FROM e
+                         UNION ALL SELECT b, a FROM e),
+    l0 AS (SELECT DISTINCT u AS node_id, u AS label FROM adj),
+    r1 AS (SELECT a.u AS node_id, l.label, COUNT(*) AS cnt
+           FROM adj a JOIN l0 l ON l.node_id = a.v GROUP BY 1, 2),
+    l1 AS (SELECT node_id, label FROM r1 QUALIFY ROW_NUMBER() OVER
+           (PARTITION BY node_id ORDER BY cnt DESC, label) = 1),
+    r2 AS (SELECT a.u AS node_id, l.label, COUNT(*) AS cnt
+           FROM adj a JOIN l1 l ON l.node_id = a.v GROUP BY 1, 2),
+    l2 AS (SELECT node_id, label FROM r2 QUALIFY ROW_NUMBER() OVER
+           (PARTITION BY node_id ORDER BY cnt DESC, label) = 1),
+    r3 AS (SELECT a.u AS node_id, l.label, COUNT(*) AS cnt
+           FROM adj a JOIN l2 l ON l.node_id = a.v GROUP BY 1, 2),
+    l3 AS (SELECT node_id, label FROM r3 QUALIFY ROW_NUMBER() OVER
+           (PARTITION BY node_id ORDER BY cnt DESC, label) = 1)
+    SELECT CAST(node_id AS BIGINT) AS node_id, CAST(label AS BIGINT) AS label
+    FROM l3 ORDER BY node_id
+    """,
+    doc="Synchronous label propagation (community.label_propagation, "
+    "3 exact rounds) over the 500-part co-purchase graph: labels start "
+    "as node ids, each round every node adopts its neighbors' most "
+    "frequent label (ties -> smaller label) — exact BIGINT counts and "
+    "a total argmax order make the unrolled rounds bit-deterministic, "
+    "so the oracle replays them as QUALIFY CTEs (the cheap community "
+    "baseline beside the Louvain round and MIS, same "
+    "verifiable-unit contract). Spark argmax is max(struct(cnt, "
+    "-label)) — no window, one combinable aggregation per round.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 500)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.select(F.col("l_orderkey"), F.col("l_partkey").alias("a"))
+        .join(
+            li.select(F.col("l_orderkey"), F.col("l_partkey").alias("b")),
+            "l_orderkey",
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return (
+        community.label_propagation(e, rounds=3)
+        .select(F.col("node_id").cast("long"), F.col("label").cast("long"))
+        .orderBy("node_id")
+    )

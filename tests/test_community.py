@@ -573,3 +573,15 @@ def test_betweenness_exact_tree_star_and_reject(spark):
     )
     with _pytest.raises(ValueError, match="parallel shortest paths"):
         betweenness_exact_tree(cyc)
+
+
+def test_label_propagation_majority_and_ties(spark):
+    from neo4j_enterprise_spark.operators.community import label_propagation
+
+    # two triangles joined by one bridge edge: each triangle converges
+    # to its minimum id; the bridge is outvoted
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r.node_id: r.label for r in label_propagation(df, rounds=4).collect()}
+    assert got[0] == got[1] == got[2]
+    assert got[3] == got[4] == got[5]
