@@ -98,9 +98,18 @@ def heavy_hitters(
     def mg_partial(batches):
         counters: dict[str, int] = {}
         for pdf in batches:
-            vals = pdf[col].astype(str)
-            wts = pdf[weight_col] if weight_col else pd.Series(1, index=pdf.index)
-            for v, w in zip(vals, wts):
+            # vectorized pre-aggregation: MG over (value, total-weight)
+            # pairs is weighted MG, whose superset invariant
+            # (count[v] >= true[v] - N/k) holds for ANY arrival order —
+            # and the final output is exact-verified anyway. Iterating
+            # unique values instead of rows cuts the Python loop ~10x.
+            if weight_col:
+                agg = pd.Series(
+                    pdf[weight_col].to_numpy(), index=pdf[col].astype(str)
+                ).groupby(level=0).sum()
+            else:
+                agg = pdf[col].astype(str).value_counts()
+            for v, w in agg.items():
                 w = int(w)
                 if v in counters:
                     counters[v] += w
