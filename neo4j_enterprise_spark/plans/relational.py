@@ -3348,3 +3348,40 @@ def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.col("s0")).cast("double")
         ).alias("gini"),
     )
+
+
+@register(
+    "orders_salted_join_rollup",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Skew-mitigation machinery under an oracle: the fact-dim join "
+    "runs through skew.salted_join (deterministic per-row salt "
+    "scatters each key across 8 sub-keys; the right side replicates "
+    "8x via a broadcast range join) and must produce EXACTLY the "
+    "plain join's rollup — proving salting is a pure physical rewrite. "
+    "This is the explicit fallback for hot keys AQE's per-partition "
+    "skew splitting cannot fix (a dominant key with a non-broadcast "
+    "build side); on this synthetic data no key is hot, which is "
+    "precisely why the equality check is meaningful at any skew.",
+)
+def orders_salted_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, "l_orderkey", n_salts=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(_d("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
