@@ -67,8 +67,11 @@ def register(
 #          metrics: nation_supplier_hhi/supplier_pareto_share;
 #          parts_frequent_triples/parts_association_rules; SCD2/fuzzy/
 #          incremental-view/txlog_as_of/skew_report + the relational
-#          demotions), then resume cycling so every oracle query gets a
-#          driver row at least once per ~4 rounds.
+#          demotions), PLUS the round-4 additions past slot 50
+#          (docs_countmin_freq, graph_orc_roundtrip,
+#          graph_label_propagation, orders_salted_join_rollup), then
+#          resume cycling so every oracle query gets a driver row at
+#          least once per ~4 rounds.
 # bench.py and the local parity tests are order-independent.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     "q12_delay_class_priority",  # r3 red (HUGEINT artifact) - re-check the fix
