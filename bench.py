@@ -159,17 +159,19 @@ def main() -> None:
     # (e.g. 1000000 for a quick rig check). Failure or timeout of this
     # extra phase must never invalidate the headline artifact — hence
     # the broad try/except.
-    # default 4M nodes (~64M records): volume-dominated enough that the
+    # default 2M nodes (~32M records): volume-dominated enough that the
     # per-phase JVM floor is noise, yet gen+check fit the bench budget
-    # alongside the headline loop; the full 10M reference-canonical run
-    # rides tools/b1_scale.py and BASELINE.md §7 (set
+    # alongside the headline loop even at the slow tail of generation
+    # variance (fixture build measured 93-306s at 4M — too wide for the
+    # harness budget, hence 2M default). The full 10M reference-
+    # canonical run rides tools/b1_scale.py and BASELINE.md §6-7 (set
     # SPARK_GRAFT_B1_CANONICAL=10000000 to run it here).
-    b1c = os.environ.get("SPARK_GRAFT_B1_CANONICAL", "4000000")
+    b1c = os.environ.get("SPARK_GRAFT_B1_CANONICAL", "2000000")
     canonical = None
-    if time.perf_counter() - t_start > 300:
+    if time.perf_counter() - t_start > 240:
         # headline+B1 ran unusually slow (loaded machine): skip the
         # canonical extra rather than risk the harness budget
-        print("# b1_canonical skipped: bench already past 300s", file=sys.stderr)
+        print("# b1_canonical skipped: bench already past 240s", file=sys.stderr)
         b1c = "0"
     if b1_split and b1c != "0":
         try:

@@ -249,10 +249,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     # customer over the (much smaller) per-order aggregate — one fact
     # shuffle instead of carrying c_name/n_name through the big join
     per_order = li.groupBy("l_orderkey").agg(F.sum(revenue).alias("rev_dec"))
-    # shuffle-hash on the orderkey join: the static planner under-prices
-    # the pruned orders scan and broadcasts a fact-sized hashed relation
-    # (same defect profiled on q18 — ~300 MB at sf1, degrading 4.7s ->
-    # 11s across runs; OOM at cluster scale)
+    # shuffle-hash: the static planner broadcast a fact-sized orders
+    # relation here (~300 MB at sf1, degrading 4.7s -> 11s across runs)
     return (
         per_order.hint("shuffle_hash").join(
             o, per_order["l_orderkey"] == o["o_orderkey"]
@@ -454,12 +452,11 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_d("l_quantity")).alias("qty_dec"))
         .filter(F.col("qty_dec") > 150)
     )
-    # shuffle-hash with the aggregated (smaller) side as build: the
-    # static planner's pruned-column size estimate prices the orders
-    # scan under the broadcast threshold and ships a fact-sized hashed
-    # relation (~300 MB at sf1, OOM territory at 100 TB); the hinted
-    # key-partitioned hash join costs the same at sf1 (1.75 s vs 1.9 s)
-    # and scales.
+    # shuffle-hash with the aggregated side as build: the static
+    # planner's pruned-column size estimate prices the orders scan
+    # under the broadcast threshold and ships a fact-sized hashed
+    # relation (~300 MB at sf1, OOM territory at 100 TB). Costs ~0.3s
+    # at sf0.1 vs the (wrong-at-scale) broadcast; scales.
     return (
         big.hint("shuffle_hash").join(o, big["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
@@ -913,11 +910,12 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     late = F.col("l_shipdate").cast("date") > F.date_add(F.col("o_orderdate").cast("date"), 90)
-    # shuffle-hash (orders as build): the shuffle join partitions on
+    # shuffle-hash (orders as build): the join partitions on
     # l_orderkey, which the groupBy and the windows below REUSE — zero
-    # further exchanges; the auto-chosen orders broadcast still pays the
-    # full fact shuffle at the groupBy anyway plus the fact-sized hashed
-    # relation (the q18 static-estimate defect). 3.2s -> 1.9s at sf1.
+    # further exchanges; the auto-chosen orders broadcast still pays
+    # the full fact shuffle at the groupBy anyway plus the fact-sized
+    # hashed relation (the q18 static-estimate defect). 3.2s -> 1.9s
+    # at sf1.
     agg = (
         li.join(
             o.select("o_orderkey", "o_orderdate").hint("shuffle_hash"),

@@ -46,6 +46,14 @@ def get_spark(
         # 128m is also the right post-shuffle partition size for large
         # clusters (fewer, fuller reducers; less scheduling overhead).
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128m")
+        # Join strategy note: the STATIC broadcast threshold stays at its
+        # default. We A/B-tested disabling it (-1 + AQE runtime sizing,
+        # 16m): that fixes the fact-broadcast mis-estimates adaptively
+        # but makes every correctly-static-broadcast join pay the big
+        # side's map shuffle first (q4 0.58s -> 1.19s at sf1) — net
+        # worse at both scales. Instead the three joins where the
+        # pruned-size estimate lies (q10/q18/q21 orderkey joins against
+        # the full orders scan) carry explicit shuffle_hash hints.
         # ContextCleaner is weak-reference driven: on a large heap the
         # JVM may not GC for minutes, so shuffle files, broadcast blocks
         # and map-output state from finished jobs pile up — measured at
