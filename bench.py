@@ -168,10 +168,10 @@ def main() -> None:
     # SPARK_GRAFT_B1_CANONICAL=10000000 to run it here).
     b1c = os.environ.get("SPARK_GRAFT_B1_CANONICAL", "2000000")
     canonical = None
-    if time.perf_counter() - t_start > 240:
+    if time.perf_counter() - t_start > 300:
         # headline+B1 ran unusually slow (loaded machine): skip the
         # canonical extra rather than risk the harness budget
-        print("# b1_canonical skipped: bench already past 240s", file=sys.stderr)
+        print("# b1_canonical skipped: bench already past 300s", file=sys.stderr)
         b1c = "0"
     if b1_split and b1c != "0":
         try:
