@@ -3383,3 +3383,94 @@ def orders_salted_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "events_stream_countmin",
+    """
+    WITH cells AS (
+      SELECT CAST(r.i AS INT) AS row,
+             CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || '|'
+                   || event_type), 1, 15))::BIGINT % 64 AS INT) AS cell,
+             COUNT(*) AS cnt
+      FROM events CROSS JOIN range(4) r(i) GROUP BY 1, 2),
+    probes AS (SELECT DISTINCT event_type FROM events),
+    est AS (
+      SELECT p.event_type, MIN(COALESCE(c.cnt, 0)) AS cm_est
+      FROM probes p CROSS JOIN range(4) r(i)
+      LEFT JOIN cells c
+        ON c.row = CAST(r.i AS INT)
+       AND c.cell = CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || '|'
+                          || p.event_type), 1, 15))::BIGINT % 64 AS INT)
+      GROUP BY p.event_type),
+    truth AS (SELECT event_type, COUNT(*) AS true_n
+              FROM events GROUP BY event_type)
+    SELECT t.event_type, t.true_n, CAST(e.cm_est AS BIGINT) AS cm_est
+    FROM truth t JOIN est e USING (event_type)
+    ORDER BY event_type
+    """,
+    doc="DRIVEN streaming Count-Min: the events file staged as TWO "
+    "disjoint halves (event_id parity), maxFilesPerTrigger=1 so the "
+    "sketch STATE accumulates across micro-batches in the complete-"
+    "mode (row, cell) aggregation — the final counter table must "
+    "equal the batch sketch of the union because CM states merge "
+    "cell-wise, and the per-type estimates hash-match the batch SQL "
+    "oracle. Fifth driven stream/batch-parity family (aggregate, "
+    "join, custom state, dedup, SKETCH): the keep-state-not-data "
+    "monitoring pattern (a fixed 4x64 counter table regardless of "
+    "stream volume) proven end-to-end.",
+)
+def events_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from ..catalog import load_table
+    from ..operators import sketches
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.realpath(os.path.join(sf_dir, "events.parquet"))
+    ev = load_table(spark, sf_dir, "events")
+    tag = hashlib.md5(
+        f"cm|{src}|{int(os.path.getmtime(src))}".encode()
+    ).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"nes_stream_cm_{tag}")
+    if not (
+        os.path.exists(os.path.join(stage, "h0", "_SUCCESS"))
+        and os.path.exists(os.path.join(stage, "h1", "_SUCCESS"))
+    ):
+        for half in (0, 1):
+            ev.filter(F.col("event_id") % 2 == half).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(stage, f"h{half}"))
+    schema = spark.read.parquet(os.path.join(stage, "h0")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    sketch = sketches.count_min_build(
+        stream.select("event_type"), "event_type", depth=4, width=64
+    )
+    qn = f"events_stream_cm_{next(_STREAM_QUERY_SEQ)}"
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sketch.writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    state = spark.table(qn)
+    truth = ev.groupBy("event_type").agg(F.count("*").alias("true_n"))
+    est = sketches.count_min_estimate(
+        state, truth, "event_type", depth=4, width=64
+    )
+    return est.select("event_type", "true_n", "cm_est").orderBy("event_type")
