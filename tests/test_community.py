@@ -585,3 +585,20 @@ def test_label_propagation_majority_and_ties(spark):
     got = {r.node_id: r.label for r in label_propagation(df, rounds=4).collect()}
     assert got[0] == got[1] == got[2]
     assert got[3] == got[4] == got[5]
+
+
+def test_greedy_coloring_completeness_contract(spark):
+    import pytest as _pytest
+
+    from neo4j_enterprise_spark.operators.community import greedy_coloring
+
+    # triangle needs 3 colors; budget 2 must raise, never return partial
+    tri = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], "a long, b long")
+    with _pytest.raises(ValueError, match="uncolored"):
+        greedy_coloring(tri, max_colors=2)
+    ok = {r.node_id: r.color for r in greedy_coloring(tri, max_colors=4).collect()}
+    assert len(ok) == 3 and len(set(ok.values())) == 3
+    # edge-free input: empty frame with the right schema, not None
+    empty = spark.createDataFrame([], "a long, b long")
+    out = greedy_coloring(empty)
+    assert out.columns == ["node_id", "color"] and out.count() == 0

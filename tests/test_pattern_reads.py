@@ -527,3 +527,20 @@ def test_cypher_order_by_requires_with(spark):
             rels,
             "MATCH (x)-[:A]->(y) ORDER BY x MATCH (y)-[:B]->(z) RETURN z",
         )
+
+
+def test_where_keywords_inside_string_literals(spark):
+    nodes, rels = _graph(spark)
+    from neo4j_enterprise_spark.operators.pattern import cypher_query
+
+    # OR / UNION / AND inside quoted literals must not split clauses
+    out = cypher_query(
+        nodes, rels,
+        "MATCH (c:customer) WHERE c.name = 'A OR B AND C' RETURN count(*) AS n",
+    )
+    assert out.collect()[0].n == 0
+    out2 = cypher_query(
+        nodes, rels,
+        "MATCH (c:customer) WHERE c.name CONTAINS 'UNION' RETURN count(*) AS n",
+    )
+    assert out2.collect()[0].n == 0
