@@ -897,3 +897,72 @@ def centroid_similarity_matrix(
             ).alias("cos"),
         )
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame, seeds: DataFrame, k: int = 5
+) -> DataFrame:
+    """Hard-negative mining for contrastive/metric training: for each
+    seed, the top-k most-similar corpus vectors with a DIFFERENT label
+    — the negatives that actually move a loss, found with the same
+    Arrow integer-matmul scorer as :func:`cosine_topk_bruteforce`
+    plus a label mask per seed.
+
+    ``embeddings``/``seeds``: (vec_id, embedding array<float>,
+    label int). Seeds are planner-sized and collected; per-batch
+    top-k emission keeps the final window input at
+    ~batches·k·|seeds| rows. Same determinism contract: quantized
+    BIGINT dots, one multiply + sqrt + divide per score. At 100 TB
+    the brute-force scan swaps for the LSH/IVF candidate paths with
+    the identical mask-and-rank tail.
+    """
+    seed_rows = seeds.select(
+        F.col("vec_id"), quantize(F.col("embedding")).alias("qv"), "label"
+    ).collect()
+    sid = np.array([r["vec_id"] for r in seed_rows], dtype=np.int64)
+    smat = np.array([r["qv"] for r in seed_rows], dtype=np.int64)
+    slab = np.array([r["label"] for r in seed_rows], dtype=np.int64)
+    order = np.argsort(sid)
+    sid, smat, slab = sid[order], smat[order], slab[order]
+    sn = (smat * smat).sum(axis=1)
+
+    def score_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            labs = pdf["label"].to_numpy(np.int64)
+            cmat = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            cn = (cmat * cmat).sum(axis=1)
+            ip = cmat @ smat.T
+            score = ip.astype(np.float64) / np.sqrt(
+                (cn[:, None] * sn[None, :]).astype(np.float64)
+            )
+            out = []
+            for j in range(sid.shape[0]):
+                mask = (ids != sid[j]) & (labs != slab[j])
+                idj, scj = ids[mask], score[mask, j]
+                if idj.size == 0:
+                    continue
+                top = np.lexsort((idj, -scj))[: min(k, idj.size)]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "seed": sid[j],
+                            "negative": idj[top],
+                            "score": scj[top],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    scored = embeddings.select(
+        "vec_id", quantize(F.col("embedding")).alias("qv"), "label"
+    ).mapInPandas(score_batches, "seed long, negative long, score double")
+    w = Window.partitionBy("seed").orderBy(F.desc("score"), F.asc("negative"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("seed", "negative", "score", "rk")
+    )

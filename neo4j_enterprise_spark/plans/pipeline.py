@@ -2229,3 +2229,37 @@ def docs_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cm_est",
         (F.col("cm_est") - F.col("true_n")).cast("long").alias("overcount"),
     ).orderBy(F.desc("true_n"), "term")
+
+
+@register(
+    "emb_hard_negatives",
+    """
+    WITH q AS (SELECT vec_id AS seed, label AS slabel,
+                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+               FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS negative, label AS clabel,
+                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS cv
+               FROM embeddings),
+         s AS (SELECT seed, negative,
+                      list_dot_product(qv, cv)
+                      / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)) AS score
+               FROM q CROSS JOIN c
+               WHERE negative <> seed AND clabel <> slabel)
+    SELECT seed, negative, score, rk FROM (
+      SELECT seed, negative, score,
+             ROW_NUMBER() OVER (PARTITION BY seed ORDER BY score DESC, negative) AS rk
+      FROM s)
+    WHERE rk <= 5 ORDER BY seed, rk
+    """,
+    doc="Hard-negative mining (similarity.hard_negatives): per seed, "
+    "the top-5 most-similar embeddings with a DIFFERENT label — the "
+    "contrastive-training negatives that actually move a loss. Same "
+    "Arrow integer-matmul scorer and determinism contract as "
+    "ann_cosine_top5 with a per-seed label mask; at 100 TB the scan "
+    "swaps for the LSH/IVF candidate generators with the identical "
+    "mask-and-rank tail.",
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 20)
+    return similarity.hard_negatives(emb, seeds, k=5).orderBy("seed", "rk")
