@@ -457,3 +457,70 @@ def source_interleave(
             .alias("interleave_pos"),
         )
     )
+
+
+def negative_edge_samples(
+    edges: DataFrame, *, k: int = 3, seed: int = 42
+) -> DataFrame:
+    """Deterministic negative sampling for link-prediction training:
+    for every positive edge (src, dst), draw ``k`` pseudo-random
+    candidate endpoints from the destination-node universe via a keyed
+    hash (md5-derived index mod |nodes|, portable to SQL), then
+    anti-join the candidates against the real edge set so no negative
+    is accidentally positive. Collisions are DROPPED, not resampled
+    (k_eff ≤ k per edge) — resampling loops are data-dependent and
+    break both determinism and the fixed plan shape; at training scale
+    the loss is negligible and uniform.
+
+    Returns (src, try_idx, neg_dst). The node index is a rank over the
+    destination DIMENSION (distinct dst set — window is
+    dimension-sized; at billion-node scale swap for a precomputed
+    zip-with-index table, same contract). One hash projection ×k, one
+    broadcast index join, one anti-join against the edges — no
+    per-row Python, no RNG in the plan (retried tasks re-derive the
+    same samples).
+    """
+    from pyspark.sql.window import Window
+
+    nodes = edges.select(F.col("dst").alias("node_id")).distinct()
+    w = Window.orderBy("node_id")
+    idx = nodes.withColumn("nidx", (F.row_number().over(w) - 1).cast("long"))
+    n_nodes = idx.count()
+    cand = (
+        edges.select("src")
+        .distinct()
+        .select(
+            "src",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(k)])
+            ).alias("try_idx"),
+        )
+        .withColumn(
+            "nidx",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(str(seed)),
+                            F.col("src").cast("string"),
+                            F.col("try_idx").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n_nodes,
+        )
+    )
+    withdst = cand.join(F.broadcast(idx), "nidx").select(
+        "src", "try_idx", F.col("node_id").alias("neg_dst")
+    )
+    return withdst.join(
+        edges.select("src", F.col("dst").alias("neg_dst")),
+        ["src", "neg_dst"],
+        "left_anti",
+    ).filter(F.col("src") != F.col("neg_dst"))

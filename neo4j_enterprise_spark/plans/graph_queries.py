@@ -3739,3 +3739,51 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node_id").cast("long"), F.col("label").cast("long"))
         .orderBy("node_id")
     )
+
+
+@register(
+    "graph_negative_samples",
+    f"""
+    {graph_cte(nodes=False)},
+    e AS (SELECT src, dst FROM rels WHERE type_name = 'IN_NATION'
+          AND src < 200),
+    nodes AS (SELECT DISTINCT dst AS node_id FROM e),
+    idx AS (SELECT node_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY node_id) - 1 AS BIGINT)
+                     AS nidx
+            FROM nodes),
+    n AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+    cand AS (
+      SELECT s.src, CAST(t.i AS INT) AS try_idx,
+             ('0x' || substr(md5('42|' || CAST(s.src AS VARCHAR) || '|'
+               || CAST(t.i AS VARCHAR)), 1, 15))::BIGINT % n.n_nodes AS nidx
+      FROM (SELECT DISTINCT src FROM e) s CROSS JOIN range(3) t(i), n),
+    withdst AS (
+      SELECT c.src, c.try_idx, i.node_id AS neg_dst
+      FROM cand c JOIN idx i USING (nidx))
+    SELECT w.src, w.try_idx, w.neg_dst
+    FROM withdst w
+    LEFT JOIN e ON e.src = w.src AND e.dst = w.neg_dst
+    WHERE e.src IS NULL AND w.src <> w.neg_dst
+    ORDER BY w.src, w.try_idx
+    """,
+    doc="Link-prediction negative sampling "
+    "(sampling.negative_edge_samples, k=3, seed 42) over the "
+    "customer->nation membership edges (src < 200): per positive "
+    "source, keyed-hash candidate endpoints from the destination "
+    "universe, anti-joined against the real edges so no negative is "
+    "accidentally positive; collisions drop (never resample — "
+    "data-dependent loops break determinism and plan shape). "
+    "Everything is md5-derived and rank-indexed, so the oracle "
+    "replays the exact sample — the graph-ML training-data "
+    "counterpart of the hash-split/epoch-shuffle family.",
+)
+def graph_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import negative_edge_samples
+
+    e = (
+        derived_rels(spark, sf_dir)
+        .filter((F.col("type_name") == "IN_NATION") & (F.col("src") < 200))
+        .select("src", "dst")
+    )
+    return negative_edge_samples(e, k=3, seed=42).orderBy("src", "try_idx")

@@ -272,3 +272,23 @@ def test_token_budget_sample_fills_each_stratum(spark):
     # deterministic: same selection on re-run
     again = token_budget_sample(docs, {"a": 35, "b": 100}, stratum_col="source")
     assert {r["doc_id"] for r in kept.collect()} == {r["doc_id"] for r in again.collect()}
+
+
+def test_negative_edge_samples_no_positives_deterministic(spark):
+    from neo4j_enterprise_spark.operators.sampling import (
+        negative_edge_samples,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (3, 12)], "src long, dst long"
+    )
+    a = negative_edge_samples(edges, k=4, seed=7).collect()
+    b = negative_edge_samples(edges, k=4, seed=7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    pos = {(1, 10), (1, 11), (2, 10), (3, 12)}
+    for r in a:
+        assert (r.src, r.neg_dst) not in pos  # never a real edge
+        assert r.src != r.neg_dst
+    # a different seed draws a different sample
+    c = negative_edge_samples(edges, k=4, seed=8).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
