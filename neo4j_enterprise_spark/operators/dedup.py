@@ -483,3 +483,65 @@ def ngram_containment(
             ).alias("containment"),
         )
     )
+
+
+def minhash_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 16,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """The persistable LSH INDEX side of MinHash dedup: (doc_id, band,
+    bucket) rows — what a production pipeline stores per corpus shard
+    so new batches dedup against the index instead of re-scanning
+    history (the near-dup analog of ``dedup_incremental``'s digest
+    index). Same signature family as ``minhash_lsh_pairs``."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(shingles(docs, text_col, k), num_hashes, seed, portable)
+
+    def _bucket(b: int):
+        joined = F.concat_ws(
+            ",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)]
+        )
+        return joined if portable else F.xxhash64(joined).cast("string")
+
+    band_cols = [
+        F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
+        for b in range(bands)
+    ]
+    return sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def minhash_incremental_pairs(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 16,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """INCREMENTAL near-dup: candidate pairs between a NEW batch and
+    the standing corpus' persisted bucket index (``minhash_buckets``
+    output) — the batch's buckets equi-join the index on
+    (band, bucket), so cost is O(batch + collisions) and the corpus
+    text is never re-read. Returns (new_doc, corpus_doc) distinct.
+    The in-batch pairs are ``minhash_lsh_pairs`` on the batch alone;
+    appending the batch's buckets to the index is the caller's write
+    (same base/delta contract as ``dedup_incremental``)."""
+    nb = minhash_buckets(
+        new_docs, text_col, k, num_hashes, bands, seed, portable
+    ).select(F.col("doc_id").alias("new_doc"), "band", "bucket")
+    ib = index.select(F.col("doc_id").alias("corpus_doc"), "band", "bucket")
+    return (
+        nb.join(ib, ["band", "bucket"])
+        .filter(F.col("new_doc") != F.col("corpus_doc"))
+        .select("new_doc", "corpus_doc")
+        .distinct()
+    )

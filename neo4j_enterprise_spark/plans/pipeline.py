@@ -2263,3 +2263,65 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     seeds = emb.filter(F.col("vec_id") < 20)
     return similarity.hard_negatives(emb, seeds, k=5).orderBy("seed", "rk")
+
+
+def _minhash_incr_oracle_sql() -> str:
+    """Incremental twin of ``_minhash_oracle_sql``: the corpus
+    (doc_id % 5 <> 0) is bucketed as the INDEX, the new batch
+    (doc_id % 5 = 0) buckets join it on (band, bucket)."""
+    from ..operators.dedup import minhash_params
+
+    perms = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_params(32, 42))
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 5, 0) + 2),
+                                     i -> array_to_string(t[i:i+4], ' '))) AS shingle
+        FROM toks)),
+    hx AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS hx FROM sh),
+    perms(i, a, b) AS (VALUES {perms}),
+    mins AS (
+      SELECT doc_id, p.i,
+             MIN((hx % 2147483647 * p.a + p.b) % 2147483647) AS mh
+      FROM hx CROSS JOIN perms p GROUP BY doc_id, p.i),
+    bands AS (
+      SELECT doc_id, i // 2 AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
+      FROM mins GROUP BY doc_id, i // 2)
+    SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc
+    FROM bands n JOIN bands c ON n.band = c.band AND n.bucket = c.bucket
+    WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+    ORDER BY new_doc, corpus_doc
+    """
+
+
+@register(
+    "docs_incremental_minhash",
+    _minhash_incr_oracle_sql(),
+    doc="INCREMENTAL near-dup ingest (dedup.minhash_buckets / "
+    "minhash_incremental_pairs, md5-portable config): the standing "
+    "corpus (doc_id %% 5 <> 0) is materialized once as a (doc_id, "
+    "band, bucket) LSH index; the new batch (doc_id %% 5 = 0) buckets "
+    "equi-join the index — O(batch + collisions), corpus text never "
+    "re-read. The near-dup sibling of docs_incremental_dedup's digest "
+    "anti-join: together they are the production ingest pair (exact "
+    "then near). Oracle replays both sides' full "
+    "shingle->minhash->band pipeline.",
+)
+def docs_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    index = dedup.minhash_buckets(
+        corpus, num_hashes=32, bands=16, seed=42, portable=True
+    )
+    return dedup.minhash_incremental_pairs(
+        batch, index, num_hashes=32, bands=16, seed=42, portable=True
+    ).orderBy("new_doc", "corpus_doc")
