@@ -578,7 +578,11 @@ def betweenness_exact_tree(edges: DataFrame, *, max_depth: int = 8) -> DataFrame
         F.lit(1).cast("long").alias("sigma"),
     ).localCheckpoint(eager=True)
     visited = frontier
-    for d in range(1, max_depth + 1):
+    # one probe level past max_depth: EXACT means every (s, t) pair is
+    # reached, so an unconverged BFS (frontier still expanding after the
+    # last permitted level) must fail loudly instead of silently
+    # undercounting bc — the sigma>1 guard below cannot see truncation.
+    for d in range(1, max_depth + 2):
         nxt = (
             frontier.join(adj, frontier["v"] == adj["u"])
             .groupBy("s", adj["v"].alias("w"))
@@ -589,6 +593,13 @@ def betweenness_exact_tree(edges: DataFrame, *, max_depth: int = 8) -> DataFrame
         )
         if nxt.limit(1).count() == 0:
             break
+        if d > max_depth:
+            raise ValueError(
+                "betweenness_exact_tree: BFS still expanding past "
+                f"max_depth={max_depth}; the graph's diameter exceeds the "
+                "bound and the exact dependency sums would be truncated — "
+                "raise max_depth (or use betweenness_sampled)"
+            )
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     max_sigma = visited.agg(F.max("sigma")).collect()[0][0] or 1

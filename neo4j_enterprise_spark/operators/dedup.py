@@ -364,7 +364,9 @@ def span_dedup(
             idxs: list = []
             blocks: list = []
             for did, text in zip(pdf["doc_id"], pdf[text_col]):
-                toks = text.split(" ")
+                # null-tolerant like the Catalyst split() it replaced:
+                # a NULL text yields one empty block, not a crashed job
+                toks = (text or "").split(" ")
                 nb = max((len(toks) + block - 1) // block, 1)
                 for i in range(nb):
                     ids.append(did)

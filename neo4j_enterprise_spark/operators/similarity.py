@@ -63,12 +63,22 @@ def cosine_topk_bruteforce(
             ids = pdf["vec_id"].to_numpy(np.int64)
             cmat = np.array(pdf["qv"].tolist(), dtype=np.int64)
             cn = (cmat * cmat).sum(axis=1)
+            # cosine is undefined for the zero vector: a 0-norm row would
+            # score NaN, which numpy's lexsort and Spark's window order
+            # DIFFERENTLY (partition-dependent output). Exclude them from
+            # candidacy outright — same rule on every engine.
+            nz = cn > 0
+            ids, cmat, cn = ids[nz], cmat[nz], cn[nz]
+            if ids.size == 0:
+                continue
             ip = cmat @ smat.T  # (batch, seeds) exact int64
             score = ip.astype(np.float64) / np.sqrt(
                 (cn[:, None] * sn[None, :]).astype(np.float64)
             )
             out = []
             for j in range(sid.shape[0]):
+                if sn[j] == 0:  # zero-norm seed: no defined neighbors
+                    continue
                 mask = ids != sid[j]
                 idj, scj = ids[mask], score[mask, j]
                 if idj.size == 0:
@@ -934,12 +944,21 @@ def hard_negatives(
             labs = pdf["label"].to_numpy(np.int64)
             cmat = np.array(pdf["qv"].tolist(), dtype=np.int64)
             cn = (cmat * cmat).sum(axis=1)
+            # zero-norm rows score NaN and order differently in numpy's
+            # lexsort vs Spark's window — exclude, as in
+            # cosine_topk_bruteforce
+            nz = cn > 0
+            ids, labs, cmat, cn = ids[nz], labs[nz], cmat[nz], cn[nz]
+            if ids.size == 0:
+                continue
             ip = cmat @ smat.T
             score = ip.astype(np.float64) / np.sqrt(
                 (cn[:, None] * sn[None, :]).astype(np.float64)
             )
             out = []
             for j in range(sid.shape[0]):
+                if sn[j] == 0:  # zero-norm seed: no defined negatives
+                    continue
                 mask = (ids != sid[j]) & (labs != slab[j])
                 idj, scj = ids[mask], score[mask, j]
                 if idj.size == 0:

@@ -54,81 +54,86 @@ def register(
 #   r3:    TPC-H / events / docs-ANN families — 49 green, q12 red on the
 #          HUGEINT hash artifact (fixed: oracle now CASTs to BIGINT, and
 #          tests/test_oracle_dtypes.py guards the whole class).
-#   r4 (this window): q12 re-check + 49 NEVER-driver-checked queries,
-#          leading with the iterative-oracle community/centrality family,
-#          the Cypher surface, the dedup ladder remainder, ANN variants,
-#          store-format round-trips, and the driven-streaming parity rows.
-#   r5 TODO: promote the remaining ~50 never-checked (events extras:
-#          time_profile/burst/autocorr/gapfill/streaks/path_trigrams/
-#          cumulative/equidepth/rolling/leaderboard/conversion_latency;
-#          docs extras: lang_id/quality/splits/sampling/packing/mixture/
-#          bpe/pii/vocabulary/fingerprint extras/inverted_index/bigrams/
-#          keyword_search/unigram_commonness/curriculum/interleave;
-#          metrics: nation_supplier_hhi/supplier_pareto_share;
-#          parts_frequent_triples/parts_association_rules; SCD2/fuzzy/
-#          incremental-view/txlog_as_of/skew_report + the relational
-#          demotions), PLUS the round-4 additions past slot 50
-#          (docs_countmin_freq, graph_orc_roundtrip,
-#          graph_label_propagation, orders_salted_join_rollup), then
-#          resume cycling so every oracle query gets a driver row at
-#          least once per ~4 rounds.
+#   r4: q12 re-check + 49 NEVER-driver-checked queries (iterative-oracle
+#          community/centrality, Cypher surface, dedup ladder, ANN
+#          variants, round-trips, driven-streaming parity) — 49/50 green;
+#          emb_label_centroids red on the driver canon's list-cell crash.
+#   r5 (this window): the two array-output fixes (emb_label_centroids
+#          re-check after the explode fix; docs_inverted_index first-ever
+#          after array_join), the 7 NEW corrupted-fixture checker oracles
+#          (J1-J11 per-family rows, plans/checker.py), then 41 of the 59
+#          remaining never-checked (docs extras, events extras,
+#          SCD2/fuzzy/incremental-view, HHI/Pareto, skew report, and the
+#          r4 additions past slot 50).
+#   r6 TODO: the 18 still-never-checked (top_orders_per_customer,
+#          record_counts_per_table, property_projection_default,
+#          orders_cube_pricing, docs_exact_k_sample, docs_epoch_shuffle,
+#          docs_token_budget_sample, docs_curriculum_phases,
+#          docs_source_interleave, docs_hash_split_counts,
+#          docs_stratified_sample, docs_dup_rate_by_source,
+#          docs_repetition_stats, events_rolling_hour_counts,
+#          events_hourly_leaderboard, events_activity_streaks,
+#          events_time_profile, graph_schema_summary), then resume
+#          cycling so every oracle query gets a driver row at least once
+#          per ~4 rounds.
 # bench.py and the local parity tests are order-independent.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    "q12_delay_class_priority",  # r3 red (HUGEINT artifact) - re-check the fix
-    "graph_louvain_communities",
-    "graph_louvain_move_round",
-    "graph_mis_luby",
-    "graph_hits_scores",
-    "graph_katz_truncated",
-    "graph_nation_trade_scc",
-    "graph_trade_condensation_layers",
-    "parts_ktruss_bounded",
-    "graph_node_similarity",
-    "graph_degree_assortativity",
-    "parts_brand_modularity",
-    "graph_harmonic_centrality",
-    "graph_trade_reciprocity",
-    "graph_rich_club",
-    "graph_random_walks",
-    "graph_betweenness_exact_small",
-    "cypher_shortest_path",
-    "cypher_union_dedup",
-    "cypher_where_or",
-    "cypher_merge_nodes",
-    "cypher_with_topk_expand",
-    "cypher_with_having",
-    "cypher_with_collect",
-    "cypher_collect_unwind",
-    "cypher_rel_var_counts",
-    "cypher_case_classify",
-    "cypher_set_tier",
-    "cypher_type_alternation",
-    "cypher_exists_inactive",
-    "docs_ngram_jaccard_pairs",
-    "docs_containment_pairs",
-    "docs_incremental_dedup",
-    "docs_span_dedup",
-    "docs_cdc_dedup",
-    "docs_prefix_simjoin",
-    "docs_neardup_clusters",
-    "ann_lsh_md5_top5",
-    "ann_ivf_fixed_top5",
-    "emb_label_centroids",
-    "emb_centroid_similarity",
-    "graph_jsonl_roundtrip",
-    "store_upgrade_read",
-    "media_decode_pipeline",
-    "events_stream_interval_join",
-    "events_stream_stateful_totals",
-    "events_stream_dedup_rollup",
-    "cypher_merge_rels",
-    "customer_rfm_segments",
-    "customer_spend_gini",
+    "emb_label_centroids",  # r4 red (canon list-cell crash) - re-check the fix
+    "docs_inverted_index",  # same latent bug, fixed preemptively
+    "check_fixture_nodes",
+    "check_fixture_relationships",
+    "check_fixture_first_property",
+    "check_fixture_properties",
+    "check_fixture_ownership",
+    "check_fixture_dictionaries",
+    "check_fixture_summary",
+    "txlog_as_of_read",
+    "parts_frequent_triples",
+    "parts_association_rules",
+    "graph_orc_roundtrip",
+    "graph_negative_samples",
+    "docs_lang_id",
+    "docs_quality_scores",
+    "docs_train_eval_contamination",
+    "docs_vocabulary_top_terms",
+    "docs_bpe_token_stats",
+    "docs_pii_redaction",
+    "docs_sequence_packing",
+    "docs_mixture_resample",
+    "docs_normalized_dedup",
+    "docs_filter_pipeline",
+    "docs_term_lift_by_source",
+    "docs_heavy_hitter_terms",
+    "docs_leakage_safe_split",
+    "docs_tokenizer_fertility",
+    "docs_unigram_commonness",
+    "docs_bigram_counts",
+    "docs_keyword_search",
+    "docs_countmin_freq",
+    "emb_hard_negatives",
+    "docs_incremental_minhash",
+    "orders_incremental_join_view",
+    "events_cumulative_users",
+    "events_hourly_gapfill",
+    "customer_scd2_batch",
+    "customer_fuzzy_match",
+    "events_equidepth_histogram",
+    "lineitem_skew_report",
+    "events_conversion_latency",
+    "events_path_trigrams",
+    "supplier_pareto_share",
+    "events_stream_leaderboard",
+    "events_hourly_autocorr",
+    "events_burst_hours",
+    "nation_supplier_hhi",
+    "orders_salted_join_rollup",
+    "events_stream_countmin",
 )
 
 
 def all_queries() -> dict[str, Query]:
     # import side-effect populates REGISTRY
+    from . import checker  # noqa: F401
     from . import graph_queries  # noqa: F401
     from . import pipeline  # noqa: F401
     from . import relational  # noqa: F401

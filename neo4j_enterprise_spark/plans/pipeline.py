@@ -1726,21 +1726,29 @@ def docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings),
     s AS (SELECT label, d, SUM(qv) AS sq FROM q GROUP BY label, d),
     c AS (SELECT label, COUNT(*) AS n_members FROM embeddings GROUP BY label)
-    SELECT s.label, c.n_members,
-           list(CAST(s.sq AS DOUBLE) / CAST(c.n_members AS DOUBLE)
-                ORDER BY s.d) AS centroid
+    SELECT s.label, c.n_members, CAST(s.d AS INT) AS d,
+           CAST(s.sq AS DOUBLE) / CAST(c.n_members AS DOUBLE) AS centroid_v
     FROM s JOIN c USING (label)
-    GROUP BY s.label, c.n_members ORDER BY s.label
+    ORDER BY s.label, d
     """,
     doc="Class prototypes (similarity.label_centroids): per-label mean "
     "embedding via exact integer per-dim sums (one map-side-combinable "
     "shuffle of label×dims rows) with a single final division per dim — "
-    "the nearest-class-mean / cluster-balanced-curation primitive, "
-    "engine-exact and oracle-checked including the vector payload.",
+    "the nearest-class-mean / cluster-balanced-curation primitive. The "
+    "vector payload is oracle-checked EXPLODED to (label, d, value) "
+    "rows: list cells are unhashable in the driver's pandas canon "
+    "(CORRECTNESS_r04 red row), and double→string rendering is not "
+    "cross-engine stable, so exploded doubles are the only "
+    "payload-exact encoding.",
 )
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.label_centroids(emb).orderBy("label")
+    cent = similarity.label_centroids(emb)
+    return cent.select(
+        "label",
+        "n_members",
+        F.posexplode("centroid").alias("d", "centroid_v"),
+    ).orderBy("label", "d")
 
 
 @register(
@@ -1846,7 +1854,7 @@ def docs_source_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT tok, COUNT(*) AS df,
              list(doc_id ORDER BY doc_id) AS postings
       FROM tf WHERE tok <> '' GROUP BY tok)
-    SELECT tok, df, postings FROM post
+    SELECT tok, df, array_to_string(postings, '|') AS postings FROM post
     ORDER BY df, tok LIMIT 10
     """,
     doc="Inverted-index build (search primitive): term → sorted "
@@ -1857,9 +1865,11 @@ def docs_source_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tokenize-distinct pass + one groupBy(term) with "
     "sort_array(collect_list) — postings build map-side per term; at "
     "100 TB partition the index by term-hash range and cap posting "
-    "length (doc-at-a-time engines stream the long tail). The "
-    "list-valued column is hash-compared against DuckDB's "
-    "list(ORDER BY) — payload-exact.",
+    "length (doc-at-a-time engines stream the long tail). The posting "
+    "list is '|'-joined at the output boundary (BIGINTs render "
+    "identically on both engines; bare list cells crash the driver's "
+    "pandas canon) and hash-compared against DuckDB's "
+    "array_to_string(list(ORDER BY)) — payload-exact.",
 )
 def docs_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1878,7 +1888,13 @@ def docs_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("df"),
             F.sort_array(F.collect_list("doc_id")).alias("postings"),
         )
-        .select("tok", "df", "postings")
+        .select(
+            "tok",
+            "df",
+            F.array_join(F.col("postings").cast("array<string>"), "|").alias(
+                "postings"
+            ),
+        )
         .orderBy("df", "tok")
         .limit(10)
     )

@@ -602,3 +602,22 @@ def test_greedy_coloring_completeness_contract(spark):
     empty = spark.createDataFrame([], "a long, b long")
     out = greedy_coloring(empty)
     assert out.columns == ["node_id", "color"] and out.count() == 0
+
+
+def test_betweenness_exact_tree_truncation_raises(spark):
+    import pytest as _pytest
+
+    from neo4j_enterprise_spark.operators.community import (
+        betweenness_exact_tree,
+    )
+
+    # path 0-1-2-3-4-5 has diameter 5: a max_depth below it must raise
+    # (silent truncation would undercount bc), at/above it must succeed
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "a long, b long"
+    )
+    with _pytest.raises(ValueError, match="still expanding"):
+        betweenness_exact_tree(path, max_depth=2)
+    got = {r.node_id: r.bc for r in betweenness_exact_tree(path, max_depth=5).collect()}
+    # interior node v at position p: ordered pairs = 2*p*(5-p)
+    assert got[1] == 2 * 1 * 4 and got[2] == 2 * 2 * 3 and got[0] == 0

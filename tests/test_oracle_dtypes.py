@@ -6,16 +6,25 @@ equal values (the r3 ``q12`` lesson: bare ``SUM(CASE…1…0)`` is HUGEINT
 in DuckDB, which round-trips as ``decimal.Decimal``/object while
 Spark's BIGINT is a plain int) produces ``hash_match: false`` with
 ``rows_match: true``.  This test catches the whole class before the
-driver does: for every oracle-bearing query, compile (not execute) both
-sides and require each output column pair to land in the same
+driver does: for every oracle-bearing query, build both sides' output
+schemas and require each output column pair to land in the same
 serialization category.
+
+NOTE on cost: obtaining the Spark schema calls ``q.spark()``, which for
+driver-action queries (streaming registrations, roundtrip writes,
+seed-collect plans) EXECUTES the action — this test is as heavy as the
+parity suite, not a compile-only check.
 
 Categories (what the hash layer actually distinguishes):
 - int:      DuckDB TINYINT/SMALLINT/INTEGER/BIGINT  ~ Spark *int types
 - float:    DOUBLE/FLOAT                            ~ Spark double/float
 - decimal:  DECIMAL(p,s)                            ~ Spark decimal (same s)
-- str/date/timestamp/bool/list/binary: like-for-like
+- str/date/timestamp/bool/binary: like-for-like
 - HUGEINT / UHUGEINT: always an error — no Spark twin serializes equal.
+- list (either side): always an error — the driver's pandas canon
+  ``sort_values`` cannot hash list cells (CORRECTNESS_r04
+  ``emb_label_centroids`` red row). Serialize at the output boundary
+  (``array_join``/``concat_ws``/``to_json``) or explode to rows.
 """
 
 from __future__ import annotations
@@ -109,6 +118,13 @@ def test_oracle_output_dtypes_match(spark, sf_dir, duck, name):
     for c in s_types:
         if d_types[c] == ("HUGEINT",):
             bad[c] = (s_types[c], "HUGEINT — CAST the oracle aggregate to BIGINT")
+        elif s_types[c] == ("list",) or d_types[c] == ("list",):
+            bad[c] = (
+                s_types[c],
+                d_types[c],
+                "list output breaks the driver canon — serialize via "
+                "array_join/concat_ws/to_json or explode to rows",
+            )
         elif s_types[c] != d_types[c]:
             bad[c] = (s_types[c], d_types[c])
     assert not bad, f"{name}: output dtype category mismatches {bad}"

@@ -505,3 +505,53 @@ def test_containment_catches_subset_that_jaccard_misses(spark):
     con = ngram_containment(docs, pairs).collect()[0]["containment"]
     assert con == 1.0  # every shingle of the quote is in the long doc
     assert jac < 0.1  # union dominated by the long doc
+
+
+def test_span_dedup_null_text_tolerated(spark):
+    # a NULL text must not crash the Arrow span pass (ADVICE r4): it
+    # contributes one empty block and flows through like empty text
+    rows = [(0, "a b c d a b c d"), (1, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.span_dedup(docs, block=4).collect()}
+    assert out[0]["n_blocks"] == 2 and out[0]["n_removed"] == 2
+    assert out[1]["n_blocks"] == 1 and out[1]["n_removed"] == 0
+
+
+def test_cosine_topk_zero_norm_vectors_excluded(spark):
+    # zero-norm vectors have undefined cosine: they must never appear as
+    # neighbors (NaN scores ordered differently by numpy vs Spark made
+    # this partition-dependent pre-fix), and a zero-norm seed yields no
+    # rows rather than NaN rankings
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 0.0]),  # zero vector in the corpus
+            (4, [0.5, 0.5]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    seeds = emb.filter(F.col("vec_id").isin(1, 3))
+    got = similarity.cosine_topk_bruteforce(emb, seeds, k=4).collect()
+    by_seed = {}
+    for r in got:
+        by_seed.setdefault(r["seed"], set()).add(r["neighbor"])
+    assert 3 not in by_seed.get(1, set()), "zero-norm corpus row ranked"
+    assert 3 not in by_seed, "zero-norm seed produced rows"
+    assert by_seed[1] == {2, 4}
+
+
+def test_hard_negatives_zero_norm_excluded(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.9, 0.1], 1),
+            (3, [0.0, 0.0], 1),  # zero vector, different label
+            (4, [0.5, 0.5], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    seeds = emb.filter(F.col("vec_id") == 1)
+    got = similarity.hard_negatives(emb, seeds, k=4).collect()
+    negs = {r["negative"] for r in got}
+    assert negs == {2, 4}, negs
