@@ -67,6 +67,31 @@ def merge_distinct_sketches(
     )
 
 
+def heavy_hitters_exact(
+    df: DataFrame,
+    col: str,
+    k: int = 16,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k terms in ONE map-side-combinable shuffle: partial
+    hash aggregation per task, vocabulary-sized exchange, then
+    TakeOrderedAndProject. Preferred whenever the value domain
+    (vocabulary) is shuffle-safe — natural-language token domains are
+    Zipfian and far smaller than the corpus, so the exchange carries
+    per-task distinct terms, not tokens, all JVM-side. Use
+    ``heavy_hitters`` (Misra-Gries) when the domain itself is too large
+    to shuffle (adversarial/unbounded key spaces): it bounds the
+    exchange to k rows per task at the cost of an Arrow pass over every
+    token and a second verify scan."""
+    w = F.sum(weight_col) if weight_col else F.count("*")
+    return (
+        df.groupBy(F.col(col).cast("string").alias("value"))
+        .agg(w.cast("long").alias("weight"))
+        .orderBy(F.desc("weight"), "value")
+        .limit(k)
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str,

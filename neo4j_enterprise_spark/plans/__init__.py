@@ -65,7 +65,10 @@ def register(
 #          remaining never-checked (docs extras, events extras,
 #          SCD2/fuzzy/incremental-view, HHI/Pareto, skew report, and the
 #          r4 additions past slot 50).
-#   r6 TODO: the 18 still-never-checked (top_orders_per_customer,
+#   r6 TODO: docs_heavy_hitter_mg (new in r5 — the MG pipeline kept as
+#          its own oracle query after docs_heavy_hitter_terms switched
+#          to the exact one-scan plan), then the 18 still-never-checked
+#          (top_orders_per_customer,
 #          record_counts_per_table, property_projection_default,
 #          orders_cube_pricing, docs_exact_k_sample, docs_epoch_shuffle,
 #          docs_token_budget_sample, docs_curriculum_phases,

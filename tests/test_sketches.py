@@ -141,6 +141,34 @@ def test_heavy_hitters_superset_and_undercount(spark):
     assert exact["hot"] == 800 and exact["warm"] == 400
 
 
+def test_heavy_hitters_exact_matches_mg_verified(spark):
+    from neo4j_enterprise_spark.operators.sketches import (
+        heavy_hitters,
+        heavy_hitters_exact,
+        verify_heavy_hitters,
+    )
+
+    rows = (
+        [("hot",)] * 800 + [("warm",)] * 400 + [(f"c{i % 200}",) for i in range(800)]
+    )
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    exact = {
+        r["value"]: r["weight"]
+        for r in heavy_hitters_exact(df, "v", k=2).collect()
+    }
+    assert exact == {"hot": 800, "warm": 400}
+    # single shuffle, no Python: plan has no ArrowEvalPython/mapInPandas
+    plan = heavy_hitters_exact(df, "v", k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
+    # and the exact path agrees with MG candidates + exact verify
+    mg = verify_heavy_hitters(df, "v", heavy_hitters(df, "v", k=10))
+    mg_top = {
+        r["value"]: r["exact_count"]
+        for r in mg.orderBy(F.desc("exact_count")).limit(2).collect()
+    }
+    assert mg_top == exact
+
+
 def test_count_min_overestimates_and_merges(spark):
     from pyspark.sql import functions as F
 

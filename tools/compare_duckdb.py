@@ -48,9 +48,12 @@ def main() -> None:
         )
     rows = []
     for n, q in sorted(qs.items()):
-        q.spark(spark, sf_dir).count()  # warm codegen
+        # collect(), not count(): count() lets Catalyst prune payload
+        # columns that DuckDB's fetchall() must materialize (VERDICT r4
+        # measurement nit) — both engines now pay full materialization
+        q.spark(spark, sf_dir).collect()  # warm codegen
         jgc = spark.sparkContext._jvm.System.gc
-        s = median5(lambda: q.spark(spark, sf_dir).count(), pre=jgc)
+        s = median5(lambda: q.spark(spark, sf_dir).collect(), pre=jgc)
         con.execute(q.oracle).fetchall()  # warm
         d = median5(lambda: con.execute(q.oracle).fetchall())
         rows.append((n, s, d))
