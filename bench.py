@@ -28,6 +28,21 @@ from neo4j_enterprise_spark.plans import all_queries
 from neo4j_enterprise_spark.session import get_spark
 
 
+def _steal() -> float:
+    """Cumulative hypervisor CPU-steal seconds across all vCPUs. This
+    rig is a guest VM whose host throttles CPU bursts: a 32-thread numpy
+    probe measured samples stretched 2.1s -> 5.4s with 6 CPU-seconds
+    stolen, and identical back-to-back Spark samples spread 1s..40s with
+    near-zero JVM GC time. A timed sample that overlaps a steal burst
+    measures the neighbor tenant, not this engine — the sampling loops
+    below discard such samples and re-run."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8]) / 100.0
+    except (OSError, IndexError, ValueError):
+        return 0.0
+
+
 def main() -> None:
     t_start = time.perf_counter()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -61,7 +76,13 @@ def main() -> None:
     warm: dict[str, float] = {}
     for name, q in sorted(queries.items()):
         t0 = time.perf_counter()
-        q.spark(spark, sf_dir).count()
+        # collect(), not count(): under count() Catalyst prunes every
+        # column the final action doesn't need — for agg-heavy queries
+        # (q1!) that optimizes away the aggregate expressions themselves,
+        # so the timed number measured a hollowed-out plan. collect()
+        # forces the full declared result (r5 fix; the r1-r4 BENCH series
+        # used count() and under-reports exactly those queries).
+        len(q.spark(spark, sf_dir).collect())
         warm[name] = time.perf_counter() - t0
 
     timings: dict[str, float] = {}
@@ -75,20 +96,34 @@ def main() -> None:
         # aren't jitter-dominated; one run is representative — classified
         # by the WARMUP duration, not the first timed sample (a one-off
         # GC/AQE spike on sample 1 must not suppress the re-sampling that
-        # would absorb it).
+        # would absorb it). Samples overlapping a hypervisor CPU-steal
+        # burst (>0.5 stolen CPU-seconds) are discarded and re-run —
+        # see _steal().
         runs = 1 if warm[name] > 5.0 else 5
         samples = []
         n = 0
-        for _ in range(runs):
+        attempts = 0
+        while len(samples) < runs and attempts < 4 * runs:
+            attempts += 1
             # drive ContextCleaner before the timer starts: weak-ref
             # cleanup of prior runs' shuffle/broadcast state otherwise
             # lags on a large heap and reads as query-time regression
             # (measured 2s->45s->159s at sf1 without this)
             spark.sparkContext._jvm.System.gc()
+            st0 = _steal()
             t0 = time.perf_counter()
             df = q.spark(spark, sf_dir)
-            n = df.count()  # full materialization
-            samples.append(time.perf_counter() - t0)
+            n = len(df.collect())  # full materialization
+            dt_s = time.perf_counter() - t0
+            # steal above ~30% of the sample's wall clock (floor 1
+            # CPU-second) measures the neighbor tenant — retry while
+            # the attempt budget still allows reaching `runs` samples
+            if (
+                _steal() - st0 > max(1.0, 0.3 * dt_s)
+                and len(samples) + (4 * runs - attempts) >= runs
+            ):
+                continue
+            samples.append(dt_s)
         samples.sort()
         dt = samples[len(samples) // 2]
         timings[name] = round(dt, 3)
@@ -189,10 +224,12 @@ def main() -> None:
                 f" built in {gen_s:.1f}s (un-timed)",
                 file=sys.stderr,
             )
+            st0 = _steal()
             t0 = time.perf_counter()
             for df in rc.check_families(gc).values():
                 df.count()
             dt = time.perf_counter() - t0
+            stolen = round(_steal() - st0, 1)
             # kept OUT of ``timings``/``phases`` so the headline
             # ``value`` and total stay comparable round-over-round; the
             # canonical number rides as its own clearly-labeled block
@@ -202,6 +239,10 @@ def main() -> None:
                 "time": round(dt * 1000),
                 "recordsPerSecond": round(n_rec / dt) if dt > 0 else 0,
                 "note": "single cold pass, generation un-timed",
+                # single cold pass can't discard-and-retry like the
+                # headline loop; expose how much of the wall clock the
+                # hypervisor stole so a polluted number is visibly so
+                "cpuStealSeconds": stolen,
             }
             print(
                 f"# b1_canonical: {n_rec} records in {round(dt, 1)}s "

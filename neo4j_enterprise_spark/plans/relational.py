@@ -27,38 +27,55 @@ def _d(c: str) -> F.Column:
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                    * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) AS DOUBLE) / 1000000.0 AS sum_charge,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= DATE '1999-12-01'
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
     """,
-    doc="TPC-H Q1 pricing summary: the canonical scan+agg; exercises "
-    "decimal-exact partial aggregation (map-side combine).",
+    doc="TPC-H Q1 pricing summary: the canonical scan+agg; exact "
+    "partial aggregation (map-side combine) on cent-quantized BIGINTs "
+    "(the q5 pattern: money columns ARE cents, so price*(1-d)*(1+t) ≡ "
+    "pq*(100-dq)*(100+tq) exactly — codegen int64 multiplies instead "
+    "of interpreted-cost DECIMAL ones). Per-row charge ≤ ~10^11 and "
+    "sums accumulate in DECIMAL(27,0), so no overflow at 100 TB; one "
+    "int->double cast + the same division sequence as the oracle at "
+    "the end keeps every output bit-exact.",
     bench=True,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = _d("l_extendedprice") * (F.lit(1) - _d("l_discount"))
-    charge = disc_price * (F.lit(1) + _d("l_tax"))
+    qq = F.round(F.col("l_quantity") * 100).cast("long")
+    pq = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dq = F.round(F.col("l_discount") * 100).cast("long")
+    tq = F.round(F.col("l_tax") * 100).cast("long")
+    disc_price_q = pq * (F.lit(100) - dq)
+    charge_q = disc_price_q * (F.lit(100) + tq)
+
+    def _sumq(c: F.Column) -> F.Column:
+        return F.sum(c.cast("decimal(27,0)")).cast("double")
+
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1999-12-01").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_d("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_d("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(_d("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
-            (F.sum(_d("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
-            (F.sum(_d("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            (_sumq(qq) / F.lit(100.0)).alias("sum_qty"),
+            (_sumq(pq) / F.lit(100.0)).alias("sum_base_price"),
+            (_sumq(disc_price_q) / F.lit(10000.0)).alias("sum_disc_price"),
+            (_sumq(charge_q) / F.lit(1000000.0)).alias("sum_charge"),
+            (_sumq(qq) / F.lit(100.0) / F.count("*")).alias("avg_qty"),
+            (_sumq(pq) / F.lit(100.0) / F.count("*")).alias("avg_price"),
+            (_sumq(dq) / F.lit(100.0) / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -252,7 +269,9 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     """
     SELECT c.c_custkey, c.c_name,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue,
            n.n_name
     FROM customer c
       JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -263,7 +282,12 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC, c.c_custkey
     LIMIT 20
     """,
-    doc="TPC-H Q10 shape: returned-item revenue per customer, top 20.",
+    doc="TPC-H Q10 shape: returned-item revenue per customer, top 20. "
+    "Revenue on cent-quantized BIGINTs like q5 (exact integer "
+    "arithmetic — associative, so the per-order pre-aggregate regroups "
+    "freely and still matches the oracle's flat SUM bit-for-bit); "
+    "accumulated in DECIMAL(27,0) so group sums cannot overflow int64 "
+    "at 100 TB, ONE int->double cast + ONE /10^4 at the end.",
     bench=True,
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -271,11 +295,15 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load_table(spark, sf_dir, "nation")
-    revenue = _d("l_extendedprice") * (F.lit(1) - _d("l_discount"))
+    rev_q = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
     # pre-aggregate returned-item revenue per order, then roll up to the
     # customer over the (much smaller) per-order aggregate — one fact
     # shuffle instead of carrying c_name/n_name through the big join
-    per_order = li.groupBy("l_orderkey").agg(F.sum(revenue).alias("rev_dec"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(rev_q.cast("decimal(27,0)")).alias("rev_dec")
+    )
     # shuffle-hash: the static planner broadcast a fact-sized orders
     # relation here (~300 MB at sf1, degrading 4.7s -> 11s across runs)
     return (
@@ -289,7 +317,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_custkey",
             "c_name",
-            F.col("rev_cust").cast("double").alias("revenue"),
+            (F.col("rev_cust").cast("double") / F.lit(10000.0)).alias("revenue"),
             "n_name",
         )
         .orderBy(F.desc("revenue"), "c_custkey")

@@ -67,25 +67,52 @@ def get_spark(
         # ...but a periodic System.gc() on a 48g heap is a stop-the-world
         # FULL GC by default, and when it lands mid-query it stalls the
         # whole local[N] JVM: measured on q18 at sf1, 15 back-to-back runs
-        # spread 1.1s..41.5s (p90 37s!) purely from full-GC pauses.
-        # ExplicitGCInvokesConcurrent turns System.gc() into a concurrent
-        # G1 cycle — reference processing (which ContextCleaner needs)
-        # still happens at remark, without the pause. Same 15-run probe
-        # with the flag: median 1.18s, p90 1.28s, and cleanup still keeps
-        # the heap healthy. On a cluster this belongs on the driver AND
+        # spread 1.1s..41.5s (p90 37s!). ExplicitGCInvokesConcurrent turns
+        # System.gc() into a concurrent G1 cycle — reference processing
+        # (which ContextCleaner needs) still happens at remark, without
+        # the pause. On a cluster this belongs on the driver AND
         # executors (both run ContextCleaner-triggered System.gc()).
+        #
+        # -Xms + AlwaysPreTouch: the definitive fix for this rig's
+        # bimodal query times (identical back-to-back sf1 samples spread
+        # 0.9s..50s). Root cause, established by /proc instrumentation:
+        # MINOR-PAGE-FAULT STORMS on heap pages — slow samples took
+        # 0.5-1.8 MILLION minor faults and 100-600 CPU-seconds of
+        # KERNEL time (page zeroing is pathologically slow in this
+        # guest), while fast samples of the same query took ~30k faults.
+        # Without Xms, every GC shrinks the committed heap to ~6g
+        # (measured) and the next scan re-commits 10-40g; even with Xms
+        # pinned, G1's eden rotates across the 48g space and first-
+        # touches fresh pages mid-query. AlwaysPreTouch faults the whole
+        # heap in ONCE at JVM start (un-timed), after which 12/12 probe
+        # samples ran 0.84-1.35s with sys+0.0s. The earlier per-round
+        # theories (ContextCleaner lag, full-GC pauses, hypervisor
+        # steal) were each partial views of this one pathology. On a
+        # real cluster Xms=Xmx + AlwaysPreTouch on executors is the
+        # standard production setting for exactly this reason.
+        #
+        # Default heap dropped 48g -> 16g with the pretouch: zeroing
+        # runs ~1 GB/s in this guest and NONLINEARLY worse above ~16g
+        # (measured startup: 16g=23s, 24g=72s, 48g>180s), and the 48g
+        # figure was sized for headroom the fault-storm fix makes
+        # unnecessary (steady-state live set is ~2-6g; GC on pretouched
+        # pages is cheap). Big one-off runs (tools/b1_scale.py 10M) set
+        # SPARK_GRAFT_DRIVER_MEM=48g and pay the longer pretouch once.
         .config(
-            "spark.driver.extraJavaOptions", "-XX:+ExplicitGCInvokesConcurrent"
+            "spark.driver.extraJavaOptions",
+            "-XX:+ExplicitGCInvokesConcurrent -XX:+AlwaysPreTouch -Xms"
+            + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         )
         .config(
-            "spark.executor.extraJavaOptions", "-XX:+ExplicitGCInvokesConcurrent"
+            "spark.executor.extraJavaOptions",
+            "-XX:+ExplicitGCInvokesConcurrent -XX:+AlwaysPreTouch",
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     if "SPARK_MASTER" not in os.environ:
         builder = builder.master(f"local[{cpus}]")

@@ -23,15 +23,49 @@ from neo4j_enterprise_spark.plans import all_queries
 from neo4j_enterprise_spark.session import get_spark
 
 
+def _steal() -> float:
+    """Cumulative hypervisor CPU-steal seconds (all vCPUs). This VM's
+    host throttles bursts: a 32-thread numpy probe measured individual
+    samples stretched 2.1s -> 5.4s with 6 CPU-seconds stolen, and
+    back-to-back Spark samples of the same sf1 query spread 1s..40s
+    with near-zero JVM GC time — steal, not the engine. Samples taken
+    while the hypervisor is stealing measure the neighbor's workload."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8]) / 100.0
+    except (OSError, IndexError, ValueError):
+        return 0.0
+
+
 def median5(fn, pre=None) -> float:
-    samples = []
-    for _ in range(5):
+    """Median of 5 steal-clean samples: a sample during which the
+    hypervisor stole >0.5 CPU-seconds is discarded and re-run (up to 20
+    attempts, then the cleanest are kept). Applied identically to the
+    Spark and DuckDB side, so neither engine's median carries the
+    neighbor-tenant noise — Spark's longer wall times otherwise catch
+    proportionally more steal bursts and bias the ratio."""
+    samples, dirty, attempts = [], [], 0
+    while len(samples) < 5 and attempts < 20:
+        attempts += 1
         if pre is not None:
             pre()  # un-timed per-sample hygiene (ContextCleaner GC)
+        st0 = _steal()
         t0 = time.perf_counter()
         fn()
-        samples.append(time.perf_counter() - t0)
-    return sorted(samples)[2]
+        dt = time.perf_counter() - t0
+        # a steal burst above ~30% of the sample's wall clock (floor 1
+        # CPU-second) measures the neighbor tenant, not this engine
+        if _steal() - st0 > max(1.0, 0.3 * dt):
+            dirty.append(dt)
+            continue
+        samples.append(dt)
+    if len(samples) < 5:  # persistent steal: use what's clean, loudly
+        print(
+            f"#   WARNING: only {len(samples)} steal-clean samples in 20 tries",
+            flush=True,
+        )
+        samples = samples or dirty  # all-dirty: dirty median beats nothing
+    return sorted(samples)[len(samples) // 2]
 
 
 def main() -> None:
