@@ -103,6 +103,8 @@ def main() -> None:
         samples = []
         n = 0
         attempts = 0
+        polluted = 0  # steal-overlapped samples kept after budget exhaustion
+        steal_kept = 0.0  # stolen CPU-seconds inside the KEPT samples
         while len(samples) < runs and attempts < 4 * runs:
             attempts += 1
             # drive ContextCleaner before the timer starts: weak-ref
@@ -115,26 +117,37 @@ def main() -> None:
             df = q.spark(spark, sf_dir)
             n = len(df.collect())  # full materialization
             dt_s = time.perf_counter() - t0
+            st = _steal() - st0
             # steal above ~30% of the sample's wall clock (floor 1
             # CPU-second) measures the neighbor tenant — retry while
             # the attempt budget still allows reaching `runs` samples
-            if (
-                _steal() - st0 > max(1.0, 0.3 * dt_s)
-                and len(samples) + (4 * runs - attempts) >= runs
-            ):
-                continue
+            if st > max(1.0, 0.3 * dt_s):
+                if len(samples) + (4 * runs - attempts) >= runs:
+                    continue
+                # budget exhausted: the polluted sample is kept, but the
+                # artifact must say so (BENCH_r05's 4x jump was exactly
+                # this, silently — see VERDICT r5 "What's wrong" #1)
+                polluted += 1
+                steal_kept += st
             samples.append(dt_s)
         samples.sort()
         dt = samples[len(samples) // 2]
         timings[name] = round(dt, 3)
-        phases.append(
-            {
-                "name": name,
-                "elementCount": n,
-                "time": round(dt * 1000),  # ms, like the reference
-                "recordsPerSecond": round(n / dt) if dt > 0 else 0,
-            }
-        )
+        phase = {
+            "name": name,
+            "elementCount": n,
+            "time": round(dt * 1000),  # ms, like the reference
+            "recordsPerSecond": round(n / dt) if dt > 0 else 0,
+        }
+        if polluted:
+            phase["pollutedSamples"] = polluted
+            phase["cpuStealSeconds"] = round(steal_kept, 2)
+            print(
+                f"# WARNING {name}: {polluted} steal-polluted sample(s) "
+                f"kept ({steal_kept:.1f} stolen CPU-s) — timing unreliable",
+                file=sys.stderr,
+            )
+        phases.append(phase)
         print(
             f"# {name}: {n} rows in {timings[name]}s "
             f"(samples: {[round(s, 3) for s in samples]})",
@@ -254,6 +267,7 @@ def main() -> None:
 
     total_sec = round(sum(timings.values()), 3)
     total_rows = sum(p["elementCount"] for p in phases)
+    total_polluted = sum(p.get("pollutedSamples", 0) for p in phases)
     print(
         json.dumps(
             {
@@ -267,6 +281,10 @@ def main() -> None:
                     "elementCount": total_rows,
                     "time": round(total_sec * 1000),
                     "recordsPerSecond": round(total_rows / total_sec) if total_sec else 0,
+                    # >0 means some phase medians include steal-polluted
+                    # samples (see per-phase pollutedSamples) — compare
+                    # this artifact round-over-round with caution
+                    "pollutedSamples": total_polluted,
                 },
                 **({"b1_canonical": canonical} if canonical else {}),
             }

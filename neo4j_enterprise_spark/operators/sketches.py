@@ -92,6 +92,34 @@ def heavy_hitters_exact(
     )
 
 
+def heavy_hitters_exact_threshold(
+    df: DataFrame,
+    col: str,
+    k: int = 16,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Exact φ-heavy hitters — every value with (weighted) frequency
+    strictly above N/k — in ONE scan of the input: partial
+    hash-aggregated count per value (the exchange carries per-task
+    DISTINCT values, not occurrences — all JVM-side), total N derived
+    from the counted table (never a second input scan), broadcast
+    threshold filter. Same one-shuffle shape as ``heavy_hitters_exact``
+    but threshold semantics instead of top-k; the registered plan
+    ``docs_heavy_hitter_terms`` is this operator verbatim, so operator
+    and plan cannot drift. Use ``heavy_hitters`` (Misra-Gries) when the
+    value domain itself is too large to shuffle."""
+    w = F.sum(weight_col) if weight_col else F.count("*")
+    counted = df.groupBy(F.col(col).cast("string").alias("value")).agg(
+        w.cast("long").alias("exact_count")
+    )
+    total = counted.agg(F.sum("exact_count").alias("n"))
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("exact_count") * k > F.col("n"))
+        .select("value", "exact_count")
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str,

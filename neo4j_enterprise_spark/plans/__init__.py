@@ -65,72 +65,84 @@ def register(
 #          remaining never-checked (docs extras, events extras,
 #          SCD2/fuzzy/incremental-view, HHI/Pareto, skew report, and the
 #          r4 additions past slot 50).
-#   r6 TODO: docs_heavy_hitter_mg (new in r5 — the MG pipeline kept as
-#          its own oracle query after docs_heavy_hitter_terms switched
-#          to the exact one-scan plan), then the 18 still-never-checked
-#          (top_orders_per_customer,
-#          record_counts_per_table, property_projection_default,
-#          orders_cube_pricing, docs_exact_k_sample, docs_epoch_shuffle,
-#          docs_token_budget_sample, docs_curriculum_phases,
-#          docs_source_interleave, docs_hash_split_counts,
-#          docs_stratified_sample, docs_dup_rate_by_source,
-#          docs_repetition_stats, events_rolling_hour_counts,
-#          events_hourly_leaderboard, events_activity_streaks,
-#          events_time_profile, graph_schema_summary), then resume
-#          cycling so every oracle query gets a driver row at least once
-#          per ~4 rounds.
+#   r5:    the two array-output fixes, 7 corrupted-fixture checker
+#          oracles, then 41 of the 59 remaining never-checked — 50/50
+#          green (CORRECTNESS_r05.json).
+#   r6 (this window): check_fixture_graph_props (NEW — the NeoStore
+#          singleton family's first oracle row, on the r6-extended
+#          fixture) + check_fixture_summary re-check (now 7 families);
+#          q1/q5/q10 re-checks (their oracles were rewritten in r5 —
+#          quantized revenue — so the r3 greens are stale);
+#          docs_heavy_hitter_mg (new in r5); the 18 last never-checked
+#          oracle queries (docs sampling family, events extras,
+#          graph_schema_summary, orders_cube_pricing,
+#          property_projection_default, record_counts_per_table,
+#          top_orders_per_customer). After this window, ZERO
+#          oracle-bearing queries have never had a driver row. The
+#          remaining 26 slots recycle the oldest r1-green graph-family
+#          queries (driver evidence age ~5 rounds).
+#   r7 TODO: continue recycling r1-r2 greens (snapshot/txlog/cypher
+#          families next: traverse_dfs_preorder,
+#          snapshot_branch_divergence, txlog_replay_lww,
+#          snapshot_diff_added, row_checksums, bfs_shortest_hops, ...)
+#          so every oracle query gets a driver row at least once per
+#          ~4 rounds.
 # bench.py and the local parity tests are order-independent.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    "emb_label_centroids",  # r4 red (canon list-cell crash) - re-check the fix
-    "docs_inverted_index",  # same latent bug, fixed preemptively
-    "check_fixture_nodes",
-    "check_fixture_relationships",
-    "check_fixture_first_property",
-    "check_fixture_properties",
-    "check_fixture_ownership",
-    "check_fixture_dictionaries",
-    "check_fixture_summary",
-    "txlog_as_of_read",
-    "parts_frequent_triples",
-    "parts_association_rules",
-    "graph_orc_roundtrip",
-    "graph_negative_samples",
-    "docs_lang_id",
-    "docs_quality_scores",
-    "docs_train_eval_contamination",
-    "docs_vocabulary_top_terms",
-    "docs_bpe_token_stats",
-    "docs_pii_redaction",
-    "docs_sequence_packing",
-    "docs_mixture_resample",
-    "docs_normalized_dedup",
-    "docs_filter_pipeline",
-    "docs_term_lift_by_source",
-    "docs_heavy_hitter_terms",
-    "docs_leakage_safe_split",
-    "docs_tokenizer_fertility",
-    "docs_unigram_commonness",
-    "docs_bigram_counts",
-    "docs_keyword_search",
-    "docs_countmin_freq",
-    "emb_hard_negatives",
-    "docs_incremental_minhash",
-    "orders_incremental_join_view",
-    "events_cumulative_users",
-    "events_hourly_gapfill",
-    "customer_scd2_batch",
-    "customer_fuzzy_match",
-    "events_equidepth_histogram",
-    "lineitem_skew_report",
-    "events_conversion_latency",
-    "events_path_trigrams",
-    "supplier_pareto_share",
-    "events_stream_leaderboard",
-    "events_hourly_autocorr",
-    "events_burst_hours",
-    "nation_supplier_hhi",
-    "orders_salted_join_rollup",
-    "events_stream_countmin",
+    # -- new / changed this round ------------------------------------
+    "check_fixture_graph_props",  # NEW: NeoStore family oracle row
+    "check_fixture_summary",  # re-check: now includes graph_props
+    # -- stale driver evidence (oracle rewritten r5) -----------------
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    # -- never driver-checked ----------------------------------------
+    "docs_heavy_hitter_mg",
+    "top_orders_per_customer",
+    "record_counts_per_table",
+    "property_projection_default",
+    "orders_cube_pricing",
+    "docs_exact_k_sample",
+    "docs_epoch_shuffle",
+    "docs_token_budget_sample",
+    "docs_curriculum_phases",
+    "docs_source_interleave",
+    "docs_hash_split_counts",
+    "docs_stratified_sample",
+    "docs_dup_rate_by_source",
+    "docs_repetition_stats",
+    "events_rolling_hour_counts",
+    "events_hourly_leaderboard",
+    "events_activity_streaks",
+    "events_time_profile",
+    "graph_schema_summary",
+    # -- recycled oldest r1 greens (evidence age ~5 rounds) ----------
+    "node_counts_by_kind",
+    "rel_counts_by_type",
+    "node_point_lookup",
+    "index_lookup_by_kind",
+    "adjacency_out_typed",
+    "neighborhood_1hop",
+    "degree_by_type",
+    "degree_histogram",
+    "endpoints_not_in_use",
+    "violations_summary",
+    "first_in_chain",
+    "chain_neighbors",
+    "bfs_2hop_reach",
+    "record_model_validation",
+    "pattern_2hop_paths",
+    "cypher_region_supply_paths",
+    "cypher_var_length_reach",
+    "traverse_pruned_2hop",
+    "round_robin_assignment",
+    "connected_components",
+    "degree_pivot_by_type",
+    "customer_props_unpivot",
+    "priority_take_k",
+    "cluster_member_rollup",
+    "traverse_dfs_preorder",
+    "snapshot_branch_divergence",
 )
 
 

@@ -47,9 +47,9 @@ _V_COLS = ("record_type", "rule", "entity_id", "detail")
 
 
 def fixture_graph(spark: SparkSession) -> PropertyGraph:
-    """Load the committed corrupted store (no graph_props table: the
-    NeoStore singleton family keeps its pytest coverage; every other
-    family is oracle-checked here)."""
+    """Load the committed corrupted store — all six store tables
+    including the NeoStore singleton chain (graph_props, r6 addition:
+    corruption matrix in tools/gen_checker_fixture.py)."""
     t = {
         name: spark.read.parquet(os.path.join(FIXTURE_DIR, f"{name}.parquet"))
         for name in (
@@ -58,6 +58,7 @@ def fixture_graph(spark: SparkSession) -> PropertyGraph:
             "properties",
             "relationship_types",
             "property_keys",
+            "graph_props",
         )
     }
     return PropertyGraph(
@@ -66,7 +67,7 @@ def fixture_graph(spark: SparkSession) -> PropertyGraph:
         properties=t["properties"],
         relationship_types=t["relationship_types"],
         property_keys=t["property_keys"],
-        graph_props=None,
+        graph_props=t["graph_props"],
     )
 
 
@@ -84,6 +85,9 @@ _FX_CTES = f"""
       SELECT * FROM read_parquet('{FIXTURE_DIR}/relationship_types.parquet')),
     prop_keys AS (
       SELECT * FROM read_parquet('{FIXTURE_DIR}/property_keys.parquet')),
+    gp_store AS (
+      SELECT * FROM read_parquet('{FIXTURE_DIR}/graph_props.parquet')),
+    live_gp AS (SELECT * FROM gp_store WHERE in_use),
     live_n AS (SELECT * FROM nodes WHERE in_use),
     live_r AS (SELECT * FROM rels WHERE in_use),
     live_p AS (SELECT * FROM props WHERE in_use),
@@ -247,6 +251,55 @@ _OWNERSHIP_BODY = """
     AND id NOT IN (SELECT next_prop FROM ow)
 """
 
+# NeoStore singleton (`NeoStoreCheck.java:29-50`): head cardinality,
+# graph ownership, prev/next symmetry, live keys, typed-value shape —
+# the same rule families as the property store, scoped to graph_props.
+_GRAPH_PROPS_BODY = """
+  gptr AS (
+    SELECT id, 'prevNotInUse' AS rule_niu,
+           'previousDoesNotReferenceBack' AS rule_back,
+           prev_prop AS ptr, 'next' AS back_dir
+    FROM live_gp WHERE prev_prop <> -1
+    UNION ALL
+    SELECT id, 'nextNotInUse', 'nextDoesNotReferenceBack',
+           next_prop, 'prev'
+    FROM live_gp WHERE next_prop <> -1),
+  gpj AS (
+    SELECT gptr.*, t.id AS t_id, t.prev_prop AS t_prev, t.next_prop AS t_next
+    FROM gptr LEFT JOIN live_gp t ON gptr.ptr = t.id),
+  gprule AS (
+    SELECT id, ptr,
+      CASE WHEN t_id IS NULL THEN rule_niu
+           WHEN (CASE WHEN back_dir = 'next' THEN t_next ELSE t_prev END)
+                <> id THEN rule_back
+      END AS rule
+    FROM gpj)
+  SELECT 'NEO_STORE' AS record_type, 'propertyChainHeadCount' AS rule,
+         CAST(0 AS BIGINT) AS entity_id, CAST(n AS VARCHAR) AS detail
+  FROM (SELECT COUNT(*) FILTER (WHERE prev_prop = -1) AS n,
+               COUNT(*) AS m FROM live_gp)
+  WHERE m > 0 AND n <> 1
+  UNION ALL
+  SELECT 'NEO_STORE', 'propertyForOtherOwner', id, CAST(owner_id AS VARCHAR)
+  FROM live_gp WHERE owner_kind <> 'graph' OR owner_id <> 0
+  UNION ALL
+  SELECT 'NEO_STORE', rule, id, CAST(ptr AS VARCHAR)
+  FROM gprule WHERE rule IS NOT NULL
+  UNION ALL
+  SELECT 'NEO_STORE', 'keyNotInUse', id, CAST(key_id AS VARCHAR)
+  FROM live_gp
+  WHERE key_id NOT IN (SELECT id FROM prop_keys WHERE in_use)
+  UNION ALL
+  SELECT 'NEO_STORE', 'invalidPropertyValue', id, vtype
+  FROM live_gp WHERE
+    (vtype = 'INT' AND (value_long IS NULL OR value_string IS NOT NULL
+                        OR value_array IS NOT NULL))
+    OR (vtype = 'STRING' AND (value_string IS NULL OR value_long IS NOT NULL
+                              OR value_array IS NOT NULL))
+    OR (vtype = 'ARRAY' AND (value_array IS NULL OR value_long IS NOT NULL
+                             OR value_string IS NOT NULL))
+"""
+
 # J9 (`NameRecordCheck.java:42-66`).
 _DICT_BODY = """
   dsel AS (SELECT 1)
@@ -339,6 +392,20 @@ def check_fixture_dictionaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ordered(rc.check_dictionaries(fixture_graph(spark)))
 
 
+@register(
+    "check_fixture_graph_props",
+    _family_sql(_GRAPH_PROPS_BODY),
+    doc="NeoStore singleton checks on the corrupted fixture "
+    "(`NeoStoreCheck.java:29-50`): chain head cardinality, graph "
+    "ownership, prev/next symmetry, dictionary-key liveness, and the "
+    "typed-value shape invariant over the 7-record graph_props chain — "
+    "first hard oracle row for the one family the r5 fixture left "
+    "pytest-only.",
+)
+def check_fixture_graph_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ordered(rc.check_graph_props(fixture_graph(spark)))
+
+
 _ALL_BODIES = (
     _NODES_BODY,
     _RELS_BODY,
@@ -346,6 +413,7 @@ _ALL_BODIES = (
     _PROPS_BODY,
     _OWNERSHIP_BODY,
     _DICT_BODY,
+    _GRAPH_PROPS_BODY,
 )
 
 
@@ -365,8 +433,9 @@ def _summary_sql() -> str:
     doc="A1 ConsistencySummaryStatistics over the full corrupted-fixture "
     "check suite (`FullCheck.java:71-123` + "
     "`ConsistencySummaryStatistics.java`): per-(record_type, rule) "
-    "violation counts across all six store families — the "
-    "graph_full_validation shape, now with a hard DuckDB oracle "
+    "violation counts across all seven store families (NeoStore "
+    "included since r6) — the graph_full_validation shape, now with a "
+    "hard DuckDB oracle "
     "(`FullCheckIntegrationTest.java:55-341`'s corrupt-then-count).",
 )
 def check_fixture_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -378,6 +447,7 @@ def check_fixture_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         rc.check_properties(g),
         rc.check_ownership(g),
         rc.check_dictionaries(g),
+        rc.check_graph_props(g),
     ]
     from functools import reduce
 

@@ -2040,7 +2040,10 @@ def cypher_set_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "EVERY node via HLL-sketch propagation — r shuffles total for all "
     "sources, 2^lg_k bytes per node, vs |V| BFS runs; summarized as "
     "avg/max ball size per node kind. The scale path for closeness/"
-    "harmonic centrality when per-source BFS is infeasible.",
+    "harmonic centrality when per-source BFS is infeasible. Portable "
+    "twins: bfs_2hop_reach (exact per-source ball, oracle-checked) and "
+    "graph_harmonic_centrality (exact distances, oracle-checked); "
+    "test_traversal pins HLL-vs-exact agreement at small cardinality.",
 )
 def graph_hyperball_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.traversal import hyperball
@@ -3390,7 +3393,11 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "peeling (community.greedy_coloring) over the 500-part co-purchase "
     "slice: color c = c-th independent layer, proper by construction, "
     "deterministic via md5 priorities. Reports nodes-per-color — the "
-    "conflict-free scheduling partition (≤ Δ+1 colors).",
+    "conflict-free scheduling partition (≤ Δ+1 colors). Portable twin: "
+    "the single-MIS layer is oracle-checked as graph_mis_luby (the peel "
+    "loop's round count is data-dependent, so only the layer unit has a "
+    "recursive-SQL twin); proper-coloring invariants are asserted in "
+    "test_community.",
 )
 def graph_coloring_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.community import greedy_coloring

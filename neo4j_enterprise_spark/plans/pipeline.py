@@ -104,7 +104,12 @@ def docs_lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Similarity search baseline: exact top-5 cosine neighbors per "
     "seed over quantized embeddings (integer dot products → "
-    "order-independent, engine-exact doubles).",
+    "order-independent, engine-exact doubles). Perf floor (r5 "
+    "profile): the scorer is an Arrow-batched int64 matmul; the "
+    "residual ~2.5x vs DuckDB at sf1 is Arrow transit + py4j on a "
+    "sub-second query, not plan shape — LSH (ann_lsh_md5_top5) and "
+    "IVF (ann_ivf_fixed_top5) are the scale paths that avoid scoring "
+    "the full corpus per seed.",
     bench=True,
 )
 def ann_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1340,15 +1345,8 @@ def docs_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
-    counted = toks.groupBy(F.col("term").alias("value")).agg(
-        F.count("*").alias("exact_count")
-    )
-    total = counted.agg(F.sum("exact_count").alias("n"))
-    return (
-        counted.crossJoin(F.broadcast(total))
-        .filter(F.col("exact_count") * 32 > F.col("n"))
-        .select("value", "exact_count")
-        .orderBy(F.desc("exact_count"), "value")
+    return sketches.heavy_hitters_exact_threshold(toks, "term", k=32).orderBy(
+        F.desc("exact_count"), "value"
     )
 
 
@@ -1695,7 +1693,10 @@ def docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "byte-histogram featurizer — a real vision model swaps in with the "
     "same batch shape) -> exact cosine top-3 neighbors per media item "
     "(quantized JVM dot products). The media dedup/retrieval path a "
-    "100 TB multimodal corpus runs after decode.",
+    "100 TB multimodal corpus runs after decode. Portable twin: "
+    "ann_cosine_top5 oracle-checks the identical cosine-top-k scorer "
+    "over the embeddings table; test_multimodal pins the featurizer's "
+    "determinism and batch shape.",
 )
 def media_feature_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal, similarity

@@ -15,6 +15,7 @@ chosen to also be the right call on a large cluster:
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
 
@@ -120,4 +121,13 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # The r5 default heap change (48g -> 16g, justified above) silently
+    # affects any consumer sized against the old default — state the
+    # effective heap once so an OOM is attributable to it.
+    print(
+        "# spark-graft session: driver heap "
+        + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        + " (override with SPARK_GRAFT_DRIVER_MEM)",
+        file=sys.stderr,
+    )
     return spark

@@ -157,9 +157,14 @@ def test_heavy_hitters_exact_matches_mg_verified(spark):
         for r in heavy_hitters_exact(df, "v", k=2).collect()
     }
     assert exact == {"hot": 800, "warm": 400}
-    # single shuffle, no Python: plan has no ArrowEvalPython/mapInPandas
+    # single JVM-side shuffle: positive node assertions (HashAggregate
+    # + TakeOrderedAndProject) plus the specific Python-eval node names
+    # — not a blanket substring ban that any unrelated plan-node rename
+    # could trip
     plan = heavy_hitters_exact(df, "v", k=2)._jdf.queryExecution().executedPlan().toString()
-    assert "Python" not in plan and "Arrow" not in plan
+    assert "HashAggregate" in plan and "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
     # and the exact path agrees with MG candidates + exact verify
     mg = verify_heavy_hitters(df, "v", heavy_hitters(df, "v", k=10))
     mg_top = {
@@ -167,6 +172,39 @@ def test_heavy_hitters_exact_matches_mg_verified(spark):
         for r in mg.orderBy(F.desc("exact_count")).limit(2).collect()
     }
     assert mg_top == exact
+
+
+def test_heavy_hitters_exact_threshold(spark):
+    from neo4j_enterprise_spark.operators.sketches import (
+        heavy_hitters_exact_threshold,
+    )
+
+    rows = (
+        [("hot",)] * 800 + [("warm",)] * 400 + [(f"c{i % 200}",) for i in range(800)]
+    )
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    # N = 2000; threshold N/4 = 500 strictly: only "hot" (800) passes,
+    # "warm" (400) does not
+    got = {
+        r["value"]: r["exact_count"]
+        for r in heavy_hitters_exact_threshold(df, "v", k=4).collect()
+    }
+    assert got == {"hot": 800}
+    # k=32 -> threshold 62.5: hot + warm, none of the 200 cold values (4 each)
+    got32 = {
+        r["value"]: r["exact_count"]
+        for r in heavy_hitters_exact_threshold(df, "v", k=32).collect()
+    }
+    assert got32 == {"hot": 800, "warm": 400}
+    # stays JVM-side like the top-k twin
+    plan = (
+        heavy_hitters_exact_threshold(df, "v", k=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "HashAggregate" in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
 
 
 def test_count_min_overestimates_and_merges(spark):

@@ -38,6 +38,22 @@ node n ⇒ rels 3n..3n+2 / props 4n..4n+3; see generator.py:76-170):
   P6  prop 142.value_string → 'junk'     invalidPropertyValue (INT slot)
   J9  property_keys 2.name → ''          emptyName (PROPERTY_KEY)
       relationship_types 0.name → ''     emptyName (RELATIONSHIP_LABEL)
+
+NeoStore singleton family (`NeoStoreCheck.java:29-50`, r6 addition —
+graph_props.parquet is built here as a 7-record chain 0→…→5 plus one
+extra head, replacing the generator's 2-record default so every rule
+has a corruption):
+
+  GP  gp 2.next_prop → 999999            nextNotInUse (+ back-ref side
+                                         effect on gp 3)
+      gp 4.key_id → 77                   keyNotInUse
+      gp 5.owner_id → 9                  propertyForOtherOwner
+      gp 1.value_long → 42 (STRING slot) invalidPropertyValue
+      gp 6.prev_prop = -1 (second head)  propertyChainHeadCount
+
+Run with table names as argv to rewrite only those files (e.g.
+``python tools/gen_checker_fixture.py graph_props``) — the five
+original store files are committed and must stay byte-identical.
 """
 
 import os
@@ -107,6 +123,38 @@ def main():
     set_at(keys, 2, "name", "")
     set_at(rtypes, 0, "name", "")
 
+    # NeoStore singleton (GP family) — hand-built 7-record chain so each
+    # `NeoStoreCheck.java:29-50` rule has a corruption. Schema matches
+    # generator.py's graph_props exactly; key ids 0/1/2 are the live
+    # INTEGER/STRING/ARRAY dictionary entries.
+    import pandas as pd
+
+    vt = ["INT", "STRING", "ARRAY", "INT", "STRING", "ARRAY", "INT"]
+    gp = pd.DataFrame(
+        {
+            "id": list(range(7)),
+            "in_use": [True] * 7,
+            "owner_id": [0] * 7,
+            "owner_kind": ["graph"] * 7,
+            "seq": list(range(7)),
+            "key_id": [0, 1, 2, 0, 1, 2, 0],
+            "vtype": vt,
+            "value_long": [7 + i if t == "INT" else None for i, t in enumerate(vt)],
+            "value_string": [
+                f"graph-prop-{i}" if t == "STRING" else None for i, t in enumerate(vt)
+            ],
+            "value_array": [[1, 2, 3] if t == "ARRAY" else None for t in vt],
+            "prev_prop": [-1, 0, 1, 2, 3, 4, -1],
+            "next_prop": [1, 2, 3, 4, 5, -1, -1],
+        }
+    )
+    set_at(gp, 2, "next_prop", 999_999)  # nextNotInUse (+ gp3 back-ref side effect)
+    set_at(gp, 4, "key_id", 77)  # keyNotInUse
+    set_at(gp, 5, "owner_id", 9)  # propertyForOtherOwner
+    set_at(gp, 1, "value_long", 42)  # invalidPropertyValue (STRING slot)
+    # gp 6 is the second chain head -> propertyChainHeadCount n=2
+    tables["graph_props"] = gp
+
     os.makedirs(OUT, exist_ok=True)
     # Schemas must survive the pandas round-trip exactly: rebuild from the
     # Spark schema so int64/bool/string/list<int> land typed, not object.
@@ -118,7 +166,10 @@ def main():
         "bigint": pa.int64(), "int": pa.int32(), "boolean": pa.bool_(),
         "string": pa.string(), "array<int>": pa.list_(pa.int32()),
     }
+    only = set(sys.argv[1:])
     for name, pdf in tables.items():
+        if only and name not in only:
+            continue
         schema = pa.schema(
             [(c, pa_map[spark_types[name][c]]) for c in pdf.columns]
         )
