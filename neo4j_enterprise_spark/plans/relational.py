@@ -284,34 +284,34 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q10 shape: returned-item revenue per customer, top 20. "
     "Revenue on cent-quantized BIGINTs like q5 (exact integer "
-    "arithmetic — associative, so the per-order pre-aggregate regroups "
-    "freely and still matches the oracle's flat SUM bit-for-bit); "
-    "accumulated in DECIMAL(27,0) so group sums cannot overflow int64 "
-    "at 100 TB, ONE int->double cast + ONE /10^4 at the end.",
+    "arithmetic, accumulated in DECIMAL(27,0) so group sums cannot "
+    "overflow int64 at 100 TB), ONE int->double cast + ONE /10^4 at "
+    "the end. Profiled at sf1 (tools/profile_q10_variants.py): the "
+    "per-order pre-aggregate the r3-r5 plan carried only shrinks the "
+    "returned-lineitem side 1.5M->1.0M rows and costs its own hash "
+    "aggregate — dropping it is 20% faster (1.28s -> 1.03s); the "
+    "residual vs DuckDB (0.29s) is the 3 shuffle legs (li-by-orderkey, "
+    "orders-by-orderkey, joined-by-custkey ~= 0.38s) a partitioned "
+    "engine must pay and a single-node pipelined hash join does not, "
+    "plus the ~0.1s scheduler floor — see BASELINE.md §8.",
     bench=True,
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load_table(spark, sf_dir, "nation")
     rev_q = F.round(F.col("l_extendedprice") * 100).cast("long") * (
         F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
     )
-    # pre-aggregate returned-item revenue per order, then roll up to the
-    # customer over the (much smaller) per-order aggregate — one fact
-    # shuffle instead of carrying c_name/n_name through the big join
-    per_order = li.groupBy("l_orderkey").agg(
-        F.sum(rev_q.cast("decimal(27,0)")).alias("rev_dec")
-    )
     # shuffle-hash: the static planner broadcast a fact-sized orders
     # relation here (~300 MB at sf1, degrading 4.7s -> 11s across runs)
     return (
-        per_order.hint("shuffle_hash").join(
-            o, per_order["l_orderkey"] == o["o_orderkey"]
-        )
+        li.select("l_orderkey", rev_q.alias("rq"))
+        .hint("shuffle_hash")
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
         .groupBy("o_custkey")
-        .agg(F.sum("rev_dec").alias("rev_cust"))
+        .agg(F.sum(F.col("rq").cast("decimal(27,0)")).alias("rev_cust"))
         .join(c, F.col("o_custkey") == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .select(
