@@ -458,3 +458,97 @@ def unigram_commonness(
             ),
         )
     )
+
+
+def bigram_fluency(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    train: str = "train",
+    holdout: str = "eval",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    ppb: int = 1_000_000_000,
+) -> DataFrame:
+    """Bigram-LM fluency scoring of a holdout split against an LM whose
+    counts come from the train split — the log-free rendering of the
+    perplexity quality filter (score eval candidates with an n-gram LM
+    trained on the corpus, drop the tail).
+
+    For each holdout doc: ``n_bigrams``; ``mean_cond_ppb`` = mean of the
+    train-LM conditional probabilities P(w2|w1) of its adjacent-token
+    transitions, in exact parts-per-billion (unseen transitions score
+    0); ``novel_frac`` = fraction of transitions whose bigram never
+    occurs in train. A true log-perplexity is this plan with ``F.log``
+    in the sum — deliberately NOT used: transcendental rounding differs
+    across engines, while (pair_n · 10⁹) div prefix_n is exact integer
+    arithmetic on both, summed exactly, with one final IEEE division
+    (the engine's determinism contract). The multiply runs in
+    DECIMAL(38,0) so a >9.2B-occurrence head bigram (possible in a
+    100 TB train split) cannot overflow the int64 product.
+
+    Scale: bigrams are built array-side (scan-fused, zero shuffle until
+    the counts); the LM is two vocabulary-bounded aggregates; scoring is
+    one equi-join per bigram occurrence on the (w1, w2) key — Zipf
+    hot-key case, AQE skew-join territory — then a map-side-combinable
+    groupBy(doc_id). No all-pairs anywhere; linear in corpus size.
+    """
+    from .sampling import split_column
+
+    weights = weights or {train: 0.9, holdout: 0.1}
+    tagged = docs.withColumn("__split", split_column(F.col(key_col), weights))
+
+    def bigrams(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                key_col,
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("t"),
+            )
+            .select(
+                key_col,
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(t) >= 2 THEN "
+                        "filter(transform(sequence(1, size(t) - 1),"
+                        " i -> struct(t[i - 1] AS w1, t[i] AS w2)),"
+                        " p -> p.w1 <> '' AND p.w2 <> '') "
+                        "ELSE array() END"
+                    )
+                ).alias("bg"),
+            )
+            .select(key_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        )
+
+    train_bg = bigrams(tagged.filter(F.col("__split") == train))
+    pair = train_bg.groupBy("w1", "w2").agg(F.count("*").alias("pair_n"))
+    prefix = pair.groupBy("w1").agg(F.sum("pair_n").alias("prefix_n"))
+    ev = bigrams(tagged.filter(F.col("__split") == holdout))
+    scored = (
+        ev.join(pair, ["w1", "w2"], "left")
+        .join(prefix, ["w1"], "left")
+        .select(
+            key_col,
+            F.coalesce(
+                F.expr(f"(CAST(pair_n AS DECIMAL(38,0)) * {ppb}) div prefix_n"),
+                F.lit(0).cast("long"),
+            ).alias("p_ppb"),
+            F.col("pair_n").isNull().cast("long").alias("novel"),
+        )
+    )
+    return (
+        scored.groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("p_ppb").alias("sum_ppb"),
+            F.sum("novel").alias("n_novel"),
+        )
+        .select(
+            key_col,
+            "n_bigrams",
+            (
+                F.col("sum_ppb").cast("double") / F.col("n_bigrams").cast("double")
+            ).alias("mean_cond_ppb"),
+            (
+                F.col("n_novel").cast("double") / F.col("n_bigrams").cast("double")
+            ).alias("novel_frac"),
+        )
+    )

@@ -2382,3 +2382,53 @@ def docs_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_incremental_pairs(
         batch, index, num_hashes=32, bands=16, seed=42, portable=True
     ).orderBy("new_doc", "corpus_doc")
+
+
+@register(
+    "docs_bigram_fluency",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM documents),
+    u AS (SELECT doc_id, split, unnest(t) AS tok,
+                 generate_subscripts(t, 1) AS ord
+          FROM toks),
+    bg AS (SELECT a.doc_id, a.split, a.tok AS w1, b.tok AS w2
+           FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+           WHERE a.tok <> '' AND b.tok <> ''),
+    pair AS (SELECT w1, w2, COUNT(*) AS pair_n FROM bg
+             WHERE split = 'train' GROUP BY w1, w2),
+    pre AS (SELECT w1, CAST(SUM(pair_n) AS BIGINT) AS prefix_n
+            FROM pair GROUP BY w1),
+    sc AS (SELECT e.doc_id,
+                  COALESCE(CAST((CAST(p.pair_n AS HUGEINT) * 1000000000)
+                                // r.prefix_n AS BIGINT), 0) AS p_ppb,
+                  CASE WHEN p.pair_n IS NULL THEN 1 ELSE 0 END AS novel
+           FROM bg e
+           LEFT JOIN pair p ON e.w1 = p.w1 AND e.w2 = p.w2
+           LEFT JOIN pre r ON e.w1 = r.w1
+           WHERE e.split = 'eval')
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(p_ppb) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS mean_cond_ppb,
+           CAST(SUM(novel) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS novel_frac
+    FROM sc GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Bigram-LM fluency scoring (text.bigram_fluency): holdout docs "
+    "scored against bigram conditionals learned from the train split — "
+    "the log-free rendering of the n-gram-perplexity quality filter. "
+    "Per eval doc: mean P(w2|w1) over its transitions in exact "
+    "parts-per-billion ((pair_n*10^9) div prefix_n — integer-exact on "
+    "both engines; DECIMAL(38,0)/HUGEINT product so a 100 TB head "
+    "bigram cannot overflow) plus the novel-transition fraction; one "
+    "IEEE division per output column at the end. Spark builds bigrams "
+    "array-side (scan-fused) where the oracle self-joins on ordinality; "
+    "scoring is a (w1,w2)-keyed equi-join — Zipf hot keys, AQE "
+    "skew-join — then one map-side-combinable groupBy(doc_id).",
+)
+def docs_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bigram_fluency(docs).orderBy("doc_id")

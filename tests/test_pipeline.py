@@ -555,3 +555,69 @@ def test_hard_negatives_zero_norm_excluded(spark):
     got = similarity.hard_negatives(emb, seeds, k=4).collect()
     negs = {r["negative"] for r in got}
     assert negs == {2, 4}, negs
+
+
+def test_bigram_fluency_hand_corpus(spark):
+    """Exact ppb semantics on a corpus small enough to hand-compute.
+
+    Split is forced via weights so every doc with an md5 prefix below the
+    threshold trains the LM; here we instead pass weights={'train': 1.0}
+    variants indirectly — simpler: drive split_column by choosing doc_ids
+    whose md5 prefix is known. To stay robust we instead call the
+    operator on a crafted frame and only assert invariants that hold for
+    ANY split assignment: novel_frac in [0,1], mean_cond_ppb <= 1e9,
+    single-token docs never appear, and a fully-self-trained corpus
+    (weights train=1.0) yields an empty eval side.
+    """
+    from neo4j_enterprise_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a c"),
+            (2, "a b"),
+            (3, "x"),          # single token: zero bigrams, must drop out
+            (4, "b a b"),
+            (5, ""),           # empty text: must drop out
+        ],
+        "doc_id long, text string",
+    )
+    out = t.bigram_fluency(docs).collect()
+    ids = {r["doc_id"] for r in out}
+    assert 3 not in ids and 5 not in ids
+    for r in out:
+        assert 0.0 <= r["novel_frac"] <= 1.0
+        assert 0.0 <= r["mean_cond_ppb"] <= 1.0e9
+        assert r["n_bigrams"] >= 1
+    # all-train: eval split empty -> empty result
+    assert t.bigram_fluency(docs, weights={"train": 1.0, "eval": 0.0}).count() == 0
+
+
+def test_bigram_fluency_exact_value(spark):
+    """Pin the exact integer-division scoring path: train the LM on one
+    known doc by making the split deterministic through a key column
+    whose md5 prefix we verified, then check the ppb math."""
+    import hashlib
+
+    from neo4j_enterprise_spark.operators import text as t
+
+    # find two small ids on opposite sides of the 0.9 threshold 'e666'
+    train_id = next(
+        i for i in range(1000)
+        if hashlib.md5(str(i).encode()).hexdigest()[:4] < "e666"
+    )
+    eval_id = next(
+        i for i in range(1000)
+        if hashlib.md5(str(i).encode()).hexdigest()[:4] >= "e666"
+    )
+    docs = spark.createDataFrame(
+        [
+            (train_id, "a b a b a c"),   # LM: pair(a,b)=2 (ab ab), pair(b,a)=2, pair(a,c)=1 -> prefix a=3, b=2
+            (eval_id, "a b a z"),        # transitions: (a,b) 2/3, (b,a) 2/2, (a,z) novel
+        ],
+        "doc_id long, text string",
+    )
+    [row] = t.bigram_fluency(docs).collect()
+    assert row["doc_id"] == eval_id and row["n_bigrams"] == 3
+    expected_sum = (2 * 10**9) // 3 + (2 * 10**9) // 2 + 0
+    assert row["mean_cond_ppb"] == expected_sum / 3.0
+    assert row["novel_frac"] == 1.0 / 3.0

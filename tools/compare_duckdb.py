@@ -6,7 +6,9 @@ thread count), prints a ratio table sorted worst-first plus the
 aggregate. This is the measurement loop behind BASELINE.md's appendix —
 rerun it after perf work instead of guessing.
 
-Usage: PYTHONPATH=. python tools/compare_duckdb.py [sf_dir]
+Usage: PYTHONPATH=. python tools/compare_duckdb.py [sf_dir] [runs]
+  runs: steal-clean samples per query per engine (default 5; the sf10
+  trend runs use 3 to bound wall-clock — disclosed in BASELINE.md §9).
 """
 
 from __future__ import annotations
@@ -37,15 +39,18 @@ def _steal() -> float:
         return 0.0
 
 
+RUNS = 5
+
+
 def median5(fn, pre=None) -> float:
-    """Median of 5 steal-clean samples: a sample during which the
-    hypervisor stole >0.5 CPU-seconds is discarded and re-run (up to 20
-    attempts, then the cleanest are kept). Applied identically to the
-    Spark and DuckDB side, so neither engine's median carries the
+    """Median of RUNS steal-clean samples: a sample during which the
+    hypervisor stole >0.5 CPU-seconds is discarded and re-run (up to
+    4xRUNS attempts, then the cleanest are kept). Applied identically to
+    the Spark and DuckDB side, so neither engine's median carries the
     neighbor-tenant noise — Spark's longer wall times otherwise catch
     proportionally more steal bursts and bias the ratio."""
     samples, dirty, attempts = [], [], 0
-    while len(samples) < 5 and attempts < 20:
+    while len(samples) < RUNS and attempts < 4 * RUNS:
         attempts += 1
         if pre is not None:
             pre()  # un-timed per-sample hygiene (ContextCleaner GC)
@@ -59,9 +64,9 @@ def median5(fn, pre=None) -> float:
             dirty.append(dt)
             continue
         samples.append(dt)
-    if len(samples) < 5:  # persistent steal: use what's clean, loudly
+    if len(samples) < RUNS:  # persistent steal: use what's clean, loudly
         print(
-            f"#   WARNING: only {len(samples)} steal-clean samples in 20 tries",
+            f"#   WARNING: only {len(samples)} steal-clean samples in {4 * RUNS} tries",
             flush=True,
         )
         samples = samples or dirty  # all-dirty: dirty median beats nothing
@@ -69,7 +74,10 @@ def median5(fn, pre=None) -> float:
 
 
 def main() -> None:
+    global RUNS
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    if len(sys.argv) > 2:
+        RUNS = int(sys.argv[2])
     spark = get_spark("compare")
     qs = {n: q for n, q in all_queries().items() if q.bench and q.oracle}
     for t in TABLES:
