@@ -547,3 +547,150 @@ def minhash_incremental_pairs(
         .select("new_doc", "corpus_doc")
         .distinct()
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    SIGMOD'03 — the MOSS algorithm): per doc, hash every k-token gram,
+    slide a w-gram window, and SELECT the minimum hash in each window
+    (ties broken by the RIGHTMOST position — robust winnowing), then
+    dedupe selections. Guarantee: any shared token run of length
+    >= w + k - 1 between two documents yields at least one shared
+    selected fingerprint, while only ~2/(w+1) of grams are kept —
+    position-robust overlap detection at a fraction of the shingle
+    volume (the property plain digest fingerprinting and MinHash
+    sketches don't give: selected fingerprints carry POSITIONS, so
+    matches localize).
+
+    Determinism: the gram hash is the top 40 bits of md5 (the portable
+    hash family); hash and position are packed into ONE BIGINT
+    ``sel_key = h * 2^20 + (2^20 - 1 - pos)`` so a plain window MIN
+    implements argmin-with-rightmost-tiebreak — no engine-specific
+    min_by/arg_min semantics. Positions therefore must fit 20 bits
+    (docs up to 1,048,575 tokens — chunk longer docs upstream).
+
+    Scale: tokenization is one posexplode (linear); grams come from
+    k-1 LEAD columns and the window min reuses the SAME
+    (partitionBy doc, orderBy pos) sort — one shuffle partitioned BY
+    DOCUMENT, never a global sort; selection then a per-doc distinct.
+    Output: (doc_id, fp_hash, fp_pos) selected fingerprints.
+    """
+    toks = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            key_col,
+            F.posexplode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("pos", "tok"),
+        )
+    )
+    wlead = Window.partitionBy(key_col).orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(wlead) for i in range(1, k)
+    ]
+    grams = toks.select(
+        key_col,
+        "pos",
+        F.when(
+            F.lead("tok", k - 1).over(wlead).isNotNull(),
+            F.concat_ws(" ", *parts),
+        ).alias("gram"),
+    ).filter(F.col("gram").isNotNull())
+    h = F.conv(F.substring(F.md5("gram"), 1, 10), 16, 10).cast("long")
+    keyed = grams.select(
+        key_col,
+        "pos",
+        (h * F.lit(1048576).cast("long")
+         + (F.lit(1048575) - F.col("pos"))).alias("hp"),
+    )
+    wmin = Window.partitionBy(key_col).orderBy("pos").rowsBetween(0, w - 1)
+    sel = (
+        keyed.select(
+            key_col,
+            F.min("hp").over(wmin).alias("sel_key"),
+            F.count("*").over(wmin).alias("n_in_win"),
+        )
+        .filter(F.col("n_in_win") == w)
+        .select(key_col, "sel_key")
+        .distinct()
+    )
+    return sel.select(
+        key_col,
+        F.expr("sel_key div 1048576").alias("fp_hash"),
+        (F.lit(1048575) - F.col("sel_key") % 1048576)
+        .cast("long")
+        .alias("fp_pos"),
+    )
+
+
+def winnow_overlap(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    df_cap: int = 10,
+    top: int = 20,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document-overlap report over winnowed fingerprints (the MOSS
+    match step): docs sharing selected fingerprints are paired through
+    an equi-join ON THE FINGERPRINT HASH — never all-pairs — and
+    ranked by shared-fingerprint count. Fingerprints appearing in more
+    than ``df_cap`` documents are dropped first (boilerplate /
+    stop-fingerprints), which both denoises the report and bounds the
+    join fanout at <= df_cap^2 pairs per hash — the same
+    bucket-bounded-candidates contract as MinHash-LSH and ppjoin.
+
+    overlap = n_shared / least(n_a, n_b) (containment over the capped
+    fingerprint space; n_a/n_b are the docs' distinct capped-hash
+    counts) — exact integers with ONE final IEEE divide. Total order
+    (n_shared DESC, doc_a, doc_b) before LIMIT.
+    """
+    fps = (
+        winnow_fingerprints(docs, k=k, w=w, key_col=key_col,
+                            text_col=text_col)
+        .select(key_col, "fp_hash")
+        .distinct()
+    )
+    rare = fps.groupBy("fp_hash").agg(
+        F.count("*").alias("df")
+    ).filter(F.col("df") <= df_cap)
+    capped = fps.join(rare.select("fp_hash"), "fp_hash")
+    sizes = capped.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n_fp")
+    )
+    a = capped.select(F.col(key_col).alias("doc_a"), "fp_hash")
+    b = capped.select(F.col(key_col).alias("doc_b"), "fp_hash")
+    pairs = (
+        a.join(b, "fp_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col(key_col).alias("doc_a"),
+                      F.col("n_fp").alias("n_a"))
+    sb = sizes.select(F.col(key_col).alias("doc_b"),
+                      F.col("n_fp").alias("n_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_shared").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("overlap"),
+        )
+        .orderBy(F.desc("n_shared"), "doc_a", "doc_b")
+        .limit(top)
+    )

@@ -524,3 +524,128 @@ def negative_edge_samples(
         ["src", "neg_dst"],
         "left_anti",
     ).filter(F.col("src") != F.col("neg_dst"))
+
+
+def bloom_contamination(
+    docs: DataFrame,
+    weights: dict[str, float],
+    train: str = "train",
+    holdout: str = "eval",
+    key_col: str = "doc_id",
+    k: int = 5,
+    m_words: int = 4096,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Contamination screen via a Bloom-filter pre-filter + exact
+    verify — the SCALE path of ``ngram_contamination``. The exact op
+    shuffle-joins EVERY holdout shingle against the train-shingle set;
+    at 100 TB that is a full-corpus shuffle both sides. Here the train
+    set is summarized into an m-bit Bloom filter (relational form:
+    ≤ ``m_words`` rows of (word_idx, word) — built with a map-side-
+    combinable ``bit_or`` groupBy, so per-partition partials merge
+    associatively like every sketch in this engine), the filter is
+    BROADCAST, and each holdout shingle probes it with ``k_hashes``
+    broadcast-hash joins — zero shuffle until the per-doc rollup. Only
+    the maybe-present candidates (true hits + the bounded false-positive
+    tail) reach the exact verify join, so the expensive shuffle touches
+    candidates, not the corpus.
+
+    Words hold 63 usable bits (bit index = pos % 63): DuckDB raises on
+    ``1::BIGINT << 63`` while Spark wraps to the sign bit, so bit 63 is
+    unusable cross-engine; positions are md5-derived (the portable hash)
+    with the hash index as salt. All counts exact integers; the final
+    contamination rate (n_exact / n_shingles — identical to the exact
+    operator's definition) is the single IEEE divide.
+
+    Output per holdout doc: n_shingles, n_maybe (Bloom candidates),
+    n_exact (verified), n_false_pos (= n_maybe - n_exact, the measured
+    FP count the m/n/k sizing bounds), contamination.
+    """
+    from .dedup import shingles
+
+    m_bits = m_words * 63
+    split = split_column(F.col(key_col), weights)
+    tagged = docs.withColumn("__split", split)
+    tr_sh = (
+        shingles(tagged.filter(F.col("__split") == train), k=k)
+        .select("shingle")
+        .distinct()
+    )
+
+    def pos(i: int) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        )
+
+    bloom = (
+        tr_sh.select(
+            F.explode(F.array(*[pos(i) for i in range(k_hashes)])).alias("pos")
+        )
+        .select(
+            F.expr("pos div 63").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").alias(
+                "bitmask"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bitmask").alias("word"))
+    )
+
+    ev = shingles(tagged.filter(F.col("__split") == holdout), k=k)
+    probe = ev
+    hit_cols = []
+    for i in range(k_hashes):
+        probe = probe.withColumn(f"__p{i}", pos(i))
+        bl = bloom.select(
+            F.col("word_idx").alias(f"__wi{i}"), F.col("word").alias(f"__w{i}")
+        )
+        probe = probe.join(
+            F.broadcast(bl),
+            F.expr(f"__p{i} div 63") == F.col(f"__wi{i}"),
+            "left",
+        )
+        hit_cols.append(
+            F.coalesce(F.col(f"__w{i}"), F.lit(0))
+            .bitwiseAND(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(__p{i} % 63 AS INT))")
+            )
+            != 0
+        )
+    maybe = hit_cols[0]
+    for c in hit_cols[1:]:
+        maybe = maybe & c
+    cand = probe.select(
+        key_col, "shingle", maybe.cast("long").alias("maybe")
+    )
+    per_doc = cand.groupBy(key_col).agg(
+        F.count("*").alias("n_shingles"), F.sum("maybe").alias("n_maybe")
+    )
+    tr2 = tr_sh.withColumnRenamed("shingle", "train_shingle")
+    ver = (
+        cand.filter(F.col("maybe") == 1)
+        .join(tr2, F.col("shingle") == F.col("train_shingle"), "left")
+        .groupBy(key_col)
+        .agg(F.count("train_shingle").alias("n_exact"))
+    )
+    return per_doc.join(ver, key_col, "left").select(
+        key_col,
+        "n_shingles",
+        "n_maybe",
+        F.coalesce(F.col("n_exact"), F.lit(0)).cast("long").alias("n_exact"),
+        (F.col("n_maybe") - F.coalesce(F.col("n_exact"), F.lit(0)))
+        .cast("long")
+        .alias("n_false_pos"),
+        (
+            F.coalesce(F.col("n_exact"), F.lit(0)).cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("contamination"),
+    )

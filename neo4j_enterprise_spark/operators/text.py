@@ -552,3 +552,368 @@ def bigram_fluency(
             ).alias("novel_frac"),
         )
     )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    terms: tuple[str, ...] = ("dup", "vector", "stream"),
+    k1: tuple[int, int] = (6, 5),
+    b: tuple[int, int] = (3, 4),
+    top: int = 10,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    ppb: int = 1_000_000_000,
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Sparck Jones) with tf saturation
+    and document-length normalization — the canonical lexical ranker a
+    corpus-curation stack runs next to embedding ANN, and what plain
+    tf·idf (docs_keyword_search) lacks: a second 'dup' adds less than
+    the first (k1 saturation) and a hit in a short doc outranks the
+    same hit buried in a long one (b normalization).
+
+    Determinism (the engine's oracle contract): every per-term score is
+    ONE exact integer ratio. With k1 = k1n/k1d and b = bn/bd rational,
+
+        tf_part = tf(k1+1) / (tf + k1(1-b) + k1·b·dl·N/TL)
+                = c_num·tf·TL / (c_tf·tf·TL + c_tl·TL + c_dl·dl·N)
+
+    after clearing denominators (c_* are small ints precomputed below;
+    TL = total corpus tokens, dl = doc length). The idf is the log-free
+    raw-odds form (2N-2df+1)/(2df+1) — per-term rank-equivalent to the
+    BM25 log idf since ln is monotone, and exactly representable as an
+    integer ratio (transcendentals are not bit-stable across engines).
+    score_ppb = (c_num·tf·TL·(2N-2df+1)·10^9) div
+                ((c_tf·tf·TL + c_tl·TL + c_dl·dl·N)·(2df+1)),
+    computed in DECIMAL(38,0), truncating division, all operands exact
+    integers — bit-identical on any engine. The per-doc total adds the
+    fixed per-term columns in declared order (no float reduction); the
+    single IEEE op is the final /10^9 display cast. BIGINT score bound:
+    tf_part < k1+1 and idf < 2N, so ppb scores stay under 2^63 up to
+    N ≈ 10^9 docs; past that, keep the DECIMAL form.
+
+    Scale: tf and dl are computed ARRAY-SIDE (size(filter(tokens,...)))
+    — scan-fused, zero shuffle, no explode; the corpus statistics
+    (N, TL, df per term) are ONE single-row aggregate broadcast back;
+    ranking is TakeOrderedAndProject. Two passes over a pruned
+    (id, text) projection and no wide shuffle at any size.
+    """
+    k1n, k1d = k1
+    bn, bd = b
+    c_num = (k1n + k1d) * bd  # tf(k1+1), denominators cleared
+    c_tf = k1d * bd
+    c_tl = k1n * (bd - bn)
+    c_dl = k1n * bn
+    toks = docs.select(
+        key_col,
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("t"),
+    )
+    per = toks.select(
+        key_col,
+        F.expr("size(filter(t, x -> x <> ''))").cast("long").alias("dl"),
+        *[
+            F.expr(f"size(filter(t, x -> x = '{term}'))")
+            .cast("long")
+            .alias(f"tf_{term}")
+            for term in terms
+        ],
+    )
+    g = per.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+        *[
+            F.sum((F.col(f"tf_{term}") > 0).cast("long")).alias(f"df_{term}")
+            for term in terms
+        ],
+    )
+    j = per.crossJoin(F.broadcast(g))
+    score_cols = []
+    for term in terms:
+        num = (
+            f"CAST({c_num} AS DECIMAL(38,0)) * tf_{term} * total_len"
+            f" * (2 * n_docs - 2 * df_{term} + 1) * {ppb}"
+        )
+        den = (
+            f"(CAST({c_tf} AS DECIMAL(38,0)) * tf_{term} * total_len"
+            f" + {c_tl} * total_len + {c_dl} * dl * n_docs)"
+            f" * (2 * df_{term} + 1)"
+        )
+        score_cols.append(
+            F.when(
+                F.col(f"tf_{term}") > 0,
+                F.expr(f"CAST(({num}) div ({den}) AS BIGINT)"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias(f"s_{term}_ppb")
+        )
+    scored = j.select(
+        key_col, "dl", *[f"tf_{term}" for term in terms], *score_cols
+    )
+    total = F.col(f"s_{terms[0]}_ppb")
+    for term in terms[1:]:
+        total = total + F.col(f"s_{term}_ppb")  # fixed declared order
+    return (
+        scored.withColumn("bm25_ppb", total.cast("long"))
+        .filter(F.col("bm25_ppb") > 0)
+        .withColumn(
+            "bm25", F.col("bm25_ppb").cast("double") / F.lit(float(ppb))
+        )
+        .orderBy(F.desc("bm25_ppb"), key_col)
+        .limit(top)
+    )
+
+
+def nb_lang_classifier(
+    docs: DataFrame,
+    classes: tuple[str, ...] = ("de", "en", "es", "fr", "zh"),
+    weights: dict[str, float] | None = None,
+    train: str = "train",
+    holdout: str = "eval",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    ppb: int = 1_000_000_000,
+) -> DataFrame:
+    """Naive-Bayes language classifier, linearized — the MODEL-BASED
+    twin of the marker heuristic ``lang_id`` and the pattern every
+    fastText-style corpus quality/language classifier follows: fit
+    per-class token statistics on a train split, score the holdout,
+    report the confusion matrix. NB is the one classic text classifier
+    whose training is PURE COUNTING, so both training and scoring stay
+    exact-integer and oracle-checkable.
+
+    Model: Laplace-smoothed class conditionals
+    ``cond_ppb(t, c) = ((count(t, c) + 1) * 10^9) div (total_c + V)``
+    (V = train vocabulary size). Scoring is the linearized form used
+    throughout this engine (see ``bigram_fluency``): a document's class
+    score is the SUM of its tokens' conditional ppb values — an
+    arithmetic mean of conditionals instead of the log-sum (exact
+    BIGINTs; logs are transcendental and not bit-stable across
+    engines). Prediction is argmax with first-wins tiebreak in declared
+    ``classes`` order; every compared quantity is an exact integer, so
+    the argmax is bit-deterministic.
+
+    Scale: train counts are ONE vocabulary-keyed shuffle (groupBy token
+    with per-class conditional sums — map-side combinable); class
+    totals and V are a single broadcast row; holdout tokens join the
+    vocabulary table on the token key (shuffle equi-join — the
+    vocabulary, not the corpus, is the build side; at web scale this is
+    the same join shape as BPE pair counting) and roll up per doc.
+    No all-pairs, no Python, no global sort.
+
+    Output: (actual, predicted, n_docs) confusion-matrix rows.
+    """
+    from .sampling import split_column
+
+    weights = weights or {"train": 0.9, "eval": 0.1}
+    split = split_column(F.col(key_col), weights)
+    tagged = docs.filter(F.length(F.trim(F.col(text_col))) > 0).withColumn(
+        "__split", split
+    )
+    toks = tagged.select(
+        key_col,
+        "__split",
+        F.col(label_col).alias("actual"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+            "tok"
+        ),
+    ).filter(F.col("tok") != "")
+
+    tr = toks.filter(F.col("__split") == train)
+    vocab = tr.groupBy("tok").agg(
+        *[
+            F.sum((F.col("actual") == c).cast("long")).alias(f"cnt_{c}")
+            for c in classes
+        ]
+    )
+    totals = vocab.agg(
+        F.count("*").cast("long").alias("v_size"),
+        *[
+            F.sum(f"cnt_{c}").cast("long").alias(f"total_{c}")
+            for c in classes
+        ],
+    )
+
+    ev = (
+        toks.filter(F.col("__split") == holdout)
+        .groupBy(key_col, "actual", "tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    j = ev.join(vocab, "tok", "left").crossJoin(F.broadcast(totals))
+    contrib = [
+        (
+            F.col("cnt")
+            * F.expr(
+                f"CAST((CAST(coalesce(cnt_{c}, 0) AS DECIMAL(38,0)) + 1)"
+                f" * {ppb} div (total_{c} + v_size) AS BIGINT)"
+            )
+        ).alias(f"w_{c}")
+        for c in classes
+    ]
+    per_doc = (
+        j.select(key_col, "actual", "cnt", *contrib)
+        .groupBy(key_col, "actual")
+        .agg(
+            *[F.sum(f"w_{c}").cast("long").alias(f"s_{c}") for c in classes]
+        )
+    )
+    pred = None
+    for c in classes:
+        cond = None
+        for d in classes:
+            if d == c:
+                continue
+            ge = F.col(f"s_{c}") >= F.col(f"s_{d}")
+            cond = ge if cond is None else cond & ge
+        pred = (
+            F.when(cond, F.lit(c))
+            if pred is None
+            else pred.when(cond, F.lit(c))
+        )
+    return (
+        per_doc.withColumn("predicted", pred)
+        .groupBy("actual", "predicted")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("actual", "predicted")
+    )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_lang: str = "en",
+    n_buckets: int = 4096,
+    top: int = 25,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    ppb: int = 1_000_000_000,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR; Xie et al.,
+    NeurIPS 2023), linearized: score every document by how much its
+    HASHED-unigram distribution resembles a target domain versus the
+    raw corpus, and keep the top-k. This is the standard pretraining
+    data-selection recipe — hashed n-gram features make the model size
+    FIXED (``n_buckets`` rows) regardless of vocabulary, which is what
+    lets it run over an unbounded 100 TB token stream.
+
+    Per bucket b (token -> md5 % n_buckets, the portable hash family),
+    with T_t / T_r the target / raw token totals and cf the bucket
+    counts, the per-token lift is the Laplace-smoothed probability
+    ratio rendered as one exact integer:
+
+        lift_ppb(b) = ((cf_t + 1) * (T_r + B) * 10^9)
+                      div ((cf_r + 1) * (T_t + B))
+
+    computed in DECIMAL(38,0) (the triple product overflows BIGINT at
+    corpus scale). A doc's score is mean token lift — linearized (sum
+    of per-token lifts div n_tokens, exact truncating div) instead of
+    the log-ratio sum, same rationale as ``nb_lang_classifier``.
+    mean > 1e9 reads "looks more like the target than the corpus".
+
+    Scale: bucket statistics for target AND raw come from ONE groupBy
+    over the exploded corpus (<= n_buckets result rows, map-side
+    combinable), then broadcast; per-doc scoring is a broadcast-hash
+    join plus a doc-keyed rollup (map-side combinable — a doc's tokens
+    are co-located post-explode). Selection is TakeOrderedAndProject
+    on (mean_lift_ppb DESC, doc_id). No wide shuffle anywhere.
+
+    Output: top-k (doc_id, lang, n_tokens, mean_lift_ppb, mean_lift).
+    """
+    toks = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        key_col,
+        F.col(label_col).alias("lang"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+            "tok"
+        ),
+    ).filter(F.col("tok") != "")
+    bucketed = toks.withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+        % n_buckets,
+    )
+    stats = bucketed.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("cf_r"),
+        F.sum((F.col("lang") == target_lang).cast("long")).alias("cf_t"),
+    )
+    totals = stats.agg(
+        F.sum("cf_r").cast("long").alias("t_r"),
+        F.sum("cf_t").cast("long").alias("t_t"),
+    )
+    lifts = stats.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.expr(
+            f"CAST((CAST(cf_t AS DECIMAL(38,0)) + 1) * (t_r + {n_buckets})"
+            f" * {ppb} div ((cf_r + 1) * (t_t + {n_buckets})) AS BIGINT)"
+        ).alias("lift_ppb"),
+    )
+    per_doc = (
+        bucketed.join(F.broadcast(lifts), "bucket")
+        .groupBy(key_col, "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("lift_ppb").cast("long").alias("sum_lift_ppb"),
+        )
+        .select(
+            key_col,
+            "lang",
+            "n_tokens",
+            F.expr("sum_lift_ppb div n_tokens").alias("mean_lift_ppb"),
+        )
+    )
+    return (
+        per_doc.withColumn(
+            "mean_lift",
+            F.col("mean_lift_ppb").cast("double") / F.lit(float(ppb)),
+        )
+        .orderBy(F.desc("mean_lift_ppb"), key_col)
+        .limit(top)
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: tuple[str, ...] = ("table", "scan"),
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-phrase retrieval: docs whose token stream contains the
+    query tokens CONSECUTIVELY, with occurrence count and the first
+    match position — the positional-index phrase query of classic IR
+    (the third retrieval mode next to docs_keyword_search's bag-of-
+    words tf·idf and docs_bm25_search's ranked BM25: those can't tell
+    "table scan" from "scan ... table").
+
+    Plan: entirely ARRAY-SIDE — one pass of scan-fused higher-order
+    functions (`filter(sequence(0, size(t)-m), i -> t[i]=.. AND
+    t[i+1]=..)`) per document, ZERO shuffle and no explode; the classic
+    alternative (positional-postings self-join, see
+    docs_inverted_index for the materialized index) costs m shuffles
+    and only wins when the index is already built and the phrase terms
+    are rare. Positions are 0-based token offsets, matching the
+    engine's posexplode convention (winnow fingerprints, chunking).
+
+    Output: (doc_id, n_matches, first_pos) for matching docs only.
+    """
+    m = len(phrase)
+    conds = " AND ".join(
+        f"t[i{'+' + str(j) if j else ''}] = '{tok}'"
+        for j, tok in enumerate(phrase)
+    )
+    toks = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        key_col,
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("t"),
+    )
+    hits = (
+        toks.filter(F.expr(f"size(t) >= {m}"))
+        .select(
+            key_col,
+            F.expr(
+                f"filter(sequence(0, size(t) - {m}), i -> {conds})"
+            ).alias("hits"),
+        )
+        .filter(F.expr("size(hits) > 0"))
+    )
+    return hits.select(
+        key_col,
+        F.expr("size(hits)").cast("long").alias("n_matches"),
+        F.expr("hits[0]").cast("long").alias("first_pos"),
+    ).orderBy(key_col)

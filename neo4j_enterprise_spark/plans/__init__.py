@@ -81,7 +81,12 @@ def register(
 #          oracle-bearing queries have never had a driver row. The
 #          remaining 26 slots recycle the oldest r1-green graph-family
 #          queries (driver evidence age ~5 rounds).
-#   r7 TODO: continue recycling r1-r2 greens (snapshot/txlog/cypher
+#   r7 TODO: lead with the queries REGISTERED in r6 after the window
+#          froze (docs_bm25_search, docs_bloom_contamination,
+#          docs_winnow_overlap, docs_nb_lang_classifier,
+#          docs_dsir_importance, docs_phrase_search — first driver
+#          rows), then
+#          continue recycling r1-r2 greens (snapshot/txlog/cypher
 #          families next: traverse_dfs_preorder,
 #          snapshot_branch_divergence, txlog_replay_lww,
 #          snapshot_diff_added, row_checksums, bfs_shortest_hops, ...)

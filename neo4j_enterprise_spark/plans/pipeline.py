@@ -2432,3 +2432,374 @@ def docs_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.bigram_fluency(docs).orderBy("doc_id")
+
+
+@register(
+    "docs_bm25_search",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents),
+    u AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    per AS (SELECT doc_id,
+                   COUNT(*) FILTER (WHERE tok <> '') AS dl,
+                   COUNT(*) FILTER (WHERE tok = 'dup') AS tf_dup,
+                   COUNT(*) FILTER (WHERE tok = 'vector') AS tf_vector,
+                   COUNT(*) FILTER (WHERE tok = 'stream') AS tf_stream
+            FROM u GROUP BY doc_id),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS total_len,
+                 CAST(COUNT(*) FILTER (WHERE tf_dup > 0) AS BIGINT)
+                   AS df_dup,
+                 CAST(COUNT(*) FILTER (WHERE tf_vector > 0) AS BIGINT)
+                   AS df_vector,
+                 CAST(COUNT(*) FILTER (WHERE tf_stream > 0) AS BIGINT)
+                   AS df_stream
+          FROM per),
+    sc AS (SELECT p.doc_id, CAST(p.dl AS BIGINT) AS dl,
+                  CAST(p.tf_dup AS BIGINT) AS tf_dup,
+                  CAST(p.tf_vector AS BIGINT) AS tf_vector,
+                  CAST(p.tf_stream AS BIGINT) AS tf_stream,
+        CASE WHEN p.tf_dup > 0 THEN CAST(
+          (CAST(44 AS HUGEINT) * p.tf_dup * g.total_len
+             * (2 * g.n_docs - 2 * g.df_dup + 1) * 1000000000)
+          // ((CAST(20 AS HUGEINT) * p.tf_dup * g.total_len
+             + 6 * g.total_len + 18 * p.dl * g.n_docs)
+             * (2 * g.df_dup + 1)) AS BIGINT) ELSE 0 END AS s_dup_ppb,
+        CASE WHEN p.tf_vector > 0 THEN CAST(
+          (CAST(44 AS HUGEINT) * p.tf_vector * g.total_len
+             * (2 * g.n_docs - 2 * g.df_vector + 1) * 1000000000)
+          // ((CAST(20 AS HUGEINT) * p.tf_vector * g.total_len
+             + 6 * g.total_len + 18 * p.dl * g.n_docs)
+             * (2 * g.df_vector + 1)) AS BIGINT) ELSE 0 END
+          AS s_vector_ppb,
+        CASE WHEN p.tf_stream > 0 THEN CAST(
+          (CAST(44 AS HUGEINT) * p.tf_stream * g.total_len
+             * (2 * g.n_docs - 2 * g.df_stream + 1) * 1000000000)
+          // ((CAST(20 AS HUGEINT) * p.tf_stream * g.total_len
+             + 6 * g.total_len + 18 * p.dl * g.n_docs)
+             * (2 * g.df_stream + 1)) AS BIGINT) ELSE 0 END
+          AS s_stream_ppb
+     FROM per p, g)
+    SELECT doc_id, dl, tf_dup, tf_vector, tf_stream,
+           s_dup_ppb, s_vector_ppb, s_stream_ppb,
+           s_dup_ppb + s_vector_ppb + s_stream_ppb AS bm25_ppb,
+           CAST(s_dup_ppb + s_vector_ppb + s_stream_ppb AS DOUBLE)
+             / 1000000000.0 AS bm25
+    FROM sc
+    WHERE s_dup_ppb + s_vector_ppb + s_stream_ppb > 0
+    ORDER BY bm25_ppb DESC, doc_id LIMIT 10
+    """,
+    doc="BM25 ranked retrieval (text.bm25_rank, k1=1.2 b=0.75): top-10 "
+    "docs for {dup, vector, stream} with tf SATURATION and doc-length "
+    "normalization — what plain tf-idf (docs_keyword_search) lacks. "
+    "Every per-term score is ONE exact integer ratio in ppb: rational "
+    "k1/b cleared to integer coefficients, log-free raw-odds idf "
+    "(2N-2df+1)/(2df+1) (per-term rank-equivalent to log idf; "
+    "transcendentals are not bit-stable), DECIMAL(38,0)/HUGEINT "
+    "product, truncating div; fixed-column term sum; single final "
+    "IEEE /1e9. Scale: tf and dl computed array-side (scan-fused "
+    "size(filter(...)), no explode, zero shuffle), corpus stats are "
+    "one single-row broadcast aggregate, ranking is "
+    "TakeOrderedAndProject. No wide shuffle at any corpus size.",
+)
+def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bm25_rank(docs)
+
+
+@register(
+    "docs_bloom_contamination",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, split, shingle FROM (
+        SELECT doc_id, split,
+               unnest(list_transform(range(1, greatest(len(t) - 5, 0) + 2),
+                                     i -> array_to_string(t[i:i+4], ' ')))
+                 AS shingle
+        FROM toks)),
+    tr AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train'),
+    hp AS (SELECT shingle,
+                  ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || shingle),
+                                  1, 15))::BIGINT % 258048 AS pos
+           FROM tr, (SELECT unnest([0, 1, 2, 3]) AS i)),
+    bloom AS (SELECT pos // 63 AS word_idx,
+                     bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS word
+              FROM hp GROUP BY pos // 63),
+    ev AS (SELECT doc_id, shingle FROM sh WHERE split = 'eval'),
+    ep AS (SELECT doc_id, shingle,
+                  ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || shingle),
+                                  1, 15))::BIGINT % 258048 AS pos
+           FROM ev, (SELECT unnest([0, 1, 2, 3]) AS i)),
+    fl AS (SELECT e.doc_id, e.shingle,
+                  CASE WHEN (COALESCE(b.word, 0)
+                             & (1::BIGINT << CAST(e.pos % 63 AS INT))) <> 0
+                       THEN 1 ELSE 0 END AS hit
+           FROM ep e LEFT JOIN bloom b ON e.pos // 63 = b.word_idx),
+    mb AS (SELECT doc_id, shingle,
+                  CASE WHEN SUM(hit) = 4 THEN 1 ELSE 0 END AS maybe
+           FROM fl GROUP BY doc_id, shingle),
+    pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                  CAST(SUM(maybe) AS BIGINT) AS n_maybe
+           FROM mb GROUP BY doc_id),
+    vr AS (SELECT m.doc_id, CAST(COUNT(t.shingle) AS BIGINT) AS n_exact
+           FROM mb m LEFT JOIN tr t ON m.shingle = t.shingle
+           WHERE m.maybe = 1 GROUP BY m.doc_id)
+    SELECT p.doc_id, p.n_shingles, p.n_maybe,
+           COALESCE(v.n_exact, 0) AS n_exact,
+           p.n_maybe - COALESCE(v.n_exact, 0) AS n_false_pos,
+           CAST(COALESCE(v.n_exact, 0) AS DOUBLE)
+             / CAST(p.n_shingles AS DOUBLE) AS contamination
+    FROM pd p LEFT JOIN vr v ON p.doc_id = v.doc_id
+    ORDER BY p.doc_id
+    """,
+    doc="Bloom-filter contamination screen (sampling.bloom_contamination"
+    ", m=4096 words x 63 bits, 4 md5-salted hashes): the SCALE path of "
+    "docs_train_eval_contamination. Train 5-shingles -> mergeable "
+    "bit_or Bloom build (<=4096 rows, map-side-combinable, broadcast); "
+    "each holdout shingle probes with 4 broadcast-hash joins — ZERO "
+    "shuffle until the per-doc rollup; only maybe-present candidates "
+    "(exact hits + the measured n_false_pos tail) reach the exact "
+    "verify join. contamination (n_exact/n_shingles) is definitionally "
+    "identical to the exact operator; n_maybe/n_false_pos expose the "
+    "FP rate the m/n/k sizing bounds. 63-bit words because DuckDB "
+    "raises on 1::BIGINT << 63; md5 is the portable hash family.",
+)
+def docs_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.bloom_contamination(
+        docs, {"train": 0.9, "eval": 0.1}
+    ).orderBy("doc_id")
+
+
+@register(
+    "docs_winnow_overlap",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    tok AS (SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos,
+                   unnest(t) AS tok
+            FROM toks),
+    gr AS (SELECT doc_id, pos,
+             CASE WHEN lead(tok, 3) OVER win IS NOT NULL THEN
+               tok || ' ' || lead(tok, 1) OVER win || ' '
+                   || lead(tok, 2) OVER win || ' '
+                   || lead(tok, 3) OVER win
+             END AS gram
+           FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+    hp AS (SELECT doc_id, pos,
+             ('0x' || substr(md5(gram), 1, 10))::BIGINT * 1048576
+               + (1048575 - pos) AS hp
+           FROM gr WHERE gram IS NOT NULL),
+    sel AS (SELECT DISTINCT doc_id, sel_key FROM (
+              SELECT doc_id, min(hp) OVER w2 AS sel_key,
+                     count(*) OVER w2 AS n_in_win
+              FROM hp
+              WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
+            WHERE n_in_win = 4),
+    fp AS (SELECT DISTINCT doc_id, sel_key // 1048576 AS fp_hash FROM sel),
+    rare AS (SELECT fp_hash FROM fp GROUP BY fp_hash HAVING COUNT(*) <= 10),
+    cap AS (SELECT f.doc_id, f.fp_hash FROM fp f JOIN rare USING (fp_hash)),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp
+           FROM cap GROUP BY doc_id),
+    pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(COUNT(*) AS BIGINT) AS n_shared
+           FROM cap a JOIN cap b
+             ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+    SELECT p.doc_a, p.doc_b, p.n_shared, sa.n_fp AS n_a, sb.n_fp AS n_b,
+           CAST(p.n_shared AS DOUBLE)
+             / CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE) AS overlap
+    FROM pr p JOIN sz sa ON p.doc_a = sa.doc_id
+              JOIN sz sb ON p.doc_b = sb.doc_id
+    ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20
+    """,
+    doc="Winnowing overlap report (dedup.winnow_overlap; Schleimer-"
+    "Wilkerson-Aiken SIGMOD'03, the MOSS algorithm): hash every "
+    "4-token gram (top-40 md5 bits — the portable hash), slide a "
+    "4-gram window, select the window MIN with rightmost-position "
+    "tiebreak (robust winnowing) via ONE packed-BIGINT window min "
+    "(h*2^20 + (2^20-1-pos) — no engine-specific arg_min), then pair "
+    "docs through an equi-join ON the selected hashes with a df<=10 "
+    "stop-fingerprint cap (bounded fanout like LSH/ppjoin — never "
+    "all-pairs). Guarantee: a shared run of >= w+k-1 = 7 tokens "
+    "always yields a shared fingerprint while only ~2/(w+1) of grams "
+    "are kept, and matches LOCALIZE (positions survive selection) — "
+    "what MinHash sketches can't do. overlap = n_shared/least(n_a,"
+    "n_b), exact ints, one IEEE divide; total order before LIMIT. "
+    "Scale: lead-grams and the window min REUSE one per-doc sort "
+    "(partitionBy doc_id — no global sort); selection drops ~2/(w+1) "
+    "of rows before any join.",
+)
+def docs_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.winnow_overlap(docs)
+
+
+@register(
+    "docs_nb_lang_classifier",
+    r"""
+    WITH base AS (
+      SELECT doc_id, lang, lower(trim(text)) AS t,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM documents WHERE length(trim(text)) > 0),
+    u AS (SELECT doc_id, lang, split,
+                 unnest(string_split_regex(t, '\s+')) AS tok
+          FROM base),
+    ut AS (SELECT * FROM u WHERE tok <> ''),
+    vocab AS (
+      SELECT tok,
+             COUNT(*) FILTER (WHERE lang = 'de') AS cnt_de,
+             COUNT(*) FILTER (WHERE lang = 'en') AS cnt_en,
+             COUNT(*) FILTER (WHERE lang = 'es') AS cnt_es,
+             COUNT(*) FILTER (WHERE lang = 'fr') AS cnt_fr,
+             COUNT(*) FILTER (WHERE lang = 'zh') AS cnt_zh
+      FROM ut WHERE split = 'train' GROUP BY tok),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS v_size,
+                   CAST(SUM(cnt_de) AS BIGINT) AS total_de,
+                   CAST(SUM(cnt_en) AS BIGINT) AS total_en,
+                   CAST(SUM(cnt_es) AS BIGINT) AS total_es,
+                   CAST(SUM(cnt_fr) AS BIGINT) AS total_fr,
+                   CAST(SUM(cnt_zh) AS BIGINT) AS total_zh
+            FROM vocab),
+    ev AS (SELECT doc_id, lang AS actual, tok,
+                  CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM ut WHERE split = 'eval' GROUP BY doc_id, lang, tok),
+    sc AS (
+      SELECT e.doc_id, e.actual,
+        SUM(e.cnt * CAST((CAST(COALESCE(v.cnt_de, 0) AS HUGEINT) + 1)
+            * 1000000000 // (t.total_de + t.v_size) AS BIGINT)) AS s_de,
+        SUM(e.cnt * CAST((CAST(COALESCE(v.cnt_en, 0) AS HUGEINT) + 1)
+            * 1000000000 // (t.total_en + t.v_size) AS BIGINT)) AS s_en,
+        SUM(e.cnt * CAST((CAST(COALESCE(v.cnt_es, 0) AS HUGEINT) + 1)
+            * 1000000000 // (t.total_es + t.v_size) AS BIGINT)) AS s_es,
+        SUM(e.cnt * CAST((CAST(COALESCE(v.cnt_fr, 0) AS HUGEINT) + 1)
+            * 1000000000 // (t.total_fr + t.v_size) AS BIGINT)) AS s_fr,
+        SUM(e.cnt * CAST((CAST(COALESCE(v.cnt_zh, 0) AS HUGEINT) + 1)
+            * 1000000000 // (t.total_zh + t.v_size) AS BIGINT)) AS s_zh
+      FROM ev e LEFT JOIN vocab v USING (tok), tot t
+      GROUP BY e.doc_id, e.actual),
+    pd AS (SELECT actual,
+             CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+                       AND s_de >= s_zh THEN 'de'
+                  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh
+                       THEN 'en'
+                  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                  WHEN s_fr >= s_zh THEN 'fr'
+                  ELSE 'zh' END AS predicted
+           FROM sc)
+    SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pd GROUP BY actual, predicted ORDER BY actual, predicted
+    """,
+    doc="Linearized Naive-Bayes language classifier "
+    "(text.nb_lang_classifier): fit Laplace-smoothed per-class token "
+    "conditionals on the 90% hash split, score the 10% holdout, report "
+    "the confusion matrix — the model-based twin of the docs_lang_id "
+    "marker heuristic and the fastText-classifier pattern with the one "
+    "classic model whose training is PURE COUNTING. cond_ppb(t,c) = "
+    "((cnt+1)*1e9) div (total_c + V) exact ints (HUGEINT/DECIMAL(38)); "
+    "doc score = sum of token conditionals (linearized, log-free — "
+    "same contract as bigram_fluency); argmax with first-wins "
+    "tiebreak in (de,en,es,fr,zh) order — every comparison exact. "
+    "Scale: one vocabulary-keyed map-side-combinable shuffle to train, "
+    "single-row broadcast totals, vocab equi-join to score (the BPE "
+    "join shape), per-doc rollup. No all-pairs, no Python, no global "
+    "sort.",
+)
+def docs_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.nb_lang_classifier(docs)
+
+
+@register(
+    "docs_dsir_importance",
+    r"""
+    WITH base AS (
+      SELECT doc_id, lang, lower(trim(text)) AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    u AS (SELECT doc_id, lang,
+                 unnest(string_split_regex(t, '\s+')) AS tok
+          FROM base),
+    ut AS (SELECT doc_id, lang,
+                  ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096 AS bucket
+           FROM u WHERE tok <> ''),
+    st AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cf_r,
+                  CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS cf_t
+           FROM ut GROUP BY bucket),
+    tt AS (SELECT CAST(SUM(cf_r) AS BIGINT) AS t_r,
+                  CAST(SUM(cf_t) AS BIGINT) AS t_t FROM st),
+    lf AS (SELECT bucket,
+                  CAST((CAST(cf_t AS HUGEINT) + 1) * (t_r + 4096)
+                       * 1000000000 // ((cf_r + 1) * (t_t + 4096))
+                       AS BIGINT) AS lift_ppb
+           FROM st, tt),
+    pd AS (SELECT u.doc_id, u.lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                  CAST(SUM(l.lift_ppb) AS BIGINT) AS sum_lift
+           FROM ut u JOIN lf l USING (bucket) GROUP BY u.doc_id, u.lang),
+    fin AS (SELECT doc_id, lang, n_tokens,
+                   sum_lift // n_tokens AS mean_lift_ppb
+            FROM pd)
+    SELECT doc_id, lang, n_tokens, mean_lift_ppb,
+           CAST(mean_lift_ppb AS DOUBLE) / 1000000000.0 AS mean_lift
+    FROM fin ORDER BY mean_lift_ppb DESC, doc_id LIMIT 25
+    """,
+    doc="DSIR data selection (text.dsir_importance; Xie et al. NeurIPS "
+    "2023), linearized: score each doc by its hashed-unigram "
+    "resemblance to the target domain (lang='en') vs the raw corpus, "
+    "keep the top-25. Hashed features (md5 % 4096 — the portable hash) "
+    "make the model FIXED-SIZE regardless of vocabulary — the property "
+    "that lets DSIR run over an unbounded 100 TB token stream. "
+    "lift_ppb(b) = ((cf_t+1)(T_r+B)*1e9) div ((cf_r+1)(T_t+B)) — "
+    "Laplace-smoothed probability ratio as ONE exact integer "
+    "(DECIMAL(38)/HUGEINT; the triple product overflows BIGINT at "
+    "scale); doc score = sum of token lifts div n_tokens (linearized, "
+    "log-free). Scale: target and raw bucket stats in ONE map-side-"
+    "combinable groupBy (<=4096 rows, broadcast back), scoring is a "
+    "broadcast-hash join + doc-keyed rollup, selection is "
+    "TakeOrderedAndProject. No wide shuffle at any corpus size.",
+)
+def docs_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.dsir_importance(docs)
+
+
+@register(
+    "docs_phrase_search",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    h AS (SELECT doc_id,
+                 list_filter(range(1, len(t)),
+                             i -> t[i] = 'table' AND t[i+1] = 'scan')
+                   AS hits
+          FROM toks WHERE len(t) >= 2)
+    SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
+           CAST(hits[1] - 1 AS BIGINT) AS first_pos
+    FROM h WHERE len(hits) > 0 ORDER BY doc_id
+    """,
+    doc="Exact-phrase retrieval (text.phrase_search, phrase 'table "
+    "scan'): docs whose token stream contains the query tokens "
+    "CONSECUTIVELY, with occurrence count and 0-based first position "
+    "— the positional phrase query of classic IR, the retrieval mode "
+    "bag-of-words tf-idf and BM25 cannot express. Plan is entirely "
+    "array-side (scan-fused filter(sequence(...)) HOF per doc): ZERO "
+    "shuffle, no explode, no Python — at 100 TB this is a pure "
+    "embarrassingly-parallel scan; the positional-postings self-join "
+    "alternative (docs_inverted_index materializes those postings) "
+    "costs m shuffles and wins only with a prebuilt index and rare "
+    "terms.",
+)
+def docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.phrase_search(docs)

@@ -621,3 +621,258 @@ def test_bigram_fluency_exact_value(spark):
     expected_sum = (2 * 10**9) // 3 + (2 * 10**9) // 2 + 0
     assert row["mean_cond_ppb"] == expected_sum / 3.0
     assert row["novel_frac"] == 1.0 / 3.0
+
+
+def _bm25_ppb(tf: int, df: int, dl: int, n: int, tl: int) -> int:
+    """Python mirror of the exact integer BM25 scoring (k1=6/5, b=3/4)."""
+    if tf == 0:
+        return 0
+    num = 44 * tf * tl * (2 * n - 2 * df + 1) * 10**9
+    den = (20 * tf * tl + 6 * tl + 18 * dl * n) * (2 * df + 1)
+    return num // den
+
+
+def test_bm25_exact_integer_scores(spark):
+    """Pin the per-term exact-ppb math, tf saturation, length
+    normalization and the ranking contract against a hand corpus."""
+    from neo4j_enterprise_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [
+            (1, "dup x x x"),                # dl 4, tf_dup 1
+            (2, "dup dup x x"),              # dl 4, tf_dup 2
+            (3, "dup x x x x x x x"),        # dl 8, tf_dup 1
+            (4, "x y z"),                    # no query terms -> filtered
+            (5, "vector stream"),            # two rare terms, short doc
+        ],
+        "doc_id long, text string",
+    )
+    n, tl = 5, 21
+    exp = {
+        1: (_bm25_ppb(1, 3, 4, n, tl), 0, 0),
+        2: (_bm25_ppb(2, 3, 4, n, tl), 0, 0),
+        3: (_bm25_ppb(1, 3, 8, n, tl), 0, 0),
+        5: (0, _bm25_ppb(1, 1, 2, n, tl), _bm25_ppb(1, 1, 2, n, tl)),
+    }
+    rows = {r["doc_id"]: r for r in t.bm25_rank(docs).collect()}
+    assert set(rows) == set(exp)  # doc 4 filtered out
+    for doc_id, (s_dup, s_vec, s_str) in exp.items():
+        r = rows[doc_id]
+        assert (r["s_dup_ppb"], r["s_vector_ppb"], r["s_stream_ppb"]) == (
+            s_dup,
+            s_vec,
+            s_str,
+        ), doc_id
+        assert r["bm25_ppb"] == s_dup + s_vec + s_str
+        assert r["bm25"] == r["bm25_ppb"] / 1e9
+    # tf saturation: second occurrence helps, but sublinearly
+    assert rows[2]["bm25_ppb"] > rows[1]["bm25_ppb"]
+    assert rows[2]["bm25_ppb"] < 2 * rows[1]["bm25_ppb"]
+    # length normalization: same tf, longer doc scores lower
+    assert rows[1]["bm25_ppb"] > rows[3]["bm25_ppb"]
+    # rare-term dominance: df=1 terms (idf 9/3) outrank the df=3 term
+    assert rows[5]["bm25_ppb"] == max(r["bm25_ppb"] for r in rows.values())
+
+
+def test_bm25_plan_is_jvm_only_with_topk(spark, sf_dir):
+    """The declared plan must stay whole-stage JVM (array-side tf, no
+    explode/Python eval) and rank via TakeOrderedAndProject."""
+    from neo4j_enterprise_spark.plans import all_queries
+
+    df = all_queries()["docs_bm25_search"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Generate" not in plan  # tf/dl computed array-side, no explode
+
+
+def _winnow_ref(text: str, k: int = 4, w: int = 4):
+    """Python reference for robust winnowing (Schleimer et al. Fig. 2):
+    min hash per window, rightmost tiebreak, dedup selections."""
+    import hashlib
+
+    toks = text.strip().lower().split()
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [
+        int(hashlib.md5(g.encode()).hexdigest()[:10], 16) for g in grams
+    ]
+    sel = set()
+    for s in range(len(hs) - w + 1):
+        win = hs[s : s + w]
+        m = min(win)
+        # rightmost position achieving the min
+        p = max(i for i in range(w) if win[i] == m) + s
+        sel.add((m, p))
+    return sel
+
+
+def test_winnow_fingerprints_match_reference(spark):
+    corpus = [
+        (1, "a quick brown fox jumps over the lazy dog again and again"),
+        (2, "pack my box with five dozen liquor jugs right now please"),
+        (3, "a quick brown fox jumps over the lazy dog once more today"),
+        (4, "short doc"),  # fewer than k tokens -> no grams
+        (5, ""),  # empty -> dropped
+    ]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["fp_hash"], r["fp_pos"])
+        for r in dedup.winnow_fingerprints(docs).collect()
+    }
+    want = {
+        (d, h, p)
+        for d, t in corpus
+        for (h, p) in _winnow_ref(t)
+    }
+    assert got == want
+
+
+def test_winnow_guarantee_shared_run(spark):
+    # Winnowing guarantee: a shared run of >= w + k - 1 = 7 tokens
+    # always yields >= 1 shared selected fingerprint.
+    shared = "zeta eta theta iota kappa lambda mu"  # 7 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " omega psi chi"),
+            (2, "one two three four " + shared),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = dedup.winnow_fingerprints(docs).collect()
+    h1 = {r["fp_hash"] for r in fps if r["doc_id"] == 1}
+    h2 = {r["fp_hash"] for r in fps if r["doc_id"] == 2}
+    assert h1 & h2, "shared 7-token run produced no shared fingerprint"
+    top = dedup.winnow_overlap(docs, df_cap=10, top=5).collect()
+    assert top and top[0]["doc_a"] == 1 and top[0]["doc_b"] == 2
+    assert top[0]["n_shared"] == len(h1 & h2)
+
+
+def _is_train(doc_id: int) -> bool:
+    import hashlib
+
+    return hashlib.md5(str(doc_id).encode()).hexdigest()[:4] < "e666"
+
+
+def test_nb_lang_classifier_exact_confusion(spark):
+    """Full Python mirror of linearized NB on a marker-token corpus:
+    the train/eval split hash, Laplace conditionals, linearized scores
+    and the first-wins argmax must reproduce exactly."""
+    from collections import Counter
+
+    from neo4j_enterprise_spark.operators import text as t
+
+    classes = ("de", "en", "es", "fr", "zh")
+    marker = {"de": "der", "en": "the", "es": "el", "fr": "le", "zh": "de0"}
+    corpus = []
+    for i in range(60):
+        c = classes[i % 5]
+        # mostly class-marker tokens plus a shared filler
+        corpus.append((i, f"{marker[c]} {marker[c]} filler {marker[c]}", c))
+    docs = spark.createDataFrame(corpus, ["doc_id", "text", "lang"])
+
+    train = [(d, txt, c) for d, txt, c in corpus if _is_train(d)]
+    ev = [(d, txt, c) for d, txt, c in corpus if not _is_train(d)]
+    assert train and ev
+    cnt: dict[str, Counter] = {c: Counter() for c in classes}
+    for _, txt, c in train:
+        cnt[c].update(txt.split())
+    vocab = set().union(*[set(v) for v in cnt.values()])
+    v_size = len(vocab)
+    total = {c: sum(cnt[c].values()) for c in classes}
+
+    def cond(tok: str, c: str) -> int:
+        return ((cnt[c][tok] + 1) * 10**9) // (total[c] + v_size)
+
+    expected = Counter()
+    for _, txt, actual in ev:
+        s = {c: sum(cond(tok, c) for tok in txt.split()) for c in classes}
+        pred = next(
+            c
+            for i, c in enumerate(classes)
+            if all(s[c] >= s[d] for d in classes if d != c)
+            or i == len(classes) - 1
+        )
+        expected[(actual, pred)] += 1
+
+    got = {
+        (r["actual"], r["predicted"]): r["n_docs"]
+        for r in t.nb_lang_classifier(docs).collect()
+    }
+    assert got == dict(expected)
+    # the markers are learnable: every eval doc classified correctly
+    assert all(a == p for (a, p) in got)
+
+
+def test_dsir_importance_exact_values(spark):
+    """Python mirror of the hashed-bucket lift computation (Laplace
+    probability ratio in exact ppb, truncating divs, desc order)."""
+    import hashlib
+    from collections import Counter
+
+    from neo4j_enterprise_spark.operators import text as t
+
+    corpus = [
+        (1, "alpha beta gamma alpha", "en"),
+        (2, "alpha delta", "en"),
+        (3, "omega omega psi", "fr"),
+        (4, "beta omega", "zh"),
+    ]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text", "lang"])
+    B = 4096
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % B
+
+    cf_r: Counter = Counter()
+    cf_t: Counter = Counter()
+    for _, txt, lang in corpus:
+        for tok in txt.split():
+            b = bucket(tok)
+            cf_r[b] += 1
+            if lang == "en":
+                cf_t[b] += 1
+    t_r = sum(cf_r.values())
+    t_t = sum(cf_t.values())
+
+    def lift(b: int) -> int:
+        return ((cf_t[b] + 1) * (t_r + B) * 10**9) // (
+            (cf_r[b] + 1) * (t_t + B)
+        )
+
+    exp = []
+    for doc_id, txt, lang in corpus:
+        toks = txt.split()
+        s = sum(lift(bucket(tok)) for tok in toks)
+        mean = s // len(toks)
+        exp.append((doc_id, lang, len(toks), mean, mean / 1e9))
+    exp.sort(key=lambda r: (-r[3], r[0]))
+
+    got = [tuple(r) for r in t.dsir_importance(docs).collect()]
+    assert got == exp
+    # the en docs must outscore the non-en docs (that's the point)
+    ranks = {doc_id: i for i, (doc_id, *_rest) in enumerate(got)}
+    assert max(ranks[1], ranks[2]) < min(ranks[3], ranks[4])
+
+
+def test_phrase_search_positions_and_counts(spark):
+    """Consecutive-match semantics: overlapping occurrences count,
+    bag-of-words presence without adjacency does NOT match."""
+    from neo4j_enterprise_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [
+            (1, "table scan merge table scan"),   # 2 matches, first at 0
+            (2, "scan table"),                    # reversed -> no match
+            (3, "a table b scan"),                # non-adjacent -> no
+            (4, "x table scan"),                  # 1 match at pos 1
+            (5, "table"),                         # shorter than phrase
+            (6, ""),                              # empty
+            (7, "table table scan"),              # 1 match at pos 1
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in t.phrase_search(docs).collect()
+    }
+    assert got == {1: (2, 0), 4: (1, 1), 7: (1, 1)}

@@ -79,3 +79,58 @@ def test_ivf_centroid_selection_has_no_global_sort(spark, sf_dir):
     # the only Window runs on the K selected rows (post-limit), never
     # before the TakeOrderedAndProject that bounds the input
     assert plan.index("TakeOrderedAndProject") > plan.index("Window")
+
+
+def test_bloom_probe_is_broadcast_only(spark, sf_dir):
+    """The Bloom contamination probe must broadcast the <=4096-row
+    filter for every hash (no shuffle join on the probe path) — the
+    whole point of the scale path vs the exact shingle join."""
+    plan = _plan(spark, sf_dir, "docs_bloom_contamination")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bm25_stats_join_is_broadcast(spark, sf_dir):
+    """BM25's corpus statistics are ONE single-row aggregate broadcast
+    back over the per-doc scan; ranking is top-k, not a global sort."""
+    plan = _plan(spark, sf_dir, "docs_bm25_search")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_winnow_windows_reuse_one_sort(spark, sf_dir):
+    # Both the lead-gram window and the selection-min window hang off
+    # ONE per-doc sort: exactly one Exchange (hashpartitioning doc_id)
+    # feeds two Window nodes; everything stays JVM-side.
+    from neo4j_enterprise_spark.catalog import load_table
+    from neo4j_enterprise_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        dedup.winnow_fingerprints(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 2
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_dsir_scoring_is_broadcast_topk(spark, sf_dir):
+    """DSIR's <=4096-row bucket-lift table must come back as a
+    broadcast join (never a shuffle on the corpus side) and selection
+    must be top-k, not a global sort; everything JVM-side."""
+    plan = _plan(spark, sf_dir, "docs_dsir_importance")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_nb_classifier_stays_jvm_side(spark, sf_dir):
+    """NB train+score is pure counting: no Python eval anywhere, and
+    the single-row totals come back as a broadcast nested-loop join."""
+    plan = _plan(spark, sf_dir, "docs_nb_lang_classifier")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan

@@ -140,3 +140,71 @@ def test_join_delta_always_equals_recompute(spark, base, dl, dr):
         .collect()
     )
     assert maintained == full
+
+
+_TOK = st.sampled_from(["scan", "table", "merge", "a", "x"])
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(_TOK, min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_phrase_search_matches_python_mirror(spark, texts):
+    """phrase_search == the obvious sequential scan, for arbitrary
+    token streams over a colliding alphabet (overlaps, repeats,
+    too-short docs, empty docs)."""
+    from neo4j_enterprise_spark.operators.text import phrase_search
+
+    phrase = ("table", "scan")
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    expected = {}
+    for i, txt in enumerate(texts):
+        toks = txt.split()
+        hits = [
+            p
+            for p in range(len(toks) - len(phrase) + 1)
+            if tuple(toks[p : p + len(phrase)]) == phrase
+        ]
+        if hits:
+            expected[i] = (len(hits), hits[0])
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(docs, phrase=phrase).collect()
+    }
+    assert got == expected
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    run=st.lists(
+        st.sampled_from(["p", "q", "r", "s", "t", "u", "v"]),
+        min_size=7,
+        max_size=10,
+    ),
+    pre=st.lists(st.sampled_from(["m", "n"]), min_size=0, max_size=4),
+    post=st.lists(st.sampled_from(["y", "z"]), min_size=0, max_size=4),
+)
+def test_winnow_guarantee_holds_for_random_runs(spark, run, pre, post):
+    """The winnowing guarantee (Schleimer et al. Thm: any shared run of
+    >= w + k - 1 tokens yields a shared fingerprint) must hold for
+    arbitrary shared runs at arbitrary offsets in both documents."""
+    from neo4j_enterprise_spark.operators.dedup import winnow_fingerprints
+
+    shared = " ".join(run)  # len >= 7 = w + k - 1 for k=4, w=4
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(pre) + " " + shared + " " + " ".join(post)),
+            (2, shared + " " + " ".join(pre)),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(docs).collect()
+    h1 = {r["fp_hash"] for r in fps if r["doc_id"] == 1}
+    h2 = {r["fp_hash"] for r in fps if r["doc_id"] == 2}
+    assert h1 & h2

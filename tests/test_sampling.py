@@ -292,3 +292,48 @@ def test_negative_edge_samples_no_positives_deterministic(spark):
     # a different seed draws a different sample
     c = negative_edge_samples(edges, k=4, seed=8).collect()
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_bloom_contamination_no_false_negatives(spark, sf_dir):
+    """The Bloom screen must agree with the exact operator on every
+    verified count (a Bloom filter has NO false negatives: every truly
+    contaminated shingle is a candidate), and its FP accounting must be
+    internally consistent."""
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {"train": 0.9, "eval": 0.1}
+    exact = {
+        r["doc_id"]: r
+        for r in sampling.ngram_contamination(docs, weights).collect()
+    }
+    bloom = {
+        r["doc_id"]: r
+        for r in sampling.bloom_contamination(docs, weights).collect()
+    }
+    assert set(bloom) == set(exact)
+    for doc_id, b in bloom.items():
+        e = exact[doc_id]
+        assert b["n_shingles"] == e["n_shingles"]
+        assert b["n_exact"] == e["n_contaminated"], doc_id
+        assert b["contamination"] == e["contamination"]
+        assert b["n_exact"] <= b["n_maybe"] <= b["n_shingles"]
+        assert b["n_false_pos"] == b["n_maybe"] - b["n_exact"] >= 0
+
+
+def test_bloom_contamination_fp_rate_bounded(spark, sf_dir):
+    """m=258048 bits / 4 hashes over the sf0.001 train shingles should
+    keep the measured false-positive rate on CLEAN shingles far below
+    saturation (sanity: the sketch is actually selective, not all-ones)."""
+    docs = load_table(spark, sf_dir, "documents")
+    agg = (
+        sampling.bloom_contamination(docs, {"train": 0.9, "eval": 0.1})
+        .agg(
+            F.sum("n_shingles").alias("n"),
+            F.sum("n_maybe").alias("maybe"),
+            F.sum("n_exact").alias("exact"),
+        )
+        .collect()[0]
+    )
+    clean = agg["n"] - agg["exact"]
+    fps = agg["maybe"] - agg["exact"]
+    assert clean > 0
+    assert fps / clean < 0.25, (fps, clean)
