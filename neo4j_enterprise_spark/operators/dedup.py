@@ -77,13 +77,39 @@ def dedup_incremental(
 
 
 def shingles(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
-    """Word k-shingles per doc: (doc_id, shingle). Tokenization is a pure
-    column expression; the explode is the only row-expansion."""
-    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.size(tokens)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)))
-    return docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    """Word k-shingles per doc, distinct per doc: (doc_id, shingle).
+
+    Built from posexplode + k-1 LEAD columns over ONE per-doc sort (the
+    winnow_fingerprints gram shape) — all whole-stage-codegen JVM. The
+    original array-side form (`transform(sequence(...), i ->
+    concat_ws(slice(tokens, i+1, k)))`) was zero-shuffle but
+    lambda-interpreted: measured 24.4s vs 1.9s at sf1 for the SAME
+    output (the engine's ~13x interpreted-HOF tax — see phrase_search).
+    The per-doc distinct reuses the window's doc_id partitioning
+    (partitioning on a subset of the grouping keys satisfies the
+    clustered distribution), so the whole op is ONE Exchange; every
+    downstream consumer (contamination joins, minhash groupBys) shuffles
+    anyway, so the token-stream shuffle is not additional end-to-end.
+
+    Docs shorter than k tokens yield their single full-text shingle
+    (concat_ws skips the null leads), matching the array form's
+    `sequence(0, greatest(n-k, 0))` edge semantics.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
+    sh = toks.select(
+        "doc_id",
+        "pos",
+        F.concat_ws(" ", *parts).alias("shingle"),
+        F.lead("tok", k - 1).over(w).alias("__last"),
+    ).filter(F.col("__last").isNotNull() | (F.col("pos") == 0))
+    return sh.select("doc_id", "shingle").distinct()
 
 
 def minhash_params(num_hashes: int = 32, seed: int = 42) -> list[tuple[int, int]]:

@@ -876,3 +876,29 @@ def test_phrase_search_positions_and_counts(spark):
         for r in t.phrase_search(docs).collect()
     }
     assert got == {1: (2, 0), 4: (1, 1), 7: (1, 1)}
+
+
+def test_shingles_edge_semantics(spark):
+    """The lead-window shingle builder must keep the array form's edge
+    contract: short docs yield ONE full-text shingle, empty docs yield
+    the empty shingle, per-doc duplicates collapse."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),      # 2 shingles
+            (2, "a b c"),            # shorter than k -> 1 short shingle
+            (3, ""),                 # empty -> 1 empty shingle
+            (4, "x x x x x x x x"),  # all dups -> 1 distinct shingle
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        (r["doc_id"], r["shingle"])
+        for r in dedup.shingles(docs, k=5).collect()
+    )
+    assert got == [
+        (1, "a b c d e"),
+        (1, "b c d e f"),
+        (2, "a b c"),
+        (3, ""),
+        (4, "x x x x x"),
+    ]
