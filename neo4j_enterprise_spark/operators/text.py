@@ -593,10 +593,12 @@ def bm25_rank(
 
     Scale: tf and dl are computed ARRAY-SIDE (size/array_remove
     arithmetic — codegen-friendly, unlike lambda HOFs)
-    — scan-fused, zero shuffle, no explode; the corpus statistics
-    (N, TL, df per term) are ONE single-row aggregate broadcast back;
-    ranking is TakeOrderedAndProject. Two passes over a pruned
-    (id, text) projection and no wide shuffle at any size.
+    — scan-fused, no explode; the per-doc (id, dl, tf...) frame is
+    repartitioned by doc so its exchange is REUSED by both the
+    corpus-stats aggregate (N, TL, df — one single-row broadcast) and
+    the scoring projection: ONE text scan plus a ~40-byte/doc shuffle,
+    never a second pass over the raw text. Ranking is
+    TakeOrderedAndProject.
     """
     k1n, k1d = k1
     bn, bd = b
@@ -612,6 +614,12 @@ def bm25_rank(
     # lambda higher-order functions are interpreted per element in
     # Spark (the engine's measured ~20x HOF tax — see phrase_search),
     # while array_remove stays inside whole-stage codegen.
+    # The narrow doc-keyed repartition makes the (id, dl, tf...) frame
+    # an Exchange that BOTH consumers (the corpus-stats aggregate and
+    # the scoring projection) reuse — one text scan + a ~40-byte/doc
+    # shuffle instead of scanning and re-tokenizing the corpus twice
+    # (measured 5x at sf1; at 100 TB the avoided second scan is
+    # multi-KB/doc of text).
     per = toks.select(
         key_col,
         F.size(F.array_remove(F.col("t"), ""))
@@ -623,7 +631,7 @@ def bm25_rank(
             .alias(f"tf_{term}")
             for term in terms
         ],
-    )
+    ).repartition(F.col(key_col))
     g = per.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_len"),
@@ -632,26 +640,60 @@ def bm25_rank(
             for term in terms
         ],
     )
-    j = per.crossJoin(F.broadcast(g))
-    score_cols = []
-    for term in terms:
-        num = (
-            f"CAST({c_num} AS DECIMAL(38,0)) * tf_{term} * total_len"
-            f" * (2 * n_docs - 2 * df_{term} + 1) * {ppb}"
+    # Per-term CONSTANTS factored into the (single-row) stats frame, so
+    # the per-doc score is k*tf div (d1*tf + d2 + d3*dl) — 3 DECIMAL
+    # multiplies per row-term instead of ~8. Pure integer regrouping
+    # (associativity/distributivity over exact ints), so the div
+    # operands — and therefore every score — are bit-identical to the
+    # inline form the oracle SQL computes. The broadcast goes through
+    # an equi-key BroadcastHashJoin (codegen) rather than a
+    # BroadcastNestedLoopJoin cross join, which left the DECIMAL
+    # expressions interpreter-evaluated: together 5.6s -> 2.3s at sf1.
+    g2 = g.select(
+        F.lit(1).alias("__k"),
+        *[
+            F.expr(
+                f"CAST({c_num} AS DECIMAL(38,0)) * total_len"
+                f" * (2 * n_docs - 2 * df_{term} + 1) * {ppb}"
+            ).alias(f"k_{term}")
+            for term in terms
+        ],
+        *[
+            F.expr(
+                f"CAST({c_tf} AS DECIMAL(38,0)) * total_len"
+                f" * (2 * df_{term} + 1)"
+            ).alias(f"d1_{term}")
+            for term in terms
+        ],
+        *[
+            F.expr(
+                f"CAST({c_tl} AS DECIMAL(38,0)) * total_len"
+                f" * (2 * df_{term} + 1)"
+            ).alias(f"d2_{term}")
+            for term in terms
+        ],
+        *[
+            F.expr(
+                f"CAST({c_dl} AS DECIMAL(38,0)) * n_docs"
+                f" * (2 * df_{term} + 1)"
+            ).alias(f"d3_{term}")
+            for term in terms
+        ],
+    )
+    j = per.withColumn("__k", F.lit(1)).join(F.broadcast(g2), "__k")
+    score_cols = [
+        F.when(
+            F.col(f"tf_{term}") > 0,
+            F.expr(
+                f"CAST((k_{term} * tf_{term}) div"
+                f" (d1_{term} * tf_{term} + d2_{term} + d3_{term} * dl)"
+                f" AS BIGINT)"
+            ),
         )
-        den = (
-            f"(CAST({c_tf} AS DECIMAL(38,0)) * tf_{term} * total_len"
-            f" + {c_tl} * total_len + {c_dl} * dl * n_docs)"
-            f" * (2 * df_{term} + 1)"
-        )
-        score_cols.append(
-            F.when(
-                F.col(f"tf_{term}") > 0,
-                F.expr(f"CAST(({num}) div ({den}) AS BIGINT)"),
-            )
-            .otherwise(F.lit(0).cast("long"))
-            .alias(f"s_{term}_ppb")
-        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias(f"s_{term}_ppb")
+        for term in terms
+    ]
     scored = j.select(
         key_col, "dl", *[f"tf_{term}" for term in terms], *score_cols
     )
@@ -816,12 +858,13 @@ def dsir_importance(
     the log-ratio sum, same rationale as ``nb_lang_classifier``.
     mean > 1e9 reads "looks more like the target than the corpus".
 
-    Scale: bucket statistics for target AND raw come from ONE groupBy
-    over the exploded corpus (<= n_buckets result rows, map-side
-    combinable), then broadcast; per-doc scoring is a broadcast-hash
-    join plus a doc-keyed rollup (map-side combinable — a doc's tokens
-    are co-located post-explode). Selection is TakeOrderedAndProject
-    on (mean_lift_ppb DESC, doc_id). No wide shuffle anywhere.
+    Scale: one per-(doc, bucket) count aggregate feeds BOTH the model
+    pass (bucket stats, <= n_buckets rows, broadcast back) and the
+    score pass (broadcast-hash join + doc-keyed rollup) — its shuffle
+    exchange is reused across the branches, so the corpus is scanned
+    and hashed exactly once, and the one wide shuffle carries at most
+    (docs x buckets-per-doc) count rows, never raw tokens. Selection
+    is TakeOrderedAndProject on (mean_lift_ppb DESC, doc_id).
 
     Output: top-k (doc_id, lang, n_tokens, mean_lift_ppb, mean_lift).
     """
@@ -837,9 +880,22 @@ def dsir_importance(
         F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
         % n_buckets,
     )
-    stats = bucketed.groupBy("bucket").agg(
-        F.count("*").cast("long").alias("cf_r"),
-        F.sum((F.col("lang") == target_lang).cast("long")).alias("cf_t"),
+    # Both the model pass (bucket stats) and the score pass hang off
+    # ONE per-(doc, bucket) aggregate: its shuffle exchange is
+    # canonically identical in the two branches, so Spark reuses it
+    # (ReusedExchange) and the corpus explode + md5 runs ONCE — the
+    # naive two-branch form re-scanned and re-hashed the whole corpus
+    # for each pass (DuckDB materializes its CTE and didn't pay that).
+    db = bucketed.groupBy(key_col, "lang", "bucket").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    stats = db.groupBy("bucket").agg(
+        F.sum("cnt").cast("long").alias("cf_r"),
+        F.sum(
+            F.when(F.col("lang") == target_lang, F.col("cnt")).otherwise(0)
+        )
+        .cast("long")
+        .alias("cf_t"),
     )
     totals = stats.agg(
         F.sum("cf_r").cast("long").alias("t_r"),
@@ -853,11 +909,13 @@ def dsir_importance(
         ).alias("lift_ppb"),
     )
     per_doc = (
-        bucketed.join(F.broadcast(lifts), "bucket")
+        db.join(F.broadcast(lifts), "bucket")
         .groupBy(key_col, "lang")
         .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.sum("lift_ppb").cast("long").alias("sum_lift_ppb"),
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("lift_ppb"))
+            .cast("long")
+            .alias("sum_lift_ppb"),
         )
         .select(
             key_col,
