@@ -420,9 +420,13 @@ def unigram_commonness(
     BIGINT sums with one final IEEE division are bit-reproducible
     (the engine's determinism contract).
 
-    Scale: tokenize+explode is scan-fused; the token→frequency join
-    shuffles on the token key, where natural-language skew ("the") is
-    the classic hot-key case — AQE skew-join splits it, or broadcast
+    Scale: ONE per-(doc, token) count aggregate feeds all three
+    consumers (corpus token frequencies, the corpus total, and the
+    per-doc rollup) — its shuffle exchange is canonically identical in
+    every branch, so Spark reuses it and the corpus is exploded exactly
+    once (the naive form re-scanned it three times). The token→frequency
+    join shuffles on the token key, where natural-language skew ("the")
+    is the classic hot-key case — AQE skew-join splits it, or broadcast
     the head of the vocabulary (it is Zipf-bounded) and join only the
     tail. One map-side-combinable groupBy(doc_id) closes the plan.
     """
@@ -431,15 +435,20 @@ def unigram_commonness(
         .select("doc_id", F.lower(F.col("t0")).alias("tok"))
         .filter(F.col("tok") != "")
     )
-    cf = toks.groupBy("tok").agg(F.count("*").alias("cf"))
-    total = toks.agg(F.count("*").alias("t_total"))
+    db = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    cf = db.groupBy("tok").agg(F.sum("cnt").alias("cf"))
+    total = db.agg(F.sum("cnt").alias("t_total"))
     per = (
-        toks.join(cf, "tok")
+        db.join(cf, "tok")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.sum("cf").alias("sum_cf"),
-            F.sum((F.col("cf") < rare_threshold).cast("long")).alias("n_rare"),
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("cf")).alias("sum_cf"),
+            F.sum(
+                F.when(F.col("cf") < rare_threshold, F.col("cnt")).otherwise(
+                    0
+                )
+            ).alias("n_rare"),
         )
     )
     return (
@@ -486,9 +495,11 @@ def bigram_fluency(
     DECIMAL(38,0) so a >9.2B-occurrence head bigram (possible in a
     100 TB train split) cannot overflow the int64 product.
 
-    Scale: bigrams are built array-side (scan-fused, zero shuffle until
-    the counts); the LM is two vocabulary-bounded aggregates; scoring is
-    one equi-join per bigram occurrence on the (w1, w2) key — Zipf
+    Scale: bigrams are built array-side (scan-fused); ONE
+    per-(doc, split, w1, w2) count aggregate feeds both the LM fit and
+    the holdout scoring (exchange reused — the corpus is exploded
+    once); the LM is two vocabulary-bounded aggregates; scoring is one
+    equi-join per distinct doc-bigram on the (w1, w2) key — Zipf
     hot-key case, AQE skew-join territory — then a map-side-combinable
     groupBy(doc_id). No all-pairs anywhere; linear in corpus size.
     """
@@ -497,36 +508,52 @@ def bigram_fluency(
     weights = weights or {train: 0.9, holdout: 0.1}
     tagged = docs.withColumn("__split", split_column(F.col(key_col), weights))
 
-    def bigrams(df: DataFrame) -> DataFrame:
-        return (
-            df.select(
-                key_col,
-                F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("t"),
-            )
-            .select(
-                key_col,
-                F.explode(
-                    F.expr(
-                        "CASE WHEN size(t) >= 2 THEN "
-                        "filter(transform(sequence(1, size(t) - 1),"
-                        " i -> struct(t[i - 1] AS w1, t[i] AS w2)),"
-                        " p -> p.w1 <> '' AND p.w2 <> '') "
-                        "ELSE array() END"
-                    )
-                ).alias("bg"),
-            )
-            .select(key_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bg = (
+        tagged.select(
+            key_col,
+            "__split",
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("t"),
         )
-
-    train_bg = bigrams(tagged.filter(F.col("__split") == train))
-    pair = train_bg.groupBy("w1", "w2").agg(F.count("*").alias("pair_n"))
+        .select(
+            key_col,
+            "__split",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) >= 2 THEN "
+                    "filter(transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i - 1] AS w1, t[i] AS w2)),"
+                    " p -> p.w1 <> '' AND p.w2 <> '') "
+                    "ELSE array() END"
+                )
+            ).alias("bg"),
+        )
+        .select(
+            key_col,
+            "__split",
+            F.col("bg.w1").alias("w1"),
+            F.col("bg.w2").alias("w2"),
+        )
+    )
+    # One per-(doc, split, w1, w2) count aggregate feeds BOTH the LM
+    # fit (train side) and the holdout scoring — its exchange is reused
+    # across the branches, so the corpus is scanned and the bigram
+    # explode evaluated once, not once per split.
+    db = bg.groupBy(key_col, "__split", "w1", "w2").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    pair = (
+        db.filter(F.col("__split") == train)
+        .groupBy("w1", "w2")
+        .agg(F.sum("cnt").alias("pair_n"))
+    )
     prefix = pair.groupBy("w1").agg(F.sum("pair_n").alias("prefix_n"))
-    ev = bigrams(tagged.filter(F.col("__split") == holdout))
+    ev = db.filter(F.col("__split") == holdout)
     scored = (
         ev.join(pair, ["w1", "w2"], "left")
         .join(prefix, ["w1"], "left")
         .select(
             key_col,
+            "cnt",
             F.coalesce(
                 F.expr(f"(CAST(pair_n AS DECIMAL(38,0)) * {ppb}) div prefix_n"),
                 F.lit(0).cast("long"),
@@ -537,9 +564,9 @@ def bigram_fluency(
     return (
         scored.groupBy(key_col)
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.sum("p_ppb").alias("sum_ppb"),
-            F.sum("novel").alias("n_novel"),
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("p_ppb")).alias("sum_ppb"),
+            F.sum(F.col("cnt") * F.col("novel")).alias("n_novel"),
         )
         .select(
             key_col,
@@ -741,13 +768,14 @@ def nb_lang_classifier(
     ``classes`` order; every compared quantity is an exact integer, so
     the argmax is bit-deterministic.
 
-    Scale: train counts are ONE vocabulary-keyed shuffle (groupBy token
-    with per-class conditional sums — map-side combinable); class
-    totals and V are a single broadcast row; holdout tokens join the
-    vocabulary table on the token key (shuffle equi-join — the
-    vocabulary, not the corpus, is the build side; at web scale this is
-    the same join shape as BPE pair counting) and roll up per doc.
-    No all-pairs, no Python, no global sort.
+    Scale: one per-(doc, split, class, token) count aggregate feeds
+    both the train branch (vocabulary-keyed fit, map-side combinable)
+    and the holdout branch — its exchange is reused, so the corpus is
+    exploded once; class totals and V are a single broadcast row;
+    holdout counts join the vocabulary table on the token key (shuffle
+    equi-join — the vocabulary, not the corpus, is the build side; at
+    web scale this is the same join shape as BPE pair counting) and
+    roll up per doc. No all-pairs, no Python, no global sort.
 
     Output: (actual, predicted, n_docs) confusion-matrix rows.
     """
@@ -767,12 +795,26 @@ def nb_lang_classifier(
         ),
     ).filter(F.col("tok") != "")
 
-    tr = toks.filter(F.col("__split") == train)
-    vocab = tr.groupBy("tok").agg(
-        *[
-            F.sum((F.col("actual") == c).cast("long")).alias(f"cnt_{c}")
-            for c in classes
-        ]
+    # One per-(doc, split, class, token) count aggregate feeds BOTH the
+    # train branch (vocabulary fit) and the holdout branch (scoring):
+    # the shuffle exchange is canonically identical in the two
+    # branches, so Spark reuses it and the corpus explode runs once
+    # (filtering by split before separate aggregates re-scanned it
+    # twice).
+    db = toks.groupBy(key_col, "__split", "actual", "tok").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    vocab = (
+        db.filter(F.col("__split") == train)
+        .groupBy("tok")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("actual") == c, F.col("cnt")).otherwise(0)
+                ).alias(f"cnt_{c}")
+                for c in classes
+            ]
+        )
     )
     totals = vocab.agg(
         F.count("*").cast("long").alias("v_size"),
@@ -782,10 +824,8 @@ def nb_lang_classifier(
         ],
     )
 
-    ev = (
-        toks.filter(F.col("__split") == holdout)
-        .groupBy(key_col, "actual", "tok")
-        .agg(F.count("*").cast("long").alias("cnt"))
+    ev = db.filter(F.col("__split") == holdout).select(
+        key_col, "actual", "tok", "cnt"
     )
     j = ev.join(vocab, "tok", "left").crossJoin(F.broadcast(totals))
     contrib = [

@@ -2044,7 +2044,11 @@ def docs_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
     ).filter(F.col("tok").isin(terms))
     hits = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    df_t = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    # df = COUNT(DISTINCT doc_id) per term == the number of hits rows
+    # per term (hits is keyed by (doc, tok)); deriving it from hits
+    # reuses hits' shuffle exchange, so the term-filtered explode scans
+    # the corpus once, not twice.
+    df_t = hits.groupBy("tok").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     sc = (
         hits.join(F.broadcast(df_t), "tok")
