@@ -1040,3 +1040,77 @@ def phrase_search(
         F.expr("size(hits)").cast("long").alias("n_matches"),
         F.expr("hits[0]").cast("long").alias("first_pos"),
     ).orderBy(key_col)
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    top: int = 20,
+    text_col: str = "text",
+    ppb: int = 1_000_000_000,
+) -> DataFrame:
+    """Collocation extraction: rank adjacent word pairs by pointwise
+    mutual information — the classic NLP recipe (Church & Hanks 1990)
+    for surfacing multiword expressions ("new york") that plain bigram
+    COUNTS (docs_bigram_counts) bury under frequent-word pairs.
+
+    Log-free rendering per the engine's determinism contract: PMI =
+    log(P(w1,w2) / (P(w1,·)P(·,w2))) is monotone in the RATIO, so
+    ranking by the exact integer
+
+        lift_ppb = (pair_n * B * 10^9) div (left_n * right_n)
+
+    (B = total bigram positions, left_n / right_n = the pair-table
+    marginals of w1-as-first / w2-as-second) is rank-equivalent to PMI
+    and bit-identical across engines; the triple product runs in
+    DECIMAL(38,0). ``min_count`` is the standard PMI low-frequency
+    guard (rare pairs otherwise dominate the ratio).
+
+    Scale: ONE bigram explode into a (w1, w2) pair-count aggregate
+    (vocabulary-squared-bounded, map-side combinable); both marginals
+    and the total derive FROM the pair table (no corpus re-scan);
+    marginal joins are vocabulary-keyed; selection is
+    TakeOrderedAndProject on (lift_ppb DESC, w1, w2).
+    """
+    bg = (
+        docs.select(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("t")
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) >= 2 THEN "
+                    "filter(transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i - 1] AS w1, t[i] AS w2)),"
+                    " p -> p.w1 <> '' AND p.w2 <> '') "
+                    "ELSE array() END"
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    pair = bg.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("pair_n")
+    )
+    left = pair.groupBy("w1").agg(F.sum("pair_n").alias("left_n"))
+    right = pair.groupBy("w2").agg(F.sum("pair_n").alias("right_n"))
+    total = pair.agg(F.sum("pair_n").cast("long").alias("b_total"))
+    return (
+        pair.filter(F.col("pair_n") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "pair_n",
+            "left_n",
+            "right_n",
+            F.expr(
+                f"CAST((CAST(pair_n AS DECIMAL(38,0)) * b_total * {ppb})"
+                f" div (left_n * right_n) AS BIGINT)"
+            ).alias("lift_ppb"),
+        )
+        .orderBy(F.desc("lift_ppb"), "w1", "w2")
+        .limit(top)
+    )

@@ -84,7 +84,7 @@ def register(
 #   r7 TODO: lead with the queries REGISTERED in r6 after the window
 #          froze (docs_bm25_search, docs_bloom_contamination,
 #          docs_winnow_overlap, docs_nb_lang_classifier,
-#          docs_dsir_importance, docs_phrase_search — first driver
+#          docs_dsir_importance, docs_phrase_search, docs_collocations — first driver
 #          rows), then
 #          continue recycling r1-r2 greens (snapshot/txlog/cypher
 #          families next: traverse_dfs_preorder,

@@ -2813,3 +2813,44 @@ def docs_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.phrase_search(docs)
+
+
+@register(
+    "docs_collocations",
+    r"""
+    WITH toks AS (
+      SELECT string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents),
+    bg AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, LATERAL unnest(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2 AND t[i] <> '' AND t[i + 1] <> ''),
+    pair AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_n
+             FROM bg GROUP BY w1, w2),
+    lft AS (SELECT w1, CAST(SUM(pair_n) AS BIGINT) AS left_n
+            FROM pair GROUP BY w1),
+    rgt AS (SELECT w2, CAST(SUM(pair_n) AS BIGINT) AS right_n
+            FROM pair GROUP BY w2),
+    tot AS (SELECT CAST(SUM(pair_n) AS BIGINT) AS b_total FROM pair)
+    SELECT p.w1, p.w2, p.pair_n, l.left_n, r.right_n,
+           CAST((CAST(p.pair_n AS HUGEINT) * t.b_total * 1000000000)
+                // (l.left_n * r.right_n) AS BIGINT) AS lift_ppb
+    FROM pair p JOIN lft l USING (w1) JOIN rgt r USING (w2), tot t
+    WHERE p.pair_n >= 5
+    ORDER BY lift_ppb DESC, w1, w2 LIMIT 20
+    """,
+    doc="Collocation extraction (text.collocations; Church & Hanks "
+    "1990): top-20 adjacent pairs by log-free PMI — lift_ppb = "
+    "(pair_n * B * 1e9) div (left_n * right_n), the exact-integer "
+    "rank-equivalent of pointwise mutual information (log is monotone "
+    "in the ratio; transcendentals are not bit-stable), DECIMAL(38)/"
+    "HUGEINT product, min_count=5 low-frequency guard. What bigram "
+    "COUNTS (docs_bigram_counts) can't surface: multiword expressions "
+    "beat frequent-word pairs. Scale: one bigram explode into a "
+    "map-side-combinable (w1,w2) count; marginals and the total derive "
+    "FROM the pair table (no corpus re-scan — exchange reused); "
+    "vocabulary-keyed marginal joins; TakeOrderedAndProject.",
+)
+def docs_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.collocations(docs)

@@ -902,3 +902,39 @@ def test_shingles_edge_semantics(spark):
         (3, ""),
         (4, "x x x x x"),
     ]
+
+
+def test_collocations_lift_exact_and_ranked(spark):
+    """Python mirror of the log-free PMI lift on a corpus where a rare
+    pair must outrank a frequent-word pair (the point of PMI)."""
+    from collections import Counter
+
+    from neo4j_enterprise_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat new york " * 3) for i in range(3)]
+        + [(9, "the the the the the the")],
+        ["doc_id", "text"],
+    )
+    pair_n: Counter = Counter()
+    for _, txt in [(r["doc_id"], r["text"]) for r in docs.collect()]:
+        toks = txt.strip().lower().split()
+        for a, b in zip(toks, toks[1:]):
+            pair_n[(a, b)] += 1
+    B = sum(pair_n.values())
+    left = Counter()
+    right = Counter()
+    for (a, b), n in pair_n.items():
+        left[a] += n
+        right[b] += n
+    exp = []
+    for (a, b), n in pair_n.items():
+        if n >= 5:
+            lift = (n * B * 10**9) // (left[a] * right[b])
+            exp.append((a, b, n, left[a], right[b], lift))
+    exp.sort(key=lambda r: (-r[5], r[0], r[1]))
+    got = [tuple(r) for r in t.collocations(docs).collect()]
+    assert got == exp[:20]
+    # 'new york' (always adjacent) outranks 'the cat' (diluted 'the')
+    ranks = {(r[0], r[1]): i for i, r in enumerate(got)}
+    assert ranks[("new", "york")] < ranks[("the", "cat")]
