@@ -130,25 +130,62 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     - ``dup_trigram_frac``  fraction of trigram occurrences that are
                             repeats (1 - distinct/total)
 
-    Scale design: everything is computed in the ARRAY domain with
-    higher-order functions — n-gram construction (transform+slice), max
-    multiplicity (array_sort + aggregate run-length scan), distinct
-    counts (array_distinct) — so the whole operator is a single
-    shuffle-free projection over the documents scan: no explode, no
-    groupBy, embarrassingly parallel at 100 TB. Cost is O(n log n) per
-    doc in tokens.
+    Scale design: posexplode + two LEAD columns build every 1/2/3-gram
+    off ONE per-doc sort, and both downstream aggregates (per-gram
+    multiplicities, then the per-doc rollup) group on supersets of
+    doc_id, so the window's doc-keyed Exchange satisfies their
+    distributions — the whole operator is ONE shuffle, all
+    whole-stage-codegen. The original form computed everything in the
+    array domain with higher-order functions (transform+slice gram
+    build, array_sort + aggregate run-length max-multiplicity); that
+    was shuffle-FREE but lambda-interpreted and measured 4.4x the
+    DuckDB oracle at sf1 (20.5s; the engine's interpreted-HOF tax —
+    see shingles). ``filter_verdicts`` keeps the fused array-domain
+    form where single-projection composition is the point.
     """
-    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams, max_mult = _grams, _max_mult
-    t = F.col("t")
-    tri = grams(t, 3)
-    stats = docs.select("doc_id", tokens.alias("t")).select(
+    toks = docs.select(
         "doc_id",
-        F.size(t).cast("long").alias("n_tokens"),
-        max_mult(t).alias("max_w"),
-        F.when(F.size(t) >= 2, max_mult(grams(t, 2))).otherwise(F.lit(0)).alias("max_b"),
-        F.when(F.size(t) >= 3, F.size(tri)).otherwise(F.lit(0)).alias("n_tri"),
-        F.when(F.size(t) >= 3, F.size(F.array_distinct(tri))).otherwise(F.lit(0)).alias("d_tri"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    seq = toks.select(
+        "doc_id",
+        "tok",
+        F.lead("tok", 1).over(w).alias("t2"),
+        F.lead("tok", 2).over(w).alias("t3"),
+    )
+    grams = seq.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(array("
+                " struct(1 AS g, tok AS gram),"
+                " struct(2 AS g, IF(t2 IS NULL, NULL,"
+                "   concat(tok, ' ', t2)) AS gram),"
+                " struct(3 AS g, IF(t3 IS NULL, NULL,"
+                "   concat(tok, ' ', t2, ' ', t3)) AS gram)"
+                "), x -> x.gram IS NOT NULL)"
+            )
+        ).alias("x"),
+    ).select("doc_id", F.col("x.g").alias("g"), F.col("x.gram").alias("gram"))
+    counts = grams.groupBy("doc_id", "g", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+    stats = counts.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("g") == 1, F.col("cnt"))).alias("n_tokens"),
+        F.max(F.when(F.col("g") == 1, F.col("cnt"))).alias("max_w"),
+        F.coalesce(
+            F.max(F.when(F.col("g") == 2, F.col("cnt"))), F.lit(0)
+        ).alias("max_b"),
+        F.coalesce(
+            F.sum(F.when(F.col("g") == 3, F.col("cnt"))), F.lit(0)
+        ).alias("n_tri"),
+        F.coalesce(
+            F.count(F.when(F.col("g") == 3, F.lit(1))).cast("long"),
+            F.lit(0),
+        ).alias("d_tri"),
     )
     return stats.select(
         "doc_id",
