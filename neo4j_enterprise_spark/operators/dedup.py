@@ -629,11 +629,24 @@ def winnow_fingerprints(
         ).alias("gram"),
     ).filter(F.col("gram").isNotNull())
     h = F.conv(F.substring(F.md5("gram"), 1, 10), 16, 10).cast("long")
+    # loud guard: positions beyond 20 bits would silently corrupt the
+    # packed argmin ordering — fail the job instead (chunk upstream).
+    pos_ok = F.when(
+        F.col("pos") <= 1048575, F.col("pos").cast("long")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("winnow_fingerprints: token position > 1048575 in doc "),
+                F.col(key_col).cast("string"),
+                F.lit(" — chunk documents upstream (20-bit position pack)"),
+            )
+        ).cast("long")
+    )
     keyed = grams.select(
         key_col,
         "pos",
         (h * F.lit(1048576).cast("long")
-         + (F.lit(1048575) - F.col("pos"))).alias("hp"),
+         + (F.lit(1048575) - pos_ok)).alias("hp"),
     )
     wmin = Window.partitionBy(key_col).orderBy("pos").rowsBetween(0, w - 1)
     sel = (

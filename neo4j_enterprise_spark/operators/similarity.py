@@ -985,3 +985,79 @@ def hard_negatives(
         .filter(F.col("rk") <= k)
         .select("seed", "negative", "score", "rk")
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication — cluster the embedding space coarsely, then drop
+    near-identical vectors WITHIN each cluster only, keeping one
+    representative per near-dup set. The cluster gate is what makes
+    semantic dedup tractable at corpus scale: candidate pairs are
+    bounded per cell instead of corpus², exactly the IVF/LSH
+    bucketed-candidates contract the rest of the dedup ladder follows.
+
+    This rendering reuses the engine's PORTABLE IVF pieces so the whole
+    pipeline is SQL-expressible and oracle-checkable end-to-end:
+    centroids = ``ivf_fixed_centroids`` (first n_cells vectors by id;
+    swap in offline k-means without changing the flow), assignment =
+    exact quantized-cosine argmin (broadcast join + per-vector window),
+    intra-cell scoring = the same quantized-int dot/sqrt form as
+    ``embedding_near_dup``. Drop rule (deterministic greedy): a vector
+    is DROPPED iff some lower-id vector in its cell scores >= threshold
+    against it; its representative is the smallest such id — pure
+    integer comparisons, no float ties.
+
+    Scale: one broadcast-assign pass over the corpus; the pair join is
+    cell-keyed equi-join (per-cell candidates only — with k chosen
+    ~ N/cluster_budget the per-cell pair count is bounded); the drop
+    window partitions by the dropped vector. No all-pairs, no Python.
+
+    Returns (cell_id, kept, dropped, score) — one row per dropped
+    vector, ordered by ``dropped`` upstream of the caller's sort.
+    """
+    cent = ivf_fixed_centroids(embeddings, n_cells)
+    vecs = embeddings.select(
+        "vec_id", quantize(F.col("embedding")).alias("qv")
+    ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))
+    assign = _assign_to_centroids(vecs, cent)
+    m = vecs.join(assign, "vec_id")
+    a = m.select(
+        "cell_id",
+        F.col("vec_id").alias("a"),
+        F.col("qv").alias("qa"),
+        F.col("qn").alias("na"),
+    )
+    b = m.select(
+        F.col("cell_id").alias("cell_b"),
+        F.col("vec_id").alias("b"),
+        F.col("qv").alias("qb"),
+        F.col("qn").alias("nb"),
+    )
+    scored = (
+        a.join(b, (F.col("cell_id") == F.col("cell_b")) & (F.col("a") < F.col("b")))
+        .select(
+            "cell_id",
+            "a",
+            "b",
+            (
+                _dot(F.col("qa"), F.col("qb")).cast("double")
+                / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+    wdrop = Window.partitionBy("b").orderBy("a")
+    return (
+        scored.withColumn("rk", F.row_number().over(wdrop))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cell_id",
+            F.col("a").alias("kept"),
+            F.col("b").alias("dropped"),
+            "score",
+        )
+    )

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # tiny per-language stopword anchors for the n-gram/stopword language
 # heuristic (deterministic, dependency-free)
@@ -818,7 +819,7 @@ def nb_lang_classifier(
     """
     from .sampling import split_column
 
-    weights = weights or {"train": 0.9, "eval": 0.1}
+    weights = weights or {train: 0.9, holdout: 0.1}
     split = split_column(F.col(key_col), weights)
     tagged = docs.filter(F.length(F.trim(F.col(text_col))) > 0).withColumn(
         "__split", split
@@ -1049,11 +1050,22 @@ def phrase_search(
     import re as _re
 
     m = len(phrase)
-    conds = " AND ".join(
-        f"t[i{'+' + str(j) if j else ''}] = '{tok}'"
-        for j, tok in enumerate(phrase)
-    )
-    coarse = r"(?i)" + r"\s+".join(_re.escape(tok) for tok in phrase)
+    terms = [tok.lower() for tok in phrase]
+    # (?u) so the prefilter's case folding matches the Unicode-aware
+    # F.lower used by the exact pass (ASCII-only (?i) could produce
+    # prefilter false NEGATIVES on non-ASCII phrases).
+    coarse = r"(?iu)" + r"\s+".join(_re.escape(tok) for tok in phrase)
+
+    def _adjacent(i):
+        # tokens bound via F.lit (parameterized — a quote in a query
+        # term is data, not SQL); element_at is 1-based, i is 0-based.
+        cond = F.lit(True)
+        for j, tok in enumerate(terms):
+            cond = cond & (
+                F.element_at(F.col("t"), i + F.lit(j + 1)) == F.lit(tok)
+            )
+        return cond
+
     toks = (
         docs.filter(F.length(F.trim(F.col(text_col))) > 0)
         .filter(F.col(text_col).rlike(coarse))
@@ -1063,14 +1075,14 @@ def phrase_search(
         )
     )
     hits = (
-        toks.filter(F.expr(f"size(t) >= {m}"))
+        toks.filter(F.size("t") >= m)
         .select(
             key_col,
-            F.expr(
-                f"filter(sequence(0, size(t) - {m}), i -> {conds})"
+            F.filter(
+                F.sequence(F.lit(0), F.size("t") - m), _adjacent
             ).alias("hits"),
         )
-        .filter(F.expr("size(hits) > 0"))
+        .filter(F.size("hits") > 0)
     )
     return hits.select(
         key_col,
@@ -1150,4 +1162,149 @@ def collocations(
         )
         .orderBy(F.desc("lift_ppb"), "w1", "w2")
         .limit(top)
+    )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    weights: dict[str, float] | None = None,
+    train: str = "train",
+    holdout: str = "eval",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Memorization / novelty screen: for every HOLDOUT document, the
+    fraction of its n-gram occurrences never seen in the TRAIN split —
+    the n-gram-overlap decontamination metric eval suites run before
+    trusting a benchmark number (an eval doc whose n-grams are mostly
+    present in training data measures memorization, not ability), and
+    the same statistic "novel n-gram rate" used to quantify generation
+    novelty. Complements the engine's other contamination rungs: the
+    Bloom screen (exact 13-gram hits, probabilistic index) and
+    winnowing (approximate overlap localization) — this one is the
+    exact split-conditioned rate, per document.
+
+    Determinism: the split is the engine's md5-prefix hash split;
+    counts are exact integers; ``novel_frac`` is ONE final IEEE divide
+    of two exact BIGINTs — bit-identical across engines.
+
+    Scale: grams come from n-1 LEAD columns off ONE per-doc sort
+    (posexplode + window, the repetition_stats pattern); the
+    per-(doc, split, gram) pre-aggregate groups on a superset of the
+    window's doc key, so it reuses that exchange — the corpus is
+    exploded and sorted ONCE. The train side then distincts on gram
+    (map-side combinable; the gram vocabulary, not the corpus, is
+    shuffled) and the holdout side LEFT-joins it gram-keyed — the same
+    vocabulary-join shape as BPE pair counting and NB scoring; no
+    all-pairs, no Python, no global sort.
+
+    Output: (doc_id, n_grams, n_novel, novel_frac) for holdout docs
+    with >= n tokens.
+    """
+    from .sampling import split_column
+
+    weights = weights or {train: 0.9, holdout: 0.1}
+    tagged = docs.filter(F.length(F.trim(F.col(text_col))) > 0).withColumn(
+        "__split", split_column(F.col(key_col), weights)
+    )
+    toks = tagged.select(
+        key_col,
+        "__split",
+        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy(key_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    grams = toks.select(
+        key_col,
+        "__split",
+        F.when(
+            F.lead("tok", n - 1).over(w).isNotNull(), F.concat_ws(" ", *parts)
+        ).alias("gram"),
+    ).filter(F.col("gram").isNotNull())
+    db = grams.groupBy(key_col, "__split", "gram").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    tr = (
+        db.filter(F.col("__split") == train)
+        .select("gram")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    ev = db.filter(F.col("__split") == holdout)
+    return (
+        ev.join(tr, "gram", "left")
+        .groupBy(key_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_grams"),
+            F.coalesce(
+                F.sum(F.when(F.col("__hit").isNull(), F.col("cnt"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            key_col,
+            "n_grams",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double") / F.col("n_grams").cast("double")
+            ).alias("novel_frac"),
+        )
+    )
+
+
+def phrase_search_postings(
+    docs: DataFrame,
+    phrase: tuple[str, ...] = ("table", "scan"),
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-phrase retrieval via POSITIONAL POSTINGS self-joins — the
+    classic inverted-index phrase plan (term_i at pos p joins term_{i+1}
+    at pos p+1), implemented as the A/B twin of ``phrase_search``'s
+    prefilter+HOF-verify plan so the two strategies stay measurable
+    against each other (BASELINE.md §9: the HOF verify lambda is the
+    interpreted-tax floor both engines pay; this variant trades it for
+    m-1 doc+position-keyed equi-joins, which win when a prebuilt
+    postings index amortizes the explode — see docs_inverted_index).
+
+    Scale: the corpus is posexploded ONCE, then filtered to the m query
+    terms BEFORE any join (postings lists for the phrase terms only —
+    the selectivity an inverted index would give); joins are equi-joins
+    on (doc, position) — skew-bounded by the hottest term's postings
+    list; zero HOF lambdas, all whole-stage codegen.
+
+    Output: identical contract to ``phrase_search`` —
+    (doc_id, n_matches, first_pos), 0-based token offsets.
+    """
+    terms = [tok.lower() for tok in phrase]
+    toks = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        key_col,
+        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    posting = [
+        toks.filter(F.col("tok") == F.lit(t)).select(
+            F.col(key_col).alias(f"k{i}"), F.col("pos").alias(f"p{i}")
+        )
+        for i, t in enumerate(terms)
+    ]
+    joined = posting[0]
+    for i in range(1, len(terms)):
+        joined = joined.join(
+            posting[i],
+            (F.col(f"k{i-1}") == F.col(f"k{i}"))
+            & (F.col(f"p{i}") == F.col(f"p{i-1}") + 1),
+        )
+    return (
+        joined.groupBy(F.col("k0").alias(key_col))
+        .agg(
+            F.count("*").cast("long").alias("n_matches"),
+            F.min("p0").cast("long").alias("first_pos"),
+        )
+        .orderBy(key_col)
     )

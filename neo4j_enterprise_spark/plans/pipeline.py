@@ -2854,3 +2854,123 @@ def docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.collocations(docs)
+
+
+@register(
+    "docs_ngram_novelty",
+    r"""
+    WITH base AS (
+      SELECT doc_id, lower(trim(text)) AS t,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM documents WHERE length(trim(text)) > 0),
+    tk AS (SELECT doc_id, split, string_split_regex(t, '\s+') AS toks
+           FROM base),
+    ix AS (SELECT doc_id, split, toks,
+                  unnest(generate_series(1, len(toks) - 2)) AS i FROM tk),
+    g AS (SELECT doc_id, split,
+                 array_to_string(toks[i:i+2], ' ') AS gram FROM ix),
+    db AS (SELECT doc_id, split, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM g GROUP BY doc_id, split, gram),
+    tr AS (SELECT DISTINCT gram FROM db WHERE split = 'train'),
+    ev AS (SELECT doc_id, gram, cnt FROM db WHERE split = 'eval')
+    SELECT e.doc_id,
+           CAST(SUM(e.cnt) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN t.gram IS NULL THEN e.cnt ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN t.gram IS NULL THEN e.cnt ELSE 0 END)
+                AS DOUBLE)
+             / CAST(SUM(e.cnt) AS DOUBLE) AS novel_frac
+    FROM ev e LEFT JOIN tr t USING (gram)
+    GROUP BY e.doc_id ORDER BY e.doc_id
+    """,
+    doc="Memorization / novelty screen (text.ngram_novelty): per "
+    "HOLDOUT document, the fraction of its trigram occurrences never "
+    "seen in the TRAIN split — the n-gram-overlap decontamination "
+    "metric eval suites run before trusting a benchmark number, and "
+    "the 'novel n-gram rate' of generation-novelty studies. Exact "
+    "integers + ONE final IEEE divide. Scale: grams from 2 LEAD "
+    "columns off ONE per-doc sort; the per-(doc,split,gram) "
+    "pre-aggregate reuses the window's doc-keyed exchange (corpus "
+    "exploded once); train distinct + holdout join are gram-keyed "
+    "(vocabulary shuffles, not the corpus) — the BPE/NB join shape.",
+)
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.ngram_novelty(docs).orderBy("doc_id")
+
+
+@register(
+    "docs_phrase_search_postings",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    h AS (SELECT doc_id,
+                 list_filter(range(1, len(t)),
+                             i -> t[i] = 'table' AND t[i+1] = 'scan')
+                   AS hits
+          FROM toks WHERE len(t) >= 2)
+    SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
+           CAST(hits[1] - 1 AS BIGINT) AS first_pos
+    FROM h WHERE len(hits) > 0 ORDER BY doc_id
+    """,
+    doc="Exact-phrase retrieval via POSITIONAL POSTINGS self-joins "
+    "(text.phrase_search_postings) — the A/B twin of "
+    "docs_phrase_search's prefilter+HOF plan, same output contract "
+    "and oracle. Plan: posexplode once, filter to the m phrase terms "
+    "BEFORE any join (the postings an inverted index would hand us), "
+    "then m-1 (doc, position)-keyed equi-joins — zero interpreted "
+    "lambdas, all codegen; pays m-1 shuffles instead of the HOF "
+    "verify tax. BASELINE.md §9 records the measured trade at sf1.",
+)
+def docs_phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.phrase_search_postings(docs)
+
+
+@register(
+    "emb_semdedup",
+    """
+    WITH q AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+               FROM embeddings),
+    cent AS (SELECT CAST(vec_id AS INTEGER) AS cell_id, qv AS ccv
+             FROM q WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT v.vec_id, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_dot_product(v.qv, c.ccv)
+                 / sqrt(CAST(list_dot_product(v.qv, v.qv) AS DOUBLE)
+                        * CAST(list_dot_product(c.ccv, c.ccv) AS DOUBLE)) DESC,
+                 c.cell_id) AS rk
+        FROM q v CROSS JOIN cent c)
+      WHERE rk = 1),
+    m AS (SELECT a.vec_id, a.qv, s.cell_id
+          FROM q a JOIN assign s USING (vec_id)),
+    p AS (SELECT x.cell_id, x.vec_id AS a, y.vec_id AS b,
+                 list_dot_product(x.qv, y.qv)
+                 / sqrt(list_dot_product(x.qv, x.qv)
+                        * list_dot_product(y.qv, y.qv)) AS score
+          FROM m x JOIN m y
+            ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id),
+    f AS (SELECT cell_id, a, b, score,
+                 ROW_NUMBER() OVER (PARTITION BY b ORDER BY a) AS rk
+          FROM p WHERE score >= 0.4)
+    SELECT cell_id, a AS kept, b AS dropped, score
+    FROM f WHERE rk = 1 ORDER BY dropped
+    """,
+    doc="SemDeDup (similarity.semdedup; Abbas et al. 2023): semantic "
+    "dedup = coarse-cluster the embeddings (portable fixed centroids + "
+    "exact quantized-cosine argmin, the ann_ivf_fixed assignment), "
+    "then drop near-identical vectors WITHIN cells only — dropped iff "
+    "a lower-id cell-mate scores >= 0.4, representative = smallest "
+    "such id (deterministic greedy, integer tiebreaks). The cluster "
+    "gate bounds candidates per cell instead of corpus² — the "
+    "IVF/LSH bucketed-candidates contract. One broadcast assign pass; "
+    "cell-keyed pair join; per-dropped-vector window.",
+)
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semdedup(emb, n_cells=8, threshold=0.4).orderBy("dropped")

@@ -194,12 +194,18 @@ def test_repetition_stats_hand_computed(spark):
     assert (r3["top_word_frac"], r3["top_bigram_frac"], r3["dup_trigram_frac"]) == (1.0, 0.0, 0.0)
 
 
-def test_repetition_stats_plan_is_shuffle_free(spark):
+def test_repetition_stats_plan_is_one_shuffle(spark):
+    """The posexplode+LEAD rewrite sorts each doc once; the window's
+    doc-keyed Exchange must be reused by BOTH downstream aggregates
+    (their keys are supersets of doc_id), so the whole operator is
+    exactly ONE Exchange — and stays UDF-free."""
     from neo4j_enterprise_spark.operators import text
 
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = text.repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
 
 
 def test_normalize_catches_mutated_copies(spark):
@@ -938,3 +944,174 @@ def test_collocations_lift_exact_and_ranked(spark):
     # 'new york' (always adjacent) outranks 'the cat' (diluted 'the')
     ranks = {(r[0], r[1]): i for i, r in enumerate(got)}
     assert ranks[("new", "york")] < ranks[("the", "cat")]
+
+
+def test_ngram_novelty_hand_computed(spark):
+    """Mirror the md5 hash split in Python and recompute each holdout
+    doc's trigram novelty by hand."""
+    import hashlib
+
+    from neo4j_enterprise_spark.operators import text
+
+    docs = [(i, " ".join(f"w{(i * 7 + j) % 5}" for j in range(6))) for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in text.ngram_novelty(df, n=3).collect()
+    }
+
+    def split_of(doc_id):  # split_column: md5 prefix < hex(0.9 * 16^4)
+        return (
+            "train"
+            if hashlib.md5(str(doc_id).encode()).hexdigest()[:4] < "e666"
+            else "eval"
+        )
+
+    def grams(text_):
+        t = text_.lower().split()
+        return [" ".join(t[i : i + 3]) for i in range(len(t) - 2)]
+
+    train_set = set()
+    for i, txt in docs:
+        if split_of(i) == "train":
+            train_set.update(grams(txt))
+    n_eval = 0
+    for i, txt in docs:
+        if split_of(i) != "eval":
+            continue
+        n_eval += 1
+        gs = grams(txt)
+        novel = sum(1 for g in gs if g not in train_set)
+        assert out[i]["n_grams"] == len(gs)
+        assert out[i]["n_novel"] == novel
+        assert out[i]["novel_frac"] == novel / len(gs)
+    assert n_eval > 0 and len(out) == n_eval
+
+
+def test_ngram_novelty_plan_single_corpus_scan(spark):
+    """At runtime the train branch must come back as a ReusedExchange of
+    the eval branch's doc-keyed shuffle — ONE posexplode over the corpus
+    feeds both splits (the compiled plan shows two chains; AQE dedups
+    them because the split filters sit ABOVE the window, which blocks
+    their pushdown below the shared exchange)."""
+    from neo4j_enterprise_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e f") for i in range(50)], "doc_id long, text string"
+    )
+    out = text.ngram_novelty(df)
+    out.collect()
+    plan = (
+        out._jdf.queryExecution().executedPlan().toString()
+    ).split("== Initial Plan ==")[0]
+    assert plan.count("Generate posexplode") == 1  # corpus exploded once
+    assert "ReusedExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_phrase_postings_matches_hof_variant(spark):
+    """The postings-join plan and the prefilter+HOF plan are the same
+    operator contract — identical output, including OVERLAPPING
+    occurrences."""
+    from neo4j_enterprise_spark.operators import text
+
+    df = spark.createDataFrame(
+        [
+            (1, "table scan table scan"),      # 2 matches, first at 0
+            (2, "a table scan b"),              # 1 match at 1
+            (3, "table table scan"),            # 1 match at 1
+            (4, "scan table"),                  # 0 matches
+            (5, "a a a"),                        # phrase not present
+        ],
+        "doc_id long, text string",
+    )
+    hof = {(r["doc_id"], r["n_matches"], r["first_pos"])
+           for r in text.phrase_search(df).collect()}
+    post = {(r["doc_id"], r["n_matches"], r["first_pos"])
+            for r in text.phrase_search_postings(df).collect()}
+    assert hof == post == {(1, 2, 0), (2, 1, 1), (3, 1, 1)}
+    # overlapping occurrences on a self-overlapping phrase
+    ov = spark.createDataFrame([(9, "a a a")], "doc_id long, text string")
+    hof2 = [(r["n_matches"], r["first_pos"])
+            for r in text.phrase_search(ov, phrase=("a", "a")).collect()]
+    post2 = [(r["n_matches"], r["first_pos"])
+             for r in text.phrase_search_postings(ov, phrase=("a", "a")).collect()]
+    assert hof2 == post2 == [(2, 0)]
+
+
+def test_phrase_postings_plan_no_lambda(spark):
+    from neo4j_enterprise_spark.operators import text
+
+    df = spark.createDataFrame([(1, "table scan")], "doc_id long, text string")
+    plan = (
+        text.phrase_search_postings(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "lambda" not in plan  # zero interpreted HOFs — that's the point
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_phrase_search_quote_and_unicode_safe(spark):
+    """Tokens are bound as literals (not interpolated into SQL), and the
+    prefilter case-folds Unicode like F.lower does."""
+    from neo4j_enterprise_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(1, "it's o'clock now"), (2, "STRASSE GROSS"), (3, "İstanbul city")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_matches"]
+           for r in text.phrase_search(df, phrase=("it's", "o'clock")).collect()}
+    assert out == {1: 1}
+    # non-ASCII uppercase İ must survive the (?iu) prefilter
+    out2 = {r["doc_id"]: r["n_matches"]
+            for r in text.phrase_search(df, phrase=("İSTANBUL", "CITY")).collect()}
+    assert out2 == {3: 1}
+
+
+def test_semdedup_hand_computed(spark):
+    """2 fixed centroids, crafted members: near-dups inside a cell are
+    dropped against the smallest-id representative; cross-cell
+    near-dups are NOT compared."""
+    from neo4j_enterprise_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, 0.0]),    # centroid/cell 0
+        (1, [0.0, 1.0]),    # centroid/cell 1
+        (2, [0.9, 0.1]),    # cell 0, near-dup of 0 and 3
+        (3, [0.95, 0.05]),  # cell 0, near-dup of 0 and 2 — kept vs 2? no: 2<3
+        (4, [0.1, 0.9]),    # cell 1, near-dup of 1
+        (5, [-1.0, 0.2]),   # cell 1 (closer to y than x? no) — negative x
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["dropped"]: (r["cell_id"], r["kept"])
+        for r in similarity.semdedup(emb, n_cells=2, threshold=0.9).collect()
+    }
+    # cell 0 members: 0,2,3 — cos(0,2)≈0.994, cos(0,3)≈0.999, cos(2,3)≈0.999
+    # cell 1 members: 1,4,5 — cos(1,4)≈0.994, cos(1,5)≈0.196, cos(4,5)≈0.08
+    assert out[2] == (0, 0) and out[3] == (0, 0)
+    assert out[4] == (1, 1)
+    assert 5 not in out  # same cell as 1/4 but below threshold
+    assert 0 not in out and 1 not in out  # representatives kept
+
+
+def test_semdedup_plan_broadcast_assign_no_cartesian(spark):
+    from neo4j_enterprise_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = (
+        similarity.semdedup(emb, n_cells=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # centroid assignment broadcasts the K-row side; the only allowed
+    # nested-loop is that broadcast (K rows), never a shuffled cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

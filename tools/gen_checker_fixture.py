@@ -167,8 +167,21 @@ def main():
         "string": pa.string(), "array<int>": pa.list_(pa.int32()),
     }
     only = set(sys.argv[1:])
+    if not only:
+        # The five original fixture files are committed oracle inputs and
+        # must stay byte-identical; a no-arg run would rewrite all six
+        # (and a pandas/pyarrow version bump would silently perturb
+        # them). Require explicit table names.
+        sys.exit(
+            "refusing to rewrite committed fixtures: pass explicit table "
+            f"names to regenerate, e.g. `{sys.argv[0]} graph_props`; "
+            f"known tables: {sorted(tables)}"
+        )
+    unknown = only - set(tables)
+    if unknown:
+        sys.exit(f"unknown tables: {sorted(unknown)}; known: {sorted(tables)}")
     for name, pdf in tables.items():
-        if only and name not in only:
+        if name not in only:
             continue
         schema = pa.schema(
             [(c, pa_map[spark_types[name][c]]) for c in pdf.columns]
