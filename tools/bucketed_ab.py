@@ -25,6 +25,7 @@ Usage: PYTHONPATH=. python tools/bucketed_ab.py [sf_dir] [runs]
 
 from __future__ import annotations
 
+import shutil
 import sys
 
 sys.path.insert(0, ".")
@@ -58,6 +59,10 @@ def main() -> None:
 
     print(f"# bucketed-at-rest A/B  sf_dir={sf_dir}  runs={runs}", flush=True)
     for src, (col, tbl) in BUCKET_SPEC.items():
+        # the in-memory catalog forgets tables between runs but the
+        # warehouse files survive — clear both before (re)writing
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(f"spark-warehouse/{tbl}", ignore_errors=True)
         df = catalog.load_table(spark, sf_dir, src)
         sink.write_bucketed(df, tbl, [col], n_buckets=N_BUCKETS, sort_cols=[col])
         print(f"#   {tbl}: {src} bucketed x{N_BUCKETS} by {col}", flush=True)
@@ -85,8 +90,15 @@ def main() -> None:
             df = q.spark(spark, sf_dir)
             plans[mode] = df._jdf.queryExecution().executedPlan().toString()
             df.collect()  # warm (codegen, bucket file listing)
+            # rebuild the plan EVERY sample: re-collecting one DataFrame
+            # object reuses its shuffle map outputs (skipped stages) and
+            # times only the final stage — compare_duckdb rebuilds too
             timings[mode] = cdb.median5(
-                lambda d=df: d.collect(), pre=gc_pause
+                lambda ld=loader: (
+                    setattr(relational, "load_table", ld),
+                    q.spark(spark, sf_dir).toPandas(),
+                )[1],
+                pre=gc_pause,
             )
         relational.load_table = flat_load
         rows.append((qname, timings, plans))
