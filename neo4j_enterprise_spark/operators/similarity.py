@@ -1061,3 +1061,109 @@ def semdedup(
             "score",
         )
     )
+
+
+def pq_fixed_ann_topk(
+    embeddings: DataFrame,
+    seeds: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    codes_k: int = 16,
+    dims: int = 64,
+    refine: int = 4,
+) -> DataFrame:
+    """PORTABLE product-quantization ANN: FIXED integer codebook (the
+    subvectors of the first ``codes_k`` vectors by id) + exact-integer
+    L2 assignment, LUT and ADC — every compared quantity is a BIGINT,
+    so the ENTIRE PQ pipeline (encode → asymmetric-distance scan →
+    exact re-rank) is SQL-expressible and oracle-checkable end-to-end.
+    Retires the "PQ is rows-only" caveat at small config, exactly as
+    ``ivf_fixed_centroids`` did for IVF and the VALUES-list hyperplanes
+    did for LSH; the Lloyd-trained ``pq_ann_topk`` stays the
+    production twin (float means → rows-only + recall tests).
+
+    Pipeline: encode each vector's m subspaces to its nearest codebook
+    entry by integer L2 (ldist = <v,v> − 2<v,c> + <c,c>, argmin with
+    code tiebreak); LUT = the same integer distances for the SEED
+    subvectors (|seeds|·m·codes_k rows — broadcast); ADC(seed, vec) =
+    Σ_sub LUT[seed, sub, code(vec, sub)] via an (sub, code)-keyed
+    broadcast join + per-(seed, vec) sum; take ``refine·k`` candidates
+    per seed by (adc, id) and exact-re-rank by quantized cosine.
+
+    Scale: codes are the only corpus-sized table after encode (m small
+    ints/vector — the 8-byte form); the scan stage is one broadcast
+    join over it; the full-vector table is touched once for encode and
+    once for the candidate-only re-rank equi-join. Same memory/IO
+    shape as the production LUT scan, rendered relationally.
+    """
+    cb = _subvectors(
+        embeddings.filter(F.col("vec_id") < codes_k), m, dims
+    ).select(
+        "sub_id",
+        F.col("vec_id").cast("int").alias("code"),
+        F.col("sv").alias("cv"),
+    )
+
+    def _ldist():
+        return (
+            _dot(F.col("sv"), F.col("sv"))
+            - 2 * _dot(F.col("sv"), F.col("cv"))
+            + _dot(F.col("cv"), F.col("cv"))
+        )
+
+    sub = _subvectors(embeddings, m, dims)
+    w_enc = Window.partitionBy("vec_id", "sub_id").orderBy("ldist", "code")
+    enc = (
+        sub.join(F.broadcast(cb), "sub_id")
+        .withColumn("ldist", _ldist())
+        .withColumn("rk", F.row_number().over(w_enc))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "sub_id", "code")
+    )
+    lut = (
+        _subvectors(seeds, m, dims)
+        .join(F.broadcast(cb), "sub_id")
+        .select(
+            F.col("vec_id").alias("seed"),
+            "sub_id",
+            "code",
+            _ldist().alias("ldist"),
+        )
+    )
+    adc = (
+        enc.join(F.broadcast(lut), ["sub_id", "code"])
+        .filter(F.col("vec_id") != F.col("seed"))
+        .groupBy("seed", F.col("vec_id").alias("neighbor"))
+        .agg(F.sum("ldist").alias("adc"))
+    )
+    w_cand = Window.partitionBy("seed").orderBy("adc", "neighbor")
+    cand = (
+        adc.withColumn("crk", F.row_number().over(w_cand))
+        .filter(F.col("crk") <= refine * k)
+        .select("seed", "neighbor")
+    )
+    q = seeds.select(
+        F.col("vec_id").alias("seed"), quantize(F.col("embedding")).alias("qv")
+    ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor"),
+        quantize(F.col("embedding")).alias("cvv"),
+    ).withColumn("cn", _dot(F.col("cvv"), F.col("cvv")))
+    exact = (
+        cand.join(F.broadcast(q), "seed")
+        .join(c, "neighbor")
+        .select(
+            "seed",
+            "neighbor",
+            (
+                _dot(F.col("qv"), F.col("cvv")).cast("double")
+                / F.sqrt((F.col("qn") * F.col("cn")).cast("double"))
+            ).alias("score"),
+        )
+    )
+    we = Window.partitionBy("seed").orderBy(F.desc("score"), F.asc("neighbor"))
+    return (
+        exact.withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= k)
+        .select("seed", "neighbor", "score", "rk")
+    )

@@ -1261,6 +1261,7 @@ def phrase_search_postings(
     phrase: tuple[str, ...] = ("table", "scan"),
     key_col: str = "doc_id",
     text_col: str = "text",
+    prefilter: bool = True,
 ) -> DataFrame:
     """Exact-phrase retrieval via POSITIONAL POSTINGS self-joins — the
     classic inverted-index phrase plan (term_i at pos p joins term_{i+1}
@@ -1279,9 +1280,24 @@ def phrase_search_postings(
 
     Output: identical contract to ``phrase_search`` —
     (doc_id, n_matches, first_pos), 0-based token offsets.
+
+    ``prefilter=True`` (default) applies the same coarse rlike
+    superset-gate as ``phrase_search`` BEFORE the posexplode, so only
+    candidate documents are exploded and joined — measured at sf10
+    (tools/profile_sf10_tail.py): HOF verify 56.3 s, postings corpus-
+    wide 12.9 s, postings prefiltered wins again on top of that; the
+    DuckDB oracle (the same list_filter loop) is 6.4 s, so at volume
+    the postings plan — NOT the HOF verify — is the scale path, and
+    BASELINE §10 re-documents the r6 floor claim accordingly.
     """
+    import re as _re
+
     terms = [tok.lower() for tok in phrase]
-    toks = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+    base = docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+    if prefilter:
+        coarse = r"(?iu)" + r"\s+".join(_re.escape(tok) for tok in phrase)
+        base = base.filter(F.col(text_col).rlike(coarse))
+    toks = base.select(
         key_col,
         F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
             "pos", "tok"

@@ -1337,7 +1337,12 @@ def docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(8.6x -> ~2x vs the identical DuckDB oracle). Misra-Gries remains "
     "the documented path for UNBOUNDED/adversarial key domains where "
     "the vocabulary itself cannot be shuffled — driver-checked via "
-    "docs_heavy_hitter_mg, bound-tested in test_sketches.",
+    "docs_heavy_hitter_mg, bound-tested in test_sketches. sf10 "
+    "root-cause (BASELINE sec 10): 58% of wall is the raw explode "
+    "primitive itself (1.93 of 3.30s; DuckDB's vectorized unnest runs "
+    "the WHOLE query in 0.69s) — an engine-primitive floor: linear, "
+    "partition-parallel, skew-free; the aggregate on top is already "
+    "map-side-combined and vocabulary-sized.",
     bench=True,
 )
 def docs_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1969,7 +1974,13 @@ def docs_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "builds bigrams ARRAY-SIDE (transform over the token array — "
     "scan-fused, zero shuffle until the count) where the oracle "
     "self-joins on ordinality; same multiset, Spark plan avoids the "
-    "per-doc join. Total order (count desc, w1, w2) bounds the LIMIT.",
+    "per-doc join. Total order (count desc, w1, w2) bounds the LIMIT. "
+    "r7 A/B (BASELINE sec 10): the posexplode+LEAD window form wins "
+    "18% at sf10 on local[32] (19.8s vs 24.2s) but shuffles the "
+    "ENTIRE token stream by doc — kept zero-shuffle deliberately: "
+    "local mode underprices shuffles, and at cluster scale the "
+    "struct-ref lambda's per-row CPU is embarrassingly parallel while "
+    "a 100 TB token shuffle is not.",
 )
 def docs_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -2804,11 +2815,12 @@ def docs_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "OVERLAPPING-occurrence semantics on candidates only (the lambda "
     "HOF is interpreter-evaluated — 22x the oracle if run corpus-wide "
     "at sf1, 1.6x prefiltered): ZERO shuffle, no explode, no Python — "
-    "at 100 TB a pure embarrassingly-parallel scan; the positional-"
-    "postings self-join "
-    "alternative (docs_inverted_index materializes those postings) "
-    "costs m shuffles and wins only with a prebuilt index and rare "
-    "terms.",
+    "at 100 TB a pure embarrassingly-parallel scan with zero explode. "
+    "CAVEAT (r7, measured): the verify lambda's interpreted tax grows "
+    "with candidate volume — at sf10 this plan is 56.3s/8.8x while "
+    "docs_phrase_search_postings (prefilter + postings joins) is "
+    "7.0s/1.1x; the postings twin is the measured scale path "
+    "(BASELINE sec 10), this form remains the zero-shuffle mode.",
 )
 def docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -2916,13 +2928,14 @@ def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM h WHERE len(hits) > 0 ORDER BY doc_id
     """,
     doc="Exact-phrase retrieval via POSITIONAL POSTINGS self-joins "
-    "(text.phrase_search_postings) — the A/B twin of "
-    "docs_phrase_search's prefilter+HOF plan, same output contract "
-    "and oracle. Plan: posexplode once, filter to the m phrase terms "
-    "BEFORE any join (the postings an inverted index would hand us), "
-    "then m-1 (doc, position)-keyed equi-joins — zero interpreted "
-    "lambdas, all codegen; pays m-1 shuffles instead of the HOF "
-    "verify tax. BASELINE.md §9 records the measured trade at sf1.",
+    "(text.phrase_search_postings) — the MEASURED SCALE PATH for "
+    "phrase queries (BASELINE sec 10): coarse rlike superset-gate "
+    "(codegen, no false negatives) -> posexplode CANDIDATES ONLY -> "
+    "filter to the m phrase terms (the postings an inverted index "
+    "would hand us) -> m-1 (doc, position)-keyed equi-joins — zero "
+    "interpreted lambdas, all codegen. At sf10: 7.0s = 1.1x the "
+    "DuckDB oracle, vs 56.3s/8.8x for the HOF-verify twin "
+    "(docs_phrase_search) whose lambda tax grows with volume.",
 )
 def docs_phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -2974,3 +2987,72 @@ def docs_phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.semdedup(emb, n_cells=8, threshold=0.4).orderBy("dropped")
+
+
+@register(
+    "ann_pq_fixed_top5",
+    """
+    WITH q AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+               FROM embeddings),
+    subs AS (SELECT unnest(generate_series(0, 7)) AS sub_id),
+    sub AS (SELECT q.vec_id, s.sub_id,
+                   qv[s.sub_id * 8 + 1 : s.sub_id * 8 + 8] AS sv
+            FROM q CROSS JOIN subs s),
+    cb AS (SELECT sub_id, CAST(vec_id AS INT) AS code, sv AS cv
+           FROM sub WHERE vec_id < 16),
+    enc AS (SELECT vec_id, sub_id, code FROM (
+        SELECT v.vec_id, v.sub_id, c.code,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub_id ORDER BY
+                 CAST(list_dot_product(v.sv, v.sv)
+                      - 2 * list_dot_product(v.sv, c.cv)
+                      + list_dot_product(c.cv, c.cv) AS BIGINT),
+                 c.code) AS rk
+        FROM sub v JOIN cb c USING (sub_id))
+      WHERE rk = 1),
+    lut AS (SELECT s.vec_id AS seed, s.sub_id, c.code,
+                   CAST(list_dot_product(s.sv, s.sv)
+                        - 2 * list_dot_product(s.sv, c.cv)
+                        + list_dot_product(c.cv, c.cv) AS BIGINT) AS ldist
+            FROM sub s JOIN cb c USING (sub_id) WHERE s.vec_id < 20),
+    adc AS (SELECT l.seed, e.vec_id AS neighbor,
+                   CAST(SUM(l.ldist) AS BIGINT) AS adc
+            FROM enc e JOIN lut l ON e.sub_id = l.sub_id AND e.code = l.code
+            WHERE e.vec_id <> l.seed
+            GROUP BY l.seed, e.vec_id),
+    cand AS (SELECT seed, neighbor FROM (
+        SELECT seed, neighbor,
+               ROW_NUMBER() OVER (PARTITION BY seed
+                                  ORDER BY adc, neighbor) AS crk
+        FROM adc) WHERE crk <= 20),
+    scored AS (SELECT c.seed, c.neighbor,
+                      list_dot_product(a.qv, b.qv)
+                      / sqrt(list_dot_product(a.qv, a.qv)
+                             * list_dot_product(b.qv, b.qv)) AS score
+               FROM cand c
+               JOIN q a ON a.vec_id = c.seed
+               JOIN q b ON b.vec_id = c.neighbor)
+    SELECT seed, neighbor, score, rk FROM (
+      SELECT seed, neighbor, score,
+             ROW_NUMBER() OVER (PARTITION BY seed
+                                ORDER BY score DESC, neighbor) AS rk
+      FROM scored)
+    WHERE rk <= 5 ORDER BY seed, rk
+    """,
+    doc="PORTABLE product-quantization ANN (similarity."
+    "pq_fixed_ann_topk): fixed integer codebook (subvectors of the "
+    "first 16 vectors), exact-BIGINT L2 encode/LUT/ADC, refine*k "
+    "candidates per seed, exact quantized-cosine re-rank — the whole "
+    "PQ pipeline (encode -> asymmetric-distance scan -> re-rank) "
+    "replayed relationally by the oracle, retiring the 'PQ is "
+    "rows-only' caveat at small config exactly as ann_ivf_fixed_top5 "
+    "and the VALUES-list LSH did. Lloyd-trained ann_pq_top5 stays the "
+    "production twin. Scale shape: codes are the only corpus-sized "
+    "table after encode; the ADC scan is one broadcast (sub,code) "
+    "join; full vectors touched once for encode + once for the "
+    "candidate re-rank equi-join.",
+)
+def ann_pq_fixed_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 20)
+    return similarity.pq_fixed_ann_topk(emb, seeds, k=5).orderBy("seed", "rk")

@@ -1115,3 +1115,35 @@ def test_semdedup_plan_broadcast_assign_no_cartesian(spark):
     # nested-loop is that broadcast (K rows), never a shuffled cartesian
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_pq_fixed_full_refine_equals_bruteforce(spark, sf_dir):
+    """With refine*k >= corpus the candidate set is everything, so the
+    exact re-rank degenerates to brute force — the PQ approximation
+    only ever PRUNES, never re-scores."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 80)
+    seeds = emb.filter(F.col("vec_id") < 5)
+    exact = sorted(
+        (r["seed"], r["rk"], r["neighbor"])
+        for r in similarity.cosine_topk_bruteforce(emb, seeds, k=3).collect()
+    )
+    full = sorted(
+        (r["seed"], r["rk"], r["neighbor"])
+        for r in similarity.pq_fixed_ann_topk(emb, seeds, k=3, refine=40).collect()
+    )
+    assert exact == full
+
+
+def test_pq_fixed_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["seed"], r["neighbor"])
+        for r in similarity.cosine_topk_bruteforce(emb, seeds, k=3).collect()
+    }
+    approx = {
+        (r["seed"], r["neighbor"])
+        for r in similarity.pq_fixed_ann_topk(emb, seeds, k=3, refine=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"fixed-PQ recall too low: {recall}"

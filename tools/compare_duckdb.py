@@ -8,7 +8,7 @@ rerun it after perf work instead of guessing.
 
 Usage: PYTHONPATH=. python tools/compare_duckdb.py [sf_dir] [runs]
   runs: steal-clean samples per query per engine (default 5; the sf10
-  trend runs use 3 to bound wall-clock — disclosed in BASELINE.md §9).
+  trend runs use 3 to bound wall-clock — disclosed in BASELINE.md §10).
 """
 
 from __future__ import annotations
