@@ -733,3 +733,89 @@ def winnow_overlap(
         .orderBy(F.desc("n_shared"), "doc_a", "doc_b")
         .limit(top)
     )
+
+
+def exact_substr_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal duplicated-span detection — the distributed rendering of
+    suffix-array ExactSubstr dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): find every position
+    whose k-token window occurs >= ``min_count`` times corpus-wide,
+    then merge overlapping/touching hits into MAXIMAL spans per
+    document. Where ``span_dedup`` counts fixed non-overlapping blocks
+    (RefinedWeb lines), this one slides: a duplicated passage of any
+    length >= k is recovered as ONE span with exact boundaries — the
+    memorization-grade exact-substring screen, without materializing a
+    suffix array (grams + gaps-and-islands give identical maximal
+    spans for >= k-token duplicates).
+
+    Plan: k-grams from k-1 LEAD columns off ONE per-doc sort (the
+    repetition/winnow pattern); corpus-wide gram occurrence count is a
+    gram-keyed window over the gram-partitioned shuffle (the span_dedup
+    trick — no join-back, the explode is computed once); positions
+    with cnt >= min_count flow into the classic gaps-and-islands merge
+    (new island when pos - prev_pos > k, i.e. the previous window
+    [prev, prev+k-1] neither overlaps nor touches [pos, pos+k-1]),
+    which is one doc-keyed window + per-(doc, island) aggregate
+    reusing that exchange. 3 shuffles total, all whole-stage codegen;
+    gram keys digest to 16 bytes at scale so shuffle width is
+    independent of k. No suffix array, no all-pairs, no Python.
+
+    Output per document (docs with >= 1 duplicated span only):
+    (doc_id, n_spans, dup_tokens, max_span_len) — dup_tokens = total
+    tokens covered by maximal spans, max_span_len = longest span.
+    """
+    toks = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        key_col,
+        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    wlead = Window.partitionBy(key_col).orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(wlead) for i in range(1, k)
+    ]
+    grams = toks.select(
+        key_col,
+        "pos",
+        F.when(
+            F.lead("tok", k - 1).over(wlead).isNotNull(),
+            F.concat_ws(" ", *parts),
+        ).alias("gram"),
+    ).filter(F.col("gram").isNotNull())
+    wcnt = Window.partitionBy("gram")
+    dup = (
+        grams.withColumn("cnt", F.count("*").over(wcnt))
+        .filter(F.col("cnt") >= min_count)
+        .select(key_col, "pos")
+    )
+    wpos = Window.partitionBy(key_col).orderBy("pos")
+    flagged = dup.select(
+        key_col,
+        "pos",
+        F.when(
+            (F.col("pos") - F.lag("pos", 1).over(wpos)) > k, 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    islands = flagged.select(
+        key_col,
+        "pos",
+        F.sum("brk")
+        .over(wpos.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    spans = islands.groupBy(key_col, "island").agg(
+        (F.max("pos") - F.min("pos") + k).cast("long").alias("span_len")
+    )
+    return spans.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum("span_len").cast("long").alias("dup_tokens"),
+        F.max("span_len").cast("long").alias("max_span_len"),
+    )

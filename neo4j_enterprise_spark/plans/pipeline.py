@@ -3056,3 +3056,51 @@ def ann_pq_fixed_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     seeds = emb.filter(F.col("vec_id") < 20)
     return similarity.pq_fixed_ann_topk(emb, seeds, k=5).orderBy("seed", "rk")
+
+
+@register(
+    "docs_exact_substr_spans",
+    r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    ix AS (SELECT doc_id, toks,
+                  unnest(generate_series(1, len(toks) - 3)) AS i FROM base),
+    g AS (SELECT doc_id, i - 1 AS pos,
+                 array_to_string(toks[i:i+3], ' ') AS gram FROM ix),
+    d AS (SELECT doc_id, pos,
+                 COUNT(*) OVER (PARTITION BY gram) AS cnt FROM g),
+    dup AS (SELECT doc_id, pos FROM d WHERE cnt >= 2),
+    flg AS (SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                  ORDER BY pos) > 4
+                        THEN 1 ELSE 0 END AS brk
+            FROM dup),
+    isl AS (SELECT doc_id, pos,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS island
+            FROM flg),
+    sp AS (SELECT doc_id, island,
+                  CAST(MAX(pos) - MIN(pos) + 4 AS BIGINT) AS span_len
+           FROM isl GROUP BY doc_id, island)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(span_len) AS BIGINT) AS dup_tokens,
+           CAST(MAX(span_len) AS BIGINT) AS max_span_len
+    FROM sp GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Maximal duplicated-span detection (dedup.exact_substr_spans) "
+    "— the distributed rendering of suffix-array ExactSubstr dedup "
+    "(Lee et al. 2022): every position whose 4-token window occurs "
+    ">= 2 times corpus-wide, merged into MAXIMAL per-doc spans via "
+    "gaps-and-islands (break when the gap exceeds k). Where "
+    "docs_span_dedup counts fixed non-overlapping blocks, this one "
+    "SLIDES — a duplicated passage of any length >= k is recovered as "
+    "one span with exact boundaries, no suffix array materialized. "
+    "Plan: k-grams off ONE per-doc sort; corpus-wide occurrence count "
+    "as a gram-keyed window (no join-back); island merge = one "
+    "doc-keyed window whose exchange the final per-doc rollup reuses. "
+    "3 shuffles, all codegen, gram keys digestible to 16 bytes.",
+)
+def docs_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_substr_spans(docs, k=4, min_count=2).orderBy("doc_id")

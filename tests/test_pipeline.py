@@ -1147,3 +1147,55 @@ def test_pq_fixed_recall_vs_bruteforce(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"fixed-PQ recall too low: {recall}"
+
+
+def test_exact_substr_spans_hand_computed(spark):
+    """Two docs share the passage 'p q r s t u' (6 tokens): with k=4,
+    positions 0..2 of the shared window are duplicated in each doc and
+    merge into ONE maximal span of length 6; the unshared tails
+    contribute nothing. Doc 3 is unrelated -> no row."""
+    docs = spark.createDataFrame(
+        [
+            (1, "p q r s t u x1 y1 z1 w1"),
+            (2, "a1 b1 p q r s t u c1 d1"),
+            (3, "m n o aa bb cc dd ee ff gg"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_spans"], r["dup_tokens"], r["max_span_len"])
+        for r in dedup.exact_substr_spans(docs, k=4, min_count=2).collect()
+    }
+    assert out == {1: (1, 6, 6), 2: (1, 6, 6)}
+
+
+def test_exact_substr_spans_island_split(spark):
+    """Two DISJOINT shared passages in one doc stay two spans when the
+    gap between their hit positions exceeds k."""
+    docs = spark.createDataFrame(
+        [
+            (1, "p q r s g1 g2 g3 g4 g5 g6 g7 w x y z"),
+            (2, "p q r s o1 o2 o3 o4 o5 o6 o7 w x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_spans"], r["dup_tokens"], r["max_span_len"])
+        for r in dedup.exact_substr_spans(docs, k=4, min_count=2).collect()
+    }
+    # shared: 'p q r s' at pos 0 (one window) and 'w x y z' at pos 11
+    assert out == {1: (2, 8, 4), 2: (2, 8, 4)}
+
+
+def test_exact_substr_spans_within_doc_repeat(spark):
+    """min_count counts corpus-wide OCCURRENCES, so a within-doc repeat
+    is itself a duplicated span (the memorization case)."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d x y z a b c d q r s")],
+        "doc_id long, text string",
+    )
+    out = dedup.exact_substr_spans(docs, k=4, min_count=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 'a b c d' occurs at pos 0 and pos 7 -> two islands of one window
+    assert (r["n_spans"], r["dup_tokens"], r["max_span_len"]) == (2, 8, 4)
