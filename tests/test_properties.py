@@ -208,3 +208,62 @@ def test_winnow_guarantee_holds_for_random_runs(spark, run, pre, post):
     h1 = {r["fp_hash"] for r in fps if r["doc_id"] == 1}
     h2 = {r["fp_hash"] for r in fps if r["doc_id"] == 2}
     assert h1 & h2
+
+
+def _spans_reference(texts: dict[int, str], k: int, min_count: int):
+    """Python reference for exact_substr_spans: brute-force gram
+    counting + island merge."""
+    grams: dict[str, int] = {}
+    per_doc: dict[int, list[int]] = {}
+    for d, t in texts.items():
+        toks = t.lower().split()
+        for i in range(len(toks) - k + 1):
+            g = " ".join(toks[i : i + k])
+            grams[g] = grams.get(g, 0) + 1
+    for d, t in texts.items():
+        toks = t.lower().split()
+        hits = [
+            i
+            for i in range(len(toks) - k + 1)
+            if grams[" ".join(toks[i : i + k])] >= min_count
+        ]
+        if hits:
+            per_doc[d] = hits
+    out = {}
+    for d, hits in per_doc.items():
+        spans = []
+        start = prev = hits[0]
+        for p in hits[1:]:
+            if p - prev > k:
+                spans.append((start, prev + k - 1))
+                start = p
+            prev = p
+        spans.append((start, prev + k - 1))
+        lens = [e - s + 1 for s, e in spans]
+        out[d] = (len(spans), sum(lens), max(lens))
+    return out
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    data=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]), min_size=1, max_size=24
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+def test_exact_substr_spans_matches_python_reference(spark, data, k):
+    from neo4j_enterprise_spark.operators.dedup import exact_substr_spans
+
+    texts = {i: " ".join(toks) for i, toks in enumerate(data)}
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["dup_tokens"], r["max_span_len"])
+        for r in exact_substr_spans(docs, k=k, min_count=2).collect()
+    }
+    assert got == _spans_reference(texts, k, 2)
