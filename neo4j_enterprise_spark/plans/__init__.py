@@ -89,6 +89,14 @@ def register(
 #          never-re-checked r3 TPC-H rows (q2-q22 — re-greens the whole
 #          TPC-H family alongside the bucketed-layout work). After this
 #          window every oracle query's evidence is ≤4 rounds old.
+#   r8 TODO: lead with the five queries REGISTERED in r7 after the
+#          window froze (docs_ngram_novelty, docs_phrase_search_postings,
+#          emb_semdedup, ann_pq_fixed_top5, docs_exact_substr_spans —
+#          first driver rows; all five are local-parity + sf0.01
+#          gate_subset green), then continue recycling oldest evidence
+#          (r3 events/docs families next: events_asof_attribution,
+#          events_session_windows, docs_token_stats, ann_cosine_top5,
+#          election_winner_per_nation, ...).
 # bench.py and the local parity tests are order-independent.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- the r6 red, fixed this round (Window import) -----------------
