@@ -1167,3 +1167,130 @@ def pq_fixed_ann_topk(
         .filter(F.col("rk") <= k)
         .select("seed", "neighbor", "score", "rk")
     )
+
+
+def ivf_pq_fixed_ann_topk(
+    embeddings: DataFrame,
+    seeds: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 3,
+    m: int = 8,
+    codes_k: int = 16,
+    dims: int = 64,
+    refine: int = 4,
+) -> DataFrame:
+    """PORTABLE IVF-PQ: the full production ANN stack (coarse cell
+    routing + product-quantized asymmetric-distance scan + exact
+    re-rank) composed entirely from the engine's exact-integer fixed
+    pieces — ``ivf_fixed_centroids`` routing and the
+    ``pq_fixed_ann_topk`` codebook/LUT/ADC — so the WHOLE stack is
+    SQL-expressible and oracle-checkable. Completes the ANN family's
+    oracle coverage: brute force, LSH (md5 small config), IVF (fixed),
+    PQ (fixed) and now IVF-PQ all have hash-checked twins; the
+    Lloyd/xxhash production variants remain the perf path.
+
+    Flow: corpus assigned to cells (broadcast argmin); each seed
+    probes its ``n_probe`` nearest cells; PQ codes of vectors in
+    probed cells only are ADC-scored against the seed's LUT
+    (broadcast (seed, sub, code) join — probes and LUT are
+    planner-sized); ``refine·k`` candidates per seed by exact-integer
+    ADC; exact quantized-cosine re-rank. At 100 TB the codes table is
+    partitioned BY CELL, so a probe reads n_probe/K of it — the
+    billion-scale memory/IO shape, here rendered relationally.
+    """
+    cent = ivf_fixed_centroids(embeddings, n_cells)
+    vecs = embeddings.select(
+        "vec_id", quantize(F.col("embedding")).alias("qv")
+    ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))
+    assign = _assign_to_centroids(vecs, cent)
+    svecs = seeds.select(
+        F.col("vec_id").alias("seed"), quantize(F.col("embedding")).alias("qv")
+    ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))
+    pscore = svecs.join(F.broadcast(cent)).select(
+        "seed",
+        "cell_id",
+        (
+            _dot_d(F.col("qv"), F.col("ccv"))
+            / F.sqrt(F.col("qn").cast("double") * F.col("ccn").cast("double"))
+        ).alias("cscore"),
+    )
+    w_probe = Window.partitionBy("seed").orderBy(
+        F.desc("cscore"), F.asc("cell_id")
+    )
+    probes = (
+        pscore.withColumn("prk", F.row_number().over(w_probe))
+        .filter(F.col("prk") <= n_probe)
+        .select("seed", "cell_id")
+    )
+
+    cb = _subvectors(
+        embeddings.filter(F.col("vec_id") < codes_k), m, dims
+    ).select(
+        "sub_id",
+        F.col("vec_id").cast("int").alias("code"),
+        F.col("sv").alias("cv"),
+    )
+
+    def _ldist():
+        return (
+            _dot(F.col("sv"), F.col("sv"))
+            - 2 * _dot(F.col("sv"), F.col("cv"))
+            + _dot(F.col("cv"), F.col("cv"))
+        )
+
+    sub = _subvectors(embeddings, m, dims)
+    w_enc = Window.partitionBy("vec_id", "sub_id").orderBy("ldist", "code")
+    enc = (
+        sub.join(F.broadcast(cb), "sub_id")
+        .withColumn("ldist", _ldist())
+        .withColumn("rk", F.row_number().over(w_enc))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "sub_id", "code")
+    )
+    lut = (
+        _subvectors(seeds, m, dims)
+        .join(F.broadcast(cb), "sub_id")
+        .select(
+            F.col("vec_id").alias("seed"),
+            "sub_id",
+            "code",
+            _ldist().alias("ldist"),
+        )
+    )
+    adc = (
+        enc.join(assign, "vec_id")
+        .join(F.broadcast(probes), "cell_id")
+        .join(F.broadcast(lut), ["seed", "sub_id", "code"])
+        .filter(F.col("vec_id") != F.col("seed"))
+        .groupBy("seed", F.col("vec_id").alias("neighbor"))
+        .agg(F.sum("ldist").alias("adc"))
+    )
+    w_cand = Window.partitionBy("seed").orderBy("adc", "neighbor")
+    cand = (
+        adc.withColumn("crk", F.row_number().over(w_cand))
+        .filter(F.col("crk") <= refine * k)
+        .select("seed", "neighbor")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor"),
+        quantize(F.col("embedding")).alias("cvv"),
+    ).withColumn("cn", _dot(F.col("cvv"), F.col("cvv")))
+    exact = (
+        cand.join(F.broadcast(svecs), "seed")
+        .join(c, "neighbor")
+        .select(
+            "seed",
+            "neighbor",
+            (
+                _dot(F.col("qv"), F.col("cvv")).cast("double")
+                / F.sqrt((F.col("qn") * F.col("cn")).cast("double"))
+            ).alias("score"),
+        )
+    )
+    we = Window.partitionBy("seed").orderBy(F.desc("score"), F.asc("neighbor"))
+    return (
+        exact.withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= k)
+        .select("seed", "neighbor", "score", "rk")
+    )

@@ -89,11 +89,13 @@ def register(
 #          never-re-checked r3 TPC-H rows (q2-q22 — re-greens the whole
 #          TPC-H family alongside the bucketed-layout work). After this
 #          window every oracle query's evidence is ≤4 rounds old.
-#   r8 TODO: lead with the five queries REGISTERED in r7 after the
+#   r8 TODO: lead with the six queries REGISTERED in r7 after the
 #          window froze (docs_ngram_novelty, docs_phrase_search_postings,
-#          emb_semdedup, ann_pq_fixed_top5, docs_exact_substr_spans —
-#          first driver rows; all five are local-parity + sf0.01
-#          gate_subset green), then continue recycling oldest evidence
+#          emb_semdedup, ann_pq_fixed_top5, docs_exact_substr_spans,
+#          ann_ivf_pq_fixed_top5 — first driver rows; all six are
+#          local-parity + sf0.01 gate_subset green, and the end-of-r7
+#          full gate replay covered the whole 249-query registry),
+#          then continue recycling oldest evidence
 #          (r3 events/docs families next: events_asof_attribution,
 #          events_session_windows, docs_token_stats, ann_cosine_top5,
 #          election_winner_per_nation, ...).

@@ -3104,3 +3104,96 @@ def ann_pq_fixed_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.exact_substr_spans(docs, k=4, min_count=2).orderBy("doc_id")
+
+
+@register(
+    "ann_ivf_pq_fixed_top5",
+    """
+    WITH q AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+               FROM embeddings),
+    cent AS (SELECT CAST(vec_id AS INTEGER) AS cell_id, qv AS ccv
+             FROM q WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT v.vec_id, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_dot_product(v.qv, c.ccv)
+                 / sqrt(CAST(list_dot_product(v.qv, v.qv) AS DOUBLE)
+                        * CAST(list_dot_product(c.ccv, c.ccv) AS DOUBLE)) DESC,
+                 c.cell_id) AS rk
+        FROM q v CROSS JOIN cent c)
+      WHERE rk = 1),
+    probes AS (
+      SELECT seed, cell_id FROM (
+        SELECT s.vec_id AS seed, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+                 list_dot_product(s.qv, c.ccv)
+                 / sqrt(CAST(list_dot_product(s.qv, s.qv) AS DOUBLE)
+                        * CAST(list_dot_product(c.ccv, c.ccv) AS DOUBLE)) DESC,
+                 c.cell_id) AS rk
+        FROM q s CROSS JOIN cent c WHERE s.vec_id < 20)
+      WHERE rk <= 3),
+    subs AS (SELECT unnest(generate_series(0, 7)) AS sub_id),
+    sub AS (SELECT q.vec_id, s.sub_id,
+                   qv[s.sub_id * 8 + 1 : s.sub_id * 8 + 8] AS sv
+            FROM q CROSS JOIN subs s),
+    cb AS (SELECT sub_id, CAST(vec_id AS INT) AS code, sv AS cv
+           FROM sub WHERE vec_id < 16),
+    enc AS (SELECT vec_id, sub_id, code FROM (
+        SELECT v.vec_id, v.sub_id, c.code,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub_id ORDER BY
+                 CAST(list_dot_product(v.sv, v.sv)
+                      - 2 * list_dot_product(v.sv, c.cv)
+                      + list_dot_product(c.cv, c.cv) AS BIGINT),
+                 c.code) AS rk
+        FROM sub v JOIN cb c USING (sub_id))
+      WHERE rk = 1),
+    lut AS (SELECT s.vec_id AS seed, s.sub_id, c.code,
+                   CAST(list_dot_product(s.sv, s.sv)
+                        - 2 * list_dot_product(s.sv, c.cv)
+                        + list_dot_product(c.cv, c.cv) AS BIGINT) AS ldist
+            FROM sub s JOIN cb c USING (sub_id) WHERE s.vec_id < 20),
+    adc AS (SELECT l.seed, e.vec_id AS neighbor,
+                   CAST(SUM(l.ldist) AS BIGINT) AS adc
+            FROM enc e
+            JOIN assign a ON a.vec_id = e.vec_id
+            JOIN probes p ON p.cell_id = a.cell_id
+            JOIN lut l ON l.seed = p.seed
+                      AND l.sub_id = e.sub_id AND l.code = e.code
+            WHERE e.vec_id <> l.seed
+            GROUP BY l.seed, e.vec_id),
+    cand AS (SELECT seed, neighbor FROM (
+        SELECT seed, neighbor,
+               ROW_NUMBER() OVER (PARTITION BY seed
+                                  ORDER BY adc, neighbor) AS crk
+        FROM adc) WHERE crk <= 20),
+    scored AS (SELECT c.seed, c.neighbor,
+                      list_dot_product(a.qv, b.qv)
+                      / sqrt(list_dot_product(a.qv, a.qv)
+                             * list_dot_product(b.qv, b.qv)) AS score
+               FROM cand c
+               JOIN q a ON a.vec_id = c.seed
+               JOIN q b ON b.vec_id = c.neighbor)
+    SELECT seed, neighbor, score, rk FROM (
+      SELECT seed, neighbor, score,
+             ROW_NUMBER() OVER (PARTITION BY seed
+                                ORDER BY score DESC, neighbor) AS rk
+      FROM scored)
+    WHERE rk <= 5 ORDER BY seed, rk
+    """,
+    doc="PORTABLE IVF-PQ (similarity.ivf_pq_fixed_ann_topk): the full "
+    "production ANN stack — coarse cell routing (fixed centroids, "
+    "exact quantized-cosine argmin), PQ asymmetric-distance scan over "
+    "PROBED CELLS ONLY (fixed integer codebook, exact-BIGINT "
+    "encode/LUT/ADC), exact re-rank of refine*k candidates — replayed "
+    "end-to-end by the oracle. Completes the ANN family: brute-force/"
+    "LSH-md5/IVF-fixed/PQ-fixed/IVF-PQ-fixed all hash-checked; Lloyd/"
+    "xxhash twins (ann_ivf_pq_top5) stay the perf path. Scale shape: "
+    "codes partitioned BY CELL so a probe reads n_probe/K of the "
+    "table; probes and LUT broadcast (planner-sized).",
+)
+def ann_ivf_pq_fixed_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 20)
+    return similarity.ivf_pq_fixed_ann_topk(emb, seeds, k=5).orderBy("seed", "rk")

@@ -1199,3 +1199,23 @@ def test_exact_substr_spans_within_doc_repeat(spark):
     r = out[0]
     # 'a b c d' occurs at pos 0 and pos 7 -> two islands of one window
     assert (r["n_spans"], r["dup_tokens"], r["max_span_len"]) == (2, 8, 4)
+
+
+def test_ivf_pq_fixed_recall_vs_bruteforce(spark, sf_dir):
+    """The composed portable IVF-PQ keeps useful recall, and every
+    returned score is the exact quantized cosine (re-rank is exact)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["seed"], r["neighbor"]): r["score"]
+        for r in similarity.cosine_topk_bruteforce(emb, seeds, k=3).collect()
+    }
+    approx = {
+        (r["seed"], r["neighbor"]): r["score"]
+        for r in similarity.ivf_pq_fixed_ann_topk(emb, seeds, k=3).collect()
+    }
+    hits = set(exact) & set(approx)
+    recall = len(hits) / len(exact)
+    assert recall >= 0.3, f"fixed IVF-PQ recall too low: {recall}"
+    for pair in hits:
+        assert approx[pair] == exact[pair]  # exact re-rank, same arithmetic
