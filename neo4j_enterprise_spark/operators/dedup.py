@@ -755,16 +755,21 @@ def exact_substr_spans(
     spans for >= k-token duplicates).
 
     Plan: k-grams from k-1 LEAD columns off ONE per-doc sort (the
-    repetition/winnow pattern); corpus-wide gram occurrence count is a
-    gram-keyed window over the gram-partitioned shuffle (the span_dedup
-    trick — no join-back, the explode is computed once); positions
-    with cnt >= min_count flow into the classic gaps-and-islands merge
-    (new island when pos - prev_pos > k, i.e. the previous window
-    [prev, prev+k-1] neither overlaps nor touches [pos, pos+k-1]),
-    which is one doc-keyed window + per-(doc, island) aggregate
-    reusing that exchange. 3 shuffles total, all whole-stage codegen;
-    gram keys digest to 16 bytes at scale so shuffle width is
-    independent of k. No suffix array, no all-pairs, no Python.
+    repetition/winnow pattern); corpus-wide gram occurrence counting
+    is a map-side-combinable groupBy over 16-byte gram DIGESTS
+    (md5 — shuffle width independent of k, partial aggregation
+    absorbs hot grams like stopword runs BEFORE the shuffle), kept
+    grams (cnt >= min_count) flow back via a digest-keyed LEFT SEMI
+    join that AQE's skew-join can split — unlike the r7 rendering's
+    unbounded Window.partitionBy(gram), which put every occurrence
+    of a hot k-gram on a single reducer with no partial aggregation
+    (the ADVICE r7 skew finding). Qualifying positions then take the
+    classic gaps-and-islands merge (new island when pos - prev_pos >
+    k, i.e. the previous window [prev, prev+k-1] neither overlaps nor
+    touches [pos, pos+k-1]): one doc-keyed window + per-(doc, island)
+    aggregate reusing that exchange. 4 shuffles total (one more than
+    the window form — the price of skew safety), all whole-stage
+    codegen. No suffix array, no all-pairs, no Python.
 
     Output per document (docs with >= 1 duplicated span only):
     (doc_id, n_spans, dup_tokens, max_span_len) — dup_tokens = total
@@ -788,12 +793,14 @@ def exact_substr_spans(
             F.concat_ws(" ", *parts),
         ).alias("gram"),
     ).filter(F.col("gram").isNotNull())
-    wcnt = Window.partitionBy("gram")
-    dup = (
-        grams.withColumn("cnt", F.count("*").over(wcnt))
+    g = grams.select(key_col, "pos", F.unhex(F.md5("gram")).alias("g"))
+    hot = (
+        g.groupBy("g")
+        .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= min_count)
-        .select(key_col, "pos")
+        .select("g")
     )
+    dup = g.join(hot, "g", "left_semi").select(key_col, "pos")
     wpos = Window.partitionBy(key_col).orderBy("pos")
     flagged = dup.select(
         key_col,
@@ -818,4 +825,54 @@ def exact_substr_spans(
         F.count("*").cast("long").alias("n_spans"),
         F.sum("span_len").cast("long").alias("dup_tokens"),
         F.max("span_len").cast("long").alias("max_span_len"),
+    )
+
+
+def dup_rate_by_source(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Curation analytics: per-(source, lang) EXACT-duplicate rate —
+    the report a corpus curator reads before deciding which crawl
+    sources to down-weight (a source whose documents are mostly
+    byte-copies of each other, or of other sources, contributes far
+    fewer effective tokens than its row count suggests).
+
+    A document is 'duplicated' iff its md5 content digest appears >= 2
+    times CORPUS-WIDE (same digest convention as ``exact_dup_groups``
+    — cross-source copies count for every source holding one). Rate =
+    exact integer counts + ONE IEEE divide.
+
+    Plan: digest groupBy (map-side combinable, one narrow shuffle),
+    digest-keyed membership join back (AQE-splittable), then a
+    (source, lang) rollup — group count is source x lang, tiny. No
+    all-pairs, no window over an unbounded key.
+
+    Returns (source, lang, n_docs, n_dup_docs, n_dup_groups,
+    dup_frac), one row per source x lang present.
+    """
+    base = docs.select(
+        source_col, lang_col, "doc_id", F.md5(F.col(text_col)).alias("dig")
+    )
+    sizes = base.groupBy("dig").agg(F.count("*").alias("grp_n"))
+    flagged = base.join(sizes, "dig")
+    return (
+        flagged.groupBy(source_col, lang_col)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("grp_n") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.countDistinct(
+                F.when(F.col("grp_n") >= 2, F.col("dig"))
+            )
+            .cast("long")
+            .alias("n_dup_groups"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.col("n_dup_docs").cast("double") / F.col("n_docs"),
+        )
     )

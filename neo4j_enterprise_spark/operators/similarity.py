@@ -987,6 +987,47 @@ def hard_negatives(
     )
 
 
+def _semdedup_scored_pairs(
+    embeddings: DataFrame, n_cells: int, threshold: float
+) -> DataFrame:
+    """Shared SemDeDup candidate stage: portable fixed centroids →
+    exact quantized-cosine assignment → cell-keyed pair equi-join
+    (a < b) scored by quantized cosine, filtered to >= threshold.
+    Returns (cell_id, a, b, score). Candidate pairs are bounded per
+    cell — the IVF bucketed-candidates contract; no all-pairs."""
+    cent = ivf_fixed_centroids(embeddings, n_cells)
+    vecs = embeddings.select(
+        "vec_id", quantize(F.col("embedding")).alias("qv")
+    ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))
+    assign = _assign_to_centroids(vecs, cent)
+    m = vecs.join(assign, "vec_id")
+    a = m.select(
+        "cell_id",
+        F.col("vec_id").alias("a"),
+        F.col("qv").alias("qa"),
+        F.col("qn").alias("na"),
+    )
+    b = m.select(
+        F.col("cell_id").alias("cell_b"),
+        F.col("vec_id").alias("b"),
+        F.col("qv").alias("qb"),
+        F.col("qn").alias("nb"),
+    )
+    return (
+        a.join(b, (F.col("cell_id") == F.col("cell_b")) & (F.col("a") < F.col("b")))
+        .select(
+            "cell_id",
+            "a",
+            "b",
+            (
+                _dot(F.col("qa"), F.col("qb")).cast("double")
+                / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def semdedup(
     embeddings: DataFrame,
     n_cells: int = 8,
@@ -1006,10 +1047,17 @@ def semdedup(
     swap in offline k-means without changing the flow), assignment =
     exact quantized-cosine argmin (broadcast join + per-vector window),
     intra-cell scoring = the same quantized-int dot/sqrt form as
-    ``embedding_near_dup``. Drop rule (deterministic greedy): a vector
-    is DROPPED iff some lower-id vector in its cell scores >= threshold
-    against it; its representative is the smallest such id — pure
-    integer comparisons, no float ties.
+    ``embedding_near_dup``. Drop rule (ONE-PASS, deterministic): a
+    vector is DROPPED iff ANY lower-id vector in its cell scores >=
+    threshold against it — including lower-id vectors that are
+    themselves dropped — and ``kept`` is the NEAREST LOWER-ID NEAR-DUP
+    (smallest such id), not necessarily a surviving representative.
+    In a chain (0~1 and 1~2 above threshold, 0~2 below) this drops
+    BOTH 1 and 2, where the paper's sequential greedy keeps 2: the
+    one-pass rule over-drops relative to SemDeDup's sequential scan
+    (conservative for dedup — more removed, never a duplicate kept).
+    For the paper-exact semantics use ``semdedup_greedy``, which
+    resolves chains to the true kept-representative fixpoint.
 
     Scale: one broadcast-assign pass over the corpus; the pair join is
     cell-keyed equi-join (per-cell candidates only — with k chosen
@@ -1019,37 +1067,7 @@ def semdedup(
     Returns (cell_id, kept, dropped, score) — one row per dropped
     vector, ordered by ``dropped`` upstream of the caller's sort.
     """
-    cent = ivf_fixed_centroids(embeddings, n_cells)
-    vecs = embeddings.select(
-        "vec_id", quantize(F.col("embedding")).alias("qv")
-    ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))
-    assign = _assign_to_centroids(vecs, cent)
-    m = vecs.join(assign, "vec_id")
-    a = m.select(
-        "cell_id",
-        F.col("vec_id").alias("a"),
-        F.col("qv").alias("qa"),
-        F.col("qn").alias("na"),
-    )
-    b = m.select(
-        F.col("cell_id").alias("cell_b"),
-        F.col("vec_id").alias("b"),
-        F.col("qv").alias("qb"),
-        F.col("qn").alias("nb"),
-    )
-    scored = (
-        a.join(b, (F.col("cell_id") == F.col("cell_b")) & (F.col("a") < F.col("b")))
-        .select(
-            "cell_id",
-            "a",
-            "b",
-            (
-                _dot(F.col("qa"), F.col("qb")).cast("double")
-                / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
-            ).alias("score"),
-        )
-        .filter(F.col("score") >= threshold)
-    )
+    scored = _semdedup_scored_pairs(embeddings, n_cells, threshold)
     wdrop = Window.partitionBy("b").orderBy("a")
     return (
         scored.withColumn("rk", F.row_number().over(wdrop))
@@ -1060,6 +1078,74 @@ def semdedup(
             F.col("b").alias("dropped"),
             "score",
         )
+    )
+
+
+def semdedup_greedy(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup with the PAPER-EXACT sequential-greedy drop rule
+    (Abbas et al. 2023 §3): scan each cluster's vectors in ascending
+    id order; a vector is DROPPED iff some SURVIVING (kept) lower-id
+    cell-mate scores >= threshold against it. Resolves the chain case
+    the one-pass ``semdedup`` over-drops (0~1 and 1~2 above threshold,
+    0~2 below: greedy keeps {0, 2}, one-pass keeps only {0}) and makes
+    ``kept`` a TRUE surviving representative — the smallest kept
+    dropper, so every output row's ``kept`` id is itself retained.
+
+    Plan: the shared cell-gated candidate stage
+    (``_semdedup_scored_pairs`` — broadcast assign, cell-keyed pair
+    equi-join, quantized-cosine scores, all JVM-side) feeds ONE
+    ``applyInPandas`` over cell_id that replays the paper's sequential
+    scan per cell. The Python step sees only the >=threshold EDGE list
+    of one cell — bounded by the cluster gate (cells sized ~
+    N/cluster_budget), never the corpus — and does O(edges) set
+    arithmetic; scores pass through unchanged, so the single IEEE
+    divide/sqrt computed JVM-side stays bit-identical to the oracle's.
+    The greedy recursion is inherently sequential WITHIN a cell (each
+    decision depends on all earlier ones — no window/join form exists),
+    but cells are independent: parallelism = n_cells, the same
+    partition contract as the paper's per-cluster scan.
+
+    Returns (cell_id, kept, dropped, score) — one row per dropped
+    vector; score = the kept-representative pair's cosine.
+    """
+    scored = _semdedup_scored_pairs(embeddings, n_cells, threshold)
+
+    def _cell_greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        in_edges: dict[int, list[tuple[int, float]]] = {}
+        verts: set[int] = set()
+        for a_, b_, s_ in zip(pdf["a"], pdf["b"], pdf["score"]):
+            in_edges.setdefault(int(b_), []).append((int(a_), float(s_)))
+            verts.add(int(a_))
+            verts.add(int(b_))
+        kept: set[int] = set()
+        cell = int(pdf["cell_id"].iloc[0])
+        out_cell, out_kept, out_drop, out_score = [], [], [], []
+        for v in sorted(verts):
+            droppers = sorted(
+                (a_, s_) for a_, s_ in in_edges.get(v, []) if a_ in kept
+            )
+            if droppers:
+                out_cell.append(cell)
+                out_kept.append(droppers[0][0])
+                out_drop.append(v)
+                out_score.append(droppers[0][1])
+            else:
+                kept.add(v)
+        return pd.DataFrame(
+            {
+                "cell_id": pd.array(out_cell, dtype="int32"),
+                "kept": pd.array(out_kept, dtype="int64"),
+                "dropped": pd.array(out_drop, dtype="int64"),
+                "score": pd.array(out_score, dtype="float64"),
+            }
+        )
+
+    return scored.groupBy("cell_id").applyInPandas(
+        _cell_greedy, "cell_id int, kept long, dropped long, score double"
     )
 
 

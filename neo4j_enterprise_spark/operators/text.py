@@ -1324,3 +1324,188 @@ def phrase_search_postings(
         )
         .orderBy(key_col)
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    top_k: int = 3,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document keyword extraction by LINEAR-IDF tf-idf (Sparck
+    Jones 1972 rendered log-free): score(term, doc) = tf * (N / df),
+    the exact-integer rank form of tf-idf with idf linearized — N/df
+    is monotone in log(N/df), and a SINGLE IEEE divide of the exact
+    int64 product tf*N by the exact int64 df is bit-stable across
+    engines, where log is not (the collocations/PMI determinism
+    pattern). Distinct from BM25 (bm25_rank ranks DOCS for a query;
+    this ranks TERMS within each doc — the keyword/tag extraction step
+    of corpus curation and topic labeling).
+
+    Plan: tokenize + explode once; (doc, term) tf is a map-side-
+    combinable groupBy; df derives FROM the tf table (term-keyed
+    vocabulary shuffle, not a corpus re-scan); N is one broadcast
+    scalar row; the top-k window is doc-keyed over the tf table with
+    a total order (score desc, term asc). No corpus-sized join, no
+    lambda, no Python.
+
+    Returns (doc_id, term, tf, df, score, rk), rk = 1..top_k.
+    """
+    base = docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+    toks = base.select(
+        key_col,
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(key_col, "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    nd = base.agg(F.count("*").cast("long").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"),
+        )
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select(key_col, "term", "tf", "df", "score", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+# the fixed alphabet char_gini counts over — lowercase letters; every
+# other character (digits, punctuation, whitespace) pools into 'other'
+_GINI_ALPHABET = "abcdefghijklmnopqrstuvwxyz"
+
+
+def char_gini(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-distribution diversity as GINI IMPURITY — the
+    exact-rational alternative to character entropy for low-diversity/
+    spam screening (keyboard mashing, repeated-char padding, template
+    boilerplate score near 0 diversity; natural prose sits high):
+    gini = 1 - sum_i (c_i/n)^2 = (n^2 - sum_i c_i^2) / n^2 over the
+    26-letter alphabet + one pooled 'other' class. Entropy needs log
+    (not bit-stable cross-engine); Gini is integer arithmetic + ONE
+    IEEE divide — hash-exact against the SQL oracle by construction.
+
+    Plan: 27 fixed length/replace codegen expressions fused into the
+    scan — ZERO shuffle, zero explode, zero lambda at any corpus size
+    (the array-domain projection family). n^2 stays in BIGINT: exact
+    for docs up to ~3e9 chars (far beyond any real document).
+
+    Returns (doc_id, n_chars_counted, gini) for non-empty docs.
+    """
+    t = F.lower(F.trim(F.col(text_col)))
+    n = F.length(t).cast("long")
+    # stage 1: each letter count computed ONCE (26 length/replace pairs)
+    counted = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        "doc_id",
+        n.alias("n"),
+        *[
+            (n - F.length(F.replace(t, F.lit(ch)))).alias(f"c_{ch}")
+            for ch in _GINI_ALPHABET
+        ],
+    )
+    letters_total = sum(F.col(f"c_{ch}") for ch in _GINI_ALPHABET)
+    sumsq = sum(
+        F.col(f"c_{ch}") * F.col(f"c_{ch}") for ch in _GINI_ALPHABET
+    ) + (F.col("n") - letters_total) * (F.col("n") - letters_total)
+    return counted.select(
+        "doc_id",
+        F.col("n").alias("n_chars_counted"),
+        (
+            (F.col("n") * F.col("n") - sumsq).cast("double")
+            / (F.col("n") * F.col("n")).cast("double")
+        ).alias("gini"),
+    )
+
+
+# Gopher rule constants (Rae et al. 2021, A1.1) — integer-ratio forms
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The Gopher quality-filter rule bundle (Rae et al. 2021, Appendix
+    A1.1) — the standard pre-training heuristic gate, each rule as an
+    EXACT INTEGER comparison (no float thresholds, so the oracle
+    hash-matches by construction):
+
+      word_count       min_words <= n_words <= max_words
+      mean_word_len    3 <= mean <= 10, as 3*n_words <= word_chars
+                       AND word_chars <= 10*n_words
+      symbol_ratio     (# '#' + # '...') / n_words <= 0.1, as
+                       10*(n_hash + n_ellipsis) <= n_words
+      bullet_lines     <= 90% lines start with a bullet, as
+                       10*n_bullet <= 9*n_lines
+      ellipsis_lines   <= 30% lines end with '...', as
+                       10*n_ell_lines <= 3*n_lines
+      alpha_words      >= 80% words contain a letter, as
+                       5*n_alpha >= 4*n_words
+      stop_words       >= 2 of the 8 canonical English stopwords
+
+    Plan: one split into tokens + one split into lines, then fixed
+    codegen counts; the two list_filter lambdas are non-allocating
+    comparisons (the SCALE §10 rule for when a HOF stays) — zero
+    shuffle, scan-fused, embarrassingly parallel at 100 TB.
+
+    Returns per-doc flags + n_words + keep (AND of all rules).
+    """
+    t = F.trim(F.col(text_col))
+    toks = F.split(F.lower(t), r"\s+")
+    lines = F.split(F.col(text_col), "\n")
+    n_words = F.size(toks)
+    word_chars = F.length(F.regexp_replace(t, r"\s", ""))
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#")))
+    n_ellipsis = (
+        F.length(t) - F.length(F.replace(t, F.lit("...")))
+    ) / F.lit(3)
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("-")
+            | l.startswith("*")
+            | l.startswith("•"),
+        )
+    )
+    n_ell_lines = F.size(F.filter(lines, lambda l: l.endswith("...")))
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin(*_GOPHER_STOPWORDS))
+    )
+    r_wc = (n_words >= min_words) & (n_words <= max_words)
+    r_mwl = (F.lit(3) * n_words <= word_chars) & (
+        word_chars <= F.lit(10) * n_words
+    )
+    r_sym = F.lit(10) * (n_hash + n_ellipsis.cast("long")) <= n_words
+    r_bul = F.lit(10) * n_bullet <= F.lit(9) * n_lines
+    r_ell = F.lit(10) * n_ell_lines <= F.lit(3) * n_lines
+    r_alpha = F.lit(5) * n_alpha >= F.lit(4) * n_words
+    r_stop = n_stop >= 2
+    return docs.filter(F.length(t) > 0).select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        r_wc.alias("rule_word_count"),
+        r_mwl.alias("rule_mean_word_len"),
+        r_sym.alias("rule_symbol_ratio"),
+        r_bul.alias("rule_bullet_lines"),
+        r_ell.alias("rule_ellipsis_lines"),
+        r_alpha.alias("rule_alpha_words"),
+        r_stop.alias("rule_stop_words"),
+        (r_wc & r_mwl & r_sym & r_bul & r_ell & r_alpha & r_stop).alias(
+            "keep"
+        ),
+    )

@@ -89,73 +89,86 @@ def register(
 #          never-re-checked r3 TPC-H rows (q2-q22 — re-greens the whole
 #          TPC-H family alongside the bucketed-layout work). After this
 #          window every oracle query's evidence is ≤4 rounds old.
-#   r8 TODO: lead with the six queries REGISTERED in r7 after the
-#          window froze (docs_ngram_novelty, docs_phrase_search_postings,
-#          emb_semdedup, ann_pq_fixed_top5, docs_exact_substr_spans,
-#          ann_ivf_pq_fixed_top5 — first driver rows; all six are
-#          local-parity + sf0.01 gate_subset green, and the end-of-r7
-#          full gate replay covered the whole 249-query registry),
-#          then continue recycling oldest evidence
-#          (r3 events/docs families next: events_asof_attribution,
-#          events_session_windows, docs_token_stats, ann_cosine_top5,
-#          election_winner_per_nation, ...).
+#   r7:    docs_repetition_stats (the r6 red) first, the 8 queries
+#          registered in r6 after the window froze, then recycle by
+#          evidence age (r1, r2, r3 TPC-H) — 50/50 green
+#          (CORRECTNESS_r07.json). After r7 every oracle query's
+#          evidence is <=4 rounds old; only the six registered in r7
+#          after the window froze have never had a driver row.
+#   r8 (this window): the six queries REGISTERED in r7 after the
+#          window froze lead (first driver rows — all six were
+#          local-parity + sf0.01 gate_subset green at the r7 head);
+#          docs_phrase_search re-checks because r8 re-pointed its
+#          DEFAULT plan at the postings rendering (VERDICT r7 ask #3;
+#          oracle unchanged), with the HOF variant's first row under
+#          its new explicit name docs_phrase_search_hof; any operator
+#          REGISTERED THIS ROUND sits inside the window (ends the
+#          register-late/check-next-round lag the r6 and r7 verdicts
+#          flagged); the rest recycles oldest evidence — the whole r3
+#          cohort (28 queries) and the front of the r4 cohort. After
+#          this window no oracle query's newest evidence is older
+#          than r4.
+#   r9 TODO: recycle the remaining r4 cohort (~35 rows:
+#          cypher_* extensions, graph_* centrality/community family,
+#          events_stream_* driven-parity, store_upgrade_read, ...),
+#          then the r5 cohort by age.
 # bench.py and the local parity tests are order-independent.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- the r6 red, fixed this round (Window import) -----------------
-    "docs_repetition_stats",
-    # -- registered r6 after the window froze: first driver rows ------
-    "docs_bm25_search",
+    # -- registered r7 after the window froze: first driver rows ------
+    "docs_ngram_novelty",
+    "docs_phrase_search_postings",
+    "emb_semdedup",
+    "ann_pq_fixed_top5",
+    "docs_exact_substr_spans",
+    "ann_ivf_pq_fixed_top5",
+    # -- default-plan swap re-check + the HOF twin's first row ---------
     "docs_phrase_search",
-    "docs_winnow_overlap",
-    "docs_bloom_contamination",
-    "docs_nb_lang_classifier",
-    "docs_dsir_importance",
-    "docs_collocations",
-    "docs_bigram_fluency",
-    # -- oldest evidence: r1 -------------------------------------------
-    "docs_embedding_near_dup",
-    "docs_lang_source_rollup",
-    # -- oldest evidence: r2 -------------------------------------------
-    "bfs_shortest_hops",
-    "cypher_optional_match",
-    "cypher_property_map_match",
-    "cypher_return_distinct",
-    "cypher_skip_page",
-    "cypher_string_predicates",
-    "cypher_where_aggregate",
-    "docs_exact_dup_groups",
-    "graph_kcore_summary",
-    "graph_label_propagation",
-    "index_lookup_materialized",
-    "index_put_if_absent",
-    "parts_copurchase_top20",
-    "parts_triangle_clustering",
-    "parts_weighted_distances",
-    "property_stats_histogram",
-    "property_store_scan",
-    "property_upsert_projection",
-    "row_checksums",
-    "snapshot_diff_added",
-    "txlog_replay_lww",
-    # -- oldest evidence: r3 — the TPC-H family ------------------------
-    "q2_best_supplier_per_part",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q11_part_value_threshold",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_parts_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_supplier_part_share",
-    "q21_sole_late_supplier",
-    "q22_global_sales_opportunity",
+    "docs_phrase_search_hof",
+    # -- registered THIS round (r8): first driver rows, in-window ------
+    "emb_semdedup_greedy",
+    "docs_tfidf_keywords",
+    "docs_char_gini",
+    "docs_gopher_rules",
+    "docs_dup_rate_by_source",
+    # -- oldest evidence: the full r3 cohort ---------------------------
+    "ann_cosine_top5",
+    "docs_chunk_windows",
+    "docs_fingerprints",
+    "docs_minhash_md5_candidates",
+    "docs_simhash_md5",
+    "docs_simhash_neardup_pairs",
+    "docs_token_stats",
+    "election_winner_per_nation",
+    "events_asof_attribution",
+    "events_column_profile",
+    "events_errors_per_session",
+    "events_funnel_signup_purchase",
+    "events_gap_distribution",
+    "events_hourly_rollup",
+    "events_incremental_rollup",
+    "events_per_user_cap",
+    "events_props_json_rollup",
+    "events_retention_cohorts",
+    "events_session_windows",
+    "events_sliding_rollup",
+    "events_stream_hourly_append",
+    "events_stream_hourly_rollup",
+    "events_stream_sessions_append",
+    "events_user_sessions",
+    "events_value_histogram",
+    "events_value_outliers",
+    "orders_price_quartiles",
+    "pricing_rollup_subtotals",
+    # -- next-oldest: front of the r4 cohort ----------------------------
+    "q12_delay_class_priority",
+    "ann_ivf_fixed_top5",
+    "ann_lsh_md5_top5",
+    "docs_cdc_dedup",
+    "docs_incremental_dedup",
+    "docs_neardup_clusters",
+    "docs_span_dedup",
+    "docs_ngram_jaccard_pairs",
+    "docs_containment_pairs",
 )
 
 

@@ -2805,24 +2805,55 @@ def docs_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(hits[1] - 1 AS BIGINT) AS first_pos
     FROM h WHERE len(hits) > 0 ORDER BY doc_id
     """,
-    doc="Exact-phrase retrieval (text.phrase_search, phrase 'table "
-    "scan'): docs whose token stream contains the query tokens "
-    "CONSECUTIVELY, with occurrence count and 0-based first position "
-    "— the positional phrase query of classic IR, the retrieval mode "
-    "bag-of-words tf-idf and BM25 cannot express. Plan: coarse JVM-"
-    "regex prefilter (codegen, strict superset — no false negatives) "
-    "then the exact array-side filter(sequence(...)) verify with "
-    "OVERLAPPING-occurrence semantics on candidates only (the lambda "
-    "HOF is interpreter-evaluated — 22x the oracle if run corpus-wide "
-    "at sf1, 1.6x prefiltered): ZERO shuffle, no explode, no Python — "
-    "at 100 TB a pure embarrassingly-parallel scan with zero explode. "
-    "CAVEAT (r7, measured): the verify lambda's interpreted tax grows "
-    "with candidate volume — at sf10 this plan is 56.3s/8.8x while "
-    "docs_phrase_search_postings (prefilter + postings joins) is "
-    "7.0s/1.1x; the postings twin is the measured scale path "
-    "(BASELINE sec 10), this form remains the zero-shuffle mode.",
+    doc="Exact-phrase retrieval (phrase 'table scan'): docs whose "
+    "token stream contains the query tokens CONSECUTIVELY, with "
+    "occurrence count and 0-based first position — the positional "
+    "phrase query of classic IR, the retrieval mode bag-of-words "
+    "tf-idf and BM25 cannot express. DEFAULT PLAN (swapped r8, "
+    "VERDICT r7 ask #3): text.phrase_search_postings — coarse rlike "
+    "superset-gate (codegen, no false negatives) -> posexplode "
+    "CANDIDATES ONLY -> filter to the m phrase terms -> m-1 "
+    "(doc, position)-keyed equi-joins, zero interpreted lambdas. "
+    "Measured: 1.1x the DuckDB oracle at sf10 and 0.38x (WINS) at "
+    "sf1, vs 8.8x at sf10 for the zero-shuffle HOF-verify twin "
+    "(docs_phrase_search_hof) whose interpreted-lambda tax grows "
+    "with candidate volume (BASELINE sec 10). Both variants stay "
+    "registered and A/B-measured; the oracle is plan-independent.",
 )
 def docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.phrase_search_postings(docs)
+
+
+@register(
+    "docs_phrase_search_hof",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    h AS (SELECT doc_id,
+                 list_filter(range(1, len(t)),
+                             i -> t[i] = 'table' AND t[i+1] = 'scan')
+                   AS hits
+          FROM toks WHERE len(t) >= 2)
+    SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
+           CAST(hits[1] - 1 AS BIGINT) AS first_pos
+    FROM h WHERE len(hits) > 0 ORDER BY doc_id
+    """,
+    doc="Exact-phrase retrieval, ZERO-SHUFFLE variant "
+    "(text.phrase_search): coarse JVM-regex prefilter (codegen, "
+    "strict superset — no false negatives) then the exact array-side "
+    "filter(sequence(...)) verify with OVERLAPPING-occurrence "
+    "semantics on candidates only. No shuffle, no explode, no Python "
+    "— embarrassingly parallel at any corpus size, but the verify "
+    "lambda is interpreter-evaluated and its tax grows with candidate "
+    "volume: 8.8x the oracle at sf10 vs 1.1x for the postings plan "
+    "that is now the registered default (docs_phrase_search). Use "
+    "this form when the phrase is rare (few candidates) and the "
+    "doc-position shuffle of the postings joins costs more than the "
+    "lambda; the A/B is in BASELINE sec 10.",
+)
+def docs_phrase_search_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.phrase_search(docs)
 
@@ -2990,6 +3021,93 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_semdedup_greedy",
+    """
+    WITH RECURSIVE
+    q AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+          FROM embeddings),
+    cent AS (SELECT CAST(vec_id AS INTEGER) AS cell_id, qv AS ccv
+             FROM q WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT v.vec_id, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_dot_product(v.qv, c.ccv)
+                 / sqrt(CAST(list_dot_product(v.qv, v.qv) AS DOUBLE)
+                        * CAST(list_dot_product(c.ccv, c.ccv) AS DOUBLE)) DESC,
+                 c.cell_id) AS rk
+        FROM q v CROSS JOIN cent c)
+      WHERE rk = 1),
+    m AS (SELECT a.vec_id, a.qv, s.cell_id
+          FROM q a JOIN assign s USING (vec_id)),
+    p AS (SELECT x.cell_id, x.vec_id AS a, y.vec_id AS b,
+                 list_dot_product(x.qv, y.qv)
+                 / sqrt(list_dot_product(x.qv, x.qv)
+                        * list_dot_product(y.qv, y.qv)) AS score
+          FROM m x JOIN m y
+            ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id),
+    ed AS (SELECT cell_id, a, b, score FROM p WHERE score >= 0.4),
+    verts AS (
+      SELECT cell_id, v,
+             ROW_NUMBER() OVER (PARTITION BY cell_id ORDER BY v) AS rnk
+      FROM (SELECT DISTINCT cell_id, v FROM (
+            SELECT cell_id, a AS v FROM ed UNION ALL
+            SELECT cell_id, b AS v FROM ed))),
+    g AS (
+      SELECT cell_id, CAST(0 AS BIGINT) AS rnk,
+             CAST([] AS BIGINT[]) AS kept_ids
+      FROM (SELECT DISTINCT cell_id FROM verts)
+      UNION ALL
+      SELECT g.cell_id, v.rnk,
+             CASE WHEN EXISTS (SELECT 1 FROM ed
+                               WHERE ed.cell_id = g.cell_id AND ed.b = v.v
+                                 AND list_contains(g.kept_ids, ed.a))
+                  THEN g.kept_ids
+                  ELSE list_append(g.kept_ids, v.v) END
+      FROM g JOIN verts v ON v.cell_id = g.cell_id AND v.rnk = g.rnk + 1),
+    fin AS (SELECT cell_id, kept_ids FROM (
+              SELECT cell_id, kept_ids,
+                     ROW_NUMBER() OVER (PARTITION BY cell_id
+                                        ORDER BY rnk DESC) AS rr
+              FROM g) WHERE rr = 1),
+    drp AS (SELECT v.cell_id, v.v AS dropped
+            FROM verts v JOIN fin f USING (cell_id)
+            WHERE NOT list_contains(f.kept_ids, v.v)),
+    rep AS (SELECT d.cell_id, d.dropped, MIN(ed.a) AS kept
+            FROM drp d
+            JOIN fin f ON f.cell_id = d.cell_id
+            JOIN ed ON ed.cell_id = d.cell_id AND ed.b = d.dropped
+                   AND list_contains(f.kept_ids, ed.a)
+            GROUP BY d.cell_id, d.dropped)
+    SELECT r.cell_id, CAST(r.kept AS BIGINT) AS kept,
+           CAST(r.dropped AS BIGINT) AS dropped, ed.score
+    FROM rep r JOIN ed ON ed.cell_id = r.cell_id AND ed.a = r.kept
+                      AND ed.b = r.dropped
+    ORDER BY dropped
+    """,
+    doc="SemDeDup with the PAPER-EXACT sequential-greedy drop rule "
+    "(similarity.semdedup_greedy; Abbas et al. 2023 sec 3, the r7 "
+    "ADVICE chain finding): scan each cluster in ascending id order, "
+    "drop a vector iff a SURVIVING lower-id cell-mate scores >= 0.4 — "
+    "so 'kept' is a true retained representative, and chains (0~1, "
+    "1~2 >= t, 0~2 < t) keep 2 where the one-pass emb_semdedup "
+    "over-drops it. Spark: the shared cell-gated candidate stage "
+    "(broadcast assign + cell-keyed pair join, JVM-side scores) feeds "
+    "one applyInPandas per cell replaying the paper's sequential scan "
+    "over the BOUNDED per-cell edge list (the recursion is inherently "
+    "sequential within a cell; cells are independent). Oracle: the "
+    "same greedy as a recursive CTE stepping cell-rank with a kept_ids "
+    "list accumulator — the full semantics replayed in SQL.",
+)
+def emb_semdedup_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semdedup_greedy(emb, n_cells=8, threshold=0.4).orderBy(
+        "dropped"
+    )
+
+
+@register(
     "ann_pq_fixed_top5",
     """
     WITH q AS (SELECT vec_id,
@@ -3097,9 +3215,12 @@ def ann_pq_fixed_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SLIDES — a duplicated passage of any length >= k is recovered as "
     "one span with exact boundaries, no suffix array materialized. "
     "Plan: k-grams off ONE per-doc sort; corpus-wide occurrence count "
-    "as a gram-keyed window (no join-back); island merge = one "
-    "doc-keyed window whose exchange the final per-doc rollup reuses. "
-    "3 shuffles, all codegen, gram keys digestible to 16 bytes.",
+    "as a map-side-combinable groupBy over 16-byte gram digests + "
+    "digest-keyed LEFT SEMI join-back (r8: replaced the unbounded "
+    "gram-window — partial aggregation absorbs hot stopword-run grams "
+    "before the shuffle, AQE skew-join splits the join); island merge "
+    "= one doc-keyed window whose exchange the final per-doc rollup "
+    "reuses. 4 shuffles, all codegen.",
 )
 def docs_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -3197,3 +3318,174 @@ def ann_ivf_pq_fixed_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     seeds = emb.filter(F.col("vec_id") < 20)
     return similarity.ivf_pq_fixed_ann_topk(emb, seeds, k=5).orderBy("seed", "rk")
+
+
+@register(
+    "docs_tfidf_keywords",
+    r"""
+    WITH base AS (
+      SELECT doc_id, lower(trim(text)) AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    tk AS (SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS term
+           FROM base),
+    tk2 AS (SELECT doc_id, term FROM tk WHERE term <> ''),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tk2 GROUP BY doc_id, term),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tf GROUP BY term),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM base),
+    sc AS (SELECT f.doc_id, f.term, f.tf, d.df,
+                  CAST(f.tf * n.n_docs AS DOUBLE) / d.df AS score
+           FROM tf f JOIN dfq d USING (term), nd n),
+    rked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, term) AS rk
+             FROM sc)
+    SELECT doc_id, term, tf, df, score, CAST(rk AS BIGINT) AS rk
+    FROM rked WHERE rk <= 3 ORDER BY doc_id, rk
+    """,
+    doc="Per-document keyword extraction (text.tfidf_keywords; Sparck "
+    "Jones 1972): top-3 terms per doc by LINEAR-IDF tf-idf — score = "
+    "tf * (N / df), the log-free rank form (N/df is monotone in "
+    "log(N/df); one IEEE divide of exact int64s is bit-stable where "
+    "log is not — the collocations pattern). Ranks TERMS within docs "
+    "where BM25 ranks docs for a query: the keyword/tagging step of "
+    "corpus curation. Plan: explode once; (doc,term) tf map-side-"
+    "combinable; df FROM the tf table (vocabulary shuffle); N one "
+    "broadcast row; doc-keyed top-k window with total order.",
+)
+def docs_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.tfidf_keywords(docs, top_k=3).orderBy("doc_id", "rk")
+
+
+def _gini_oracle_sql() -> str:
+    """Structurally mirrored 26-letter replace() arithmetic — same
+    expression tree as the Spark plan, no unnest (grapheme-splitting
+    semantics differ across engines; length/replace do not)."""
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    cnt = {
+        ch: f"(length(t) - length(replace(t, '{ch}', '')))" for ch in letters
+    }
+    total = " + ".join(cnt.values())
+    sumsq = " + ".join(f"{c} * {c}" for c in cnt.values())
+    return f"""
+    WITH base AS (
+      SELECT doc_id, lower(trim(text)) AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    c AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n,
+                 CAST({sumsq} AS BIGINT)
+                   + (length(t) - ({total})) * (length(t) - ({total}))
+                   AS sumsq
+          FROM base)
+    SELECT doc_id, n AS n_chars_counted,
+           CAST(n * n - sumsq AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini
+    FROM c ORDER BY doc_id
+    """
+
+
+@register(
+    "docs_char_gini",
+    _gini_oracle_sql(),
+    doc="Character-distribution diversity as GINI IMPURITY "
+    "(text.char_gini): 1 - sum((c_i/n)^2) over 26 letters + pooled "
+    "'other' — the exact-rational alternative to character entropy "
+    "for low-diversity/spam screening (keyboard mash, repeated-char "
+    "padding, template boilerplate score near 0; natural prose high). "
+    "Entropy needs log (not bit-stable cross-engine); Gini is integer "
+    "arithmetic + ONE IEEE divide, hash-exact by construction. Plan: "
+    "27 fixed length/replace codegen expressions fused into the scan "
+    "— ZERO shuffle/explode/lambda at any corpus size; the oracle "
+    "mirrors the identical expression tree (no char-unnest, whose "
+    "grapheme semantics differ across engines).",
+)
+def docs_char_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.char_gini(docs).orderBy("doc_id")
+
+
+@register(
+    "docs_gopher_rules",
+    r"""
+    WITH base AS (
+      SELECT doc_id, trim(text) AS t, text AS raw
+      FROM documents WHERE length(trim(text)) > 0),
+    sig AS (
+      SELECT doc_id,
+             len(string_split_regex(lower(t), '\s+')) AS n_words,
+             length(regexp_replace(t, '\s', '', 'g')) AS word_chars,
+             length(t) - length(replace(t, '#', '')) AS n_hash,
+             (length(t) - length(replace(t, '...', ''))) // 3 AS n_ellipsis,
+             len(string_split(raw, chr(10))) AS n_lines,
+             len(list_filter(string_split(raw, chr(10)),
+                 l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) AS n_bullet,
+             len(list_filter(string_split(raw, chr(10)),
+                 l -> l LIKE '%...')) AS n_ell_lines,
+             len(list_filter(string_split_regex(lower(t), '\s+'),
+                 x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+             len(list_filter(string_split_regex(lower(t), '\s+'),
+                 x -> x IN ('the','be','to','of','and','that','have','with')))
+               AS n_stop
+      FROM base)
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           n_words >= 50 AND n_words <= 100000 AS rule_word_count,
+           3 * n_words <= word_chars AND word_chars <= 10 * n_words
+             AS rule_mean_word_len,
+           10 * (n_hash + n_ellipsis) <= n_words AS rule_symbol_ratio,
+           10 * n_bullet <= 9 * n_lines AS rule_bullet_lines,
+           10 * n_ell_lines <= 3 * n_lines AS rule_ellipsis_lines,
+           5 * n_alpha >= 4 * n_words AS rule_alpha_words,
+           n_stop >= 2 AS rule_stop_words,
+           (n_words >= 50 AND n_words <= 100000)
+             AND (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+             AND (10 * (n_hash + n_ellipsis) <= n_words)
+             AND (10 * n_bullet <= 9 * n_lines)
+             AND (10 * n_ell_lines <= 3 * n_lines)
+             AND (5 * n_alpha >= 4 * n_words)
+             AND (n_stop >= 2) AS keep
+    FROM sig ORDER BY doc_id
+    """,
+    doc="The Gopher quality-filter rule bundle (text.gopher_rules; Rae "
+    "et al. 2021 A1.1) — the standard pre-training heuristic gate: "
+    "word-count bounds, mean-word-length bounds, symbol ratio, bullet/"
+    "ellipsis line fractions, alpha-word fraction, stopword presence. "
+    "Every rule an EXACT INTEGER comparison (3*n_words <= word_chars "
+    "instead of mean >= 3.0 — no float thresholds, hash-exact). Plan: "
+    "one token split + one line split, fixed codegen counts, two "
+    "non-allocating list_filter lambdas (the SCALE sec-10 keep-a-HOF "
+    "rule) — zero shuffle, scan-fused, embarrassingly parallel.",
+)
+def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.gopher_rules(docs).orderBy("doc_id")
+
+
+@register(
+    "docs_dup_rate_by_source",
+    """
+    WITH base AS (SELECT source, lang, doc_id, md5(text) AS dig
+                  FROM documents),
+    sizes AS (SELECT dig, COUNT(*) AS grp_n FROM base GROUP BY dig),
+    fl AS (SELECT b.source, b.lang, b.dig, s.grp_n
+           FROM base b JOIN sizes s USING (dig))
+    SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN grp_n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(COUNT(DISTINCT CASE WHEN grp_n >= 2 THEN dig END) AS BIGINT)
+             AS n_dup_groups,
+           CAST(SUM(CASE WHEN grp_n >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_frac
+    FROM fl GROUP BY source, lang ORDER BY source, lang
+    """,
+    doc="Curation analytics (dedup.dup_rate_by_source): per-(source, "
+    "lang) EXACT-duplicate rate — the report that decides which crawl "
+    "sources to down-weight (a source of mostly byte-copies "
+    "contributes far fewer effective tokens than its row count). "
+    "Duplicated = md5 digest seen >= 2x CORPUS-WIDE (cross-source "
+    "copies count for every holder; same digest convention as "
+    "docs_exact_dup_groups). Plan: digest groupBy (map-side "
+    "combinable), digest-keyed membership join (AQE-splittable), "
+    "source x lang rollup. Exact counts + one IEEE divide.",
+)
+def docs_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dup_rate_by_source(docs).orderBy("source", "lang")

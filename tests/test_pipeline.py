@@ -1005,7 +1005,16 @@ def test_ngram_novelty_plan_single_corpus_scan(spark):
         out._jdf.queryExecution().executedPlan().toString()
     ).split("== Initial Plan ==")[0]
     assert plan.count("Generate posexplode") == 1  # corpus exploded once
-    assert "ReusedExchange" in plan
+    # exchange reuse is an AQE/exchangeReuse heuristic, not an operator
+    # contract — a config change should skip loudly, not fail red
+    conf = spark.conf
+    if (
+        conf.get("spark.sql.adaptive.enabled", "true").lower() == "true"
+        and conf.get("spark.sql.exchange.reuse", "true").lower() == "true"
+    ):
+        assert "ReusedExchange" in plan
+    else:
+        pytest.skip("exchange reuse disabled in this session config")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
@@ -1096,6 +1105,112 @@ def test_semdedup_hand_computed(spark):
     assert out[4] == (1, 1)
     assert 5 not in out  # same cell as 1/4 but below threshold
     assert 0 not in out and 1 not in out  # representatives kept
+
+
+def test_semdedup_greedy_resolves_chain(spark):
+    """The r7 ADVICE chain case: 0~1 and 1~2 above threshold, 0~2
+    below. Sequential greedy (the paper) keeps {0, 2}; the one-pass
+    rule drops both 1 and 2 (conservative over-drop). Angles 0/20/40
+    degrees with threshold 0.9 (cos 20 ~ 0.94, cos 40 ~ 0.77)."""
+    import math
+
+    from neo4j_enterprise_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [math.cos(math.radians(20)), math.sin(math.radians(20))]),
+        (2, [math.cos(math.radians(40)), math.sin(math.radians(40))]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    greedy = {
+        r["dropped"]: (r["cell_id"], r["kept"])
+        for r in similarity.semdedup_greedy(
+            emb, n_cells=1, threshold=0.9
+        ).collect()
+    }
+    onepass = {
+        r["dropped"]: r["kept"]
+        for r in similarity.semdedup(emb, n_cells=1, threshold=0.9).collect()
+    }
+    assert greedy == {1: (0, 0)}          # 2 survives: its only >=t
+    assert set(onepass) == {1, 2}          # neighbor (1) was dropped
+    assert onepass[2] == 1                 # one-pass kept is NOT surviving
+
+
+def test_semdedup_greedy_matches_onepass_without_chains(spark):
+    """On chain-free data the two rules agree exactly (same kept
+    representative, same score)."""
+    from neo4j_enterprise_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.95, 0.05]),
+        (4, [0.1, 0.9]),
+        (5, [-1.0, 0.2]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(
+        (r["cell_id"], r["kept"], r["dropped"], r["score"])
+        for r in similarity.semdedup(emb, n_cells=2, threshold=0.9).collect()
+    )
+    b = sorted(
+        (r["cell_id"], r["kept"], r["dropped"], r["score"])
+        for r in similarity.semdedup_greedy(
+            emb, n_cells=2, threshold=0.9
+        ).collect()
+    )
+    assert a == b and len(a) == 3
+
+
+def test_semdedup_cell_budget_bounds_pairs(spark):
+    """The SCALE.md §7.7 sizing contract: the SemDeDup pair join is
+    cell-keyed, so the candidate count is EXACTLY Σ C(cell_size, 2)
+    — never all-pairs — and growing n_cells shrinks the biggest cell
+    (n_cells ≈ N / cell_budget is the production rule). 200 fixed
+    gaussian vectors, n_cells 4 vs 16."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from neo4j_enterprise_spark.operators.similarity import (
+        _assign_to_centroids,
+        _dot,
+        _semdedup_scored_pairs,
+        ivf_fixed_centroids,
+        quantize,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    stats = {}
+    for nc in (4, 16):
+        vecs = emb.select(
+            "vec_id", quantize(F.col("embedding")).alias("qv")
+        ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))
+        assign = _assign_to_centroids(vecs, ivf_fixed_centroids(emb, nc))
+        sizes = {
+            r["cell_id"]: r["n"]
+            for r in assign.groupBy("cell_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        # threshold=-1 keeps every scored pair: counts the join fanout
+        pc = {
+            r["cell_id"]: r["p"]
+            for r in _semdedup_scored_pairs(emb, nc, -1.0)
+            .groupBy("cell_id")
+            .agg(F.count("*").alias("p"))
+            .collect()
+        }
+        for c, s in sizes.items():
+            assert pc.get(c, 0) == s * (s - 1) // 2  # exactly C(s,2)
+        stats[nc] = (max(sizes.values()), sum(pc.values()))
+    assert stats[4] == (61, 5067) and stats[16] == (24, 1326)  # pinned
+    assert stats[16][0] < stats[4][0]  # more cells -> smaller max cell
+    assert stats[16][1] < stats[4][1]  # -> fewer candidate pairs
 
 
 def test_semdedup_plan_broadcast_assign_no_cartesian(spark):
@@ -1219,3 +1334,130 @@ def test_ivf_pq_fixed_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.3, f"fixed IVF-PQ recall too low: {recall}"
     for pair in hits:
         assert approx[pair] == exact[pair]  # exact re-rank, same arithmetic
+
+
+def test_tfidf_keywords_hand_computed(spark):
+    """3 docs, tf/df by hand: score = tf * N / df with N=3.
+    'cat' df=1 → idf 3; 'dog' df=2 → 1.5; 'the' df=3 → 1."""
+    from neo4j_enterprise_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat cat dog"),
+            (2, "the dog"),
+            (3, "the the the"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["rk"]): (r["term"], r["tf"], r["df"], r["score"])
+        for r in text.tfidf_keywords(docs, top_k=2).collect()
+    }
+    # doc 1: cat tf=2 df=1 → 6.0; dog tf=1 df=2 → 1.5; the tf=1 df=3 → 1.0
+    assert out[(1, 1)] == ("cat", 2, 1, 6.0)
+    assert out[(1, 2)] == ("dog", 1, 2, 1.5)
+    # doc 2: dog 1*3/2=1.5 beats the 1*3/3=1.0
+    assert out[(2, 1)] == ("dog", 1, 2, 1.5)
+    assert out[(2, 2)] == ("the", 1, 3, 1.0)
+    # doc 3: the tf=3 → 3*3/3 = 3.0
+    assert out[(3, 1)] == ("the", 3, 3, 3.0)
+    assert (3, 2) not in out
+
+
+def test_char_gini_hand_computed(spark):
+    """gini = (n² − Σc²)/n² over letters + pooled other."""
+    from neo4j_enterprise_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa"),     # single class → 0
+            (2, "ab"),       # two classes 1/1 → (4-2)/4 = 0.5
+            (3, "a1"),       # letter + other → 0.5
+            (4, "AaBb"),     # lowercased: a=2 b=2 → (16-8)/16 = 0.5
+            (5, "   "),      # whitespace-only → filtered out
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_chars_counted"], r["gini"])
+        for r in text.char_gini(docs).collect()
+    }
+    assert out[1] == (4, 0.0)
+    assert out[2] == (2, 0.5)
+    assert out[3] == (2, 0.5)
+    assert out[4] == (4, 0.5)
+    assert 5 not in out
+
+
+def test_gopher_rules_hand_computed(spark):
+    """One doc passing every rule, plus targeted single-rule failures."""
+    from neo4j_enterprise_spark.operators import text
+
+    good = " ".join(
+        ["the", "be", "to", "of", "and"] + [f"word{i}" for i in range(50)]
+    )  # 55 words, all alpha, no symbols/bullets, stopwords present
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "short text"),                       # fails word_count
+            (3, " ".join(["####"] * 60)),            # symbol ratio + alpha + stopwords
+            (4, "\n".join(["- bullet"] * 2) + "\n" + good),   # 2 of 3 lines bulleted: 66% < 90% → passes
+            (6, "\n".join(["- bullet"] * 10) + "\n" + good),  # 10 of 11 lines: 91% > 90% → fails
+            (5, " ".join(["the"] * 60) + "\n" + "\n".join(["x ..."] * 50)),  # ellipsis lines
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.gopher_rules(docs, min_words=50).collect()
+    }
+    g = out[1]
+    assert g["keep"] and all(
+        g[c]
+        for c in (
+            "rule_word_count",
+            "rule_mean_word_len",
+            "rule_symbol_ratio",
+            "rule_bullet_lines",
+            "rule_ellipsis_lines",
+            "rule_alpha_words",
+            "rule_stop_words",
+        )
+    )
+    assert not out[2]["rule_word_count"] and not out[2]["keep"]
+    assert not out[3]["rule_symbol_ratio"]
+    assert not out[3]["rule_alpha_words"]
+    assert not out[3]["rule_stop_words"]
+    assert out[4]["rule_bullet_lines"]      # 2 of 3 lines — under 90%
+    assert not out[6]["rule_bullet_lines"]  # 10 of 11 lines — over 90%
+    # doc 5: 50 of 51 lines end with '...' → fails the 30% bound
+    assert not out[5]["rule_ellipsis_lines"]
+
+
+def test_dup_rate_by_source_hand_computed(spark):
+    """Cross-source copies count for every holder; singletons don't."""
+    from neo4j_enterprise_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same text", "en", "web"),
+            (2, "same text", "en", "web"),
+            (3, "same text", "en", "books"),   # cross-source copy
+            (4, "unique a", "en", "web"),
+            (5, "unique b", "en", "books"),
+            (6, "unique c", "de", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {
+        (r["source"], r["lang"]): (
+            r["n_docs"],
+            r["n_dup_docs"],
+            r["n_dup_groups"],
+            r["dup_frac"],
+        )
+        for r in dedup.dup_rate_by_source(docs).collect()
+    }
+    assert out[("web", "en")] == (3, 2, 1, 2 / 3)
+    assert out[("books", "en")] == (2, 1, 1, 0.5)
+    assert out[("web", "de")] == (1, 0, 0, 0.0)

@@ -88,8 +88,13 @@ def main() -> None:
         for mode, loader in (("flat", flat_load), ("bucketed", bucketed_load)):
             relational.load_table = loader
             df = q.spark(spark, sf_dir)
-            plans[mode] = df._jdf.queryExecution().executedPlan().toString()
             df.collect()  # warm (codegen, bucket file listing)
+            # capture the plan AFTER execution: with AQE the pre-collect
+            # executedPlan() is only the initial plan — count Exchanges
+            # in the FINAL adaptive section (before "== Initial Plan ==")
+            plans[mode] = (
+                df._jdf.queryExecution().executedPlan().toString()
+            ).split("== Initial Plan ==")[0]
             # rebuild the plan EVERY sample: re-collecting one DataFrame
             # object reuses its shuffle map outputs (skipped stages) and
             # times only the final stage — compare_duckdb rebuilds too

@@ -98,13 +98,30 @@ def main() -> None:
         # 4.3× "gap" was ~80% that transfer tax, engine-side at parity
         # (VERDICT r5 "What's wrong" #2). Transfer is now equalized,
         # so the ratio measures the engines.
-        q.spark(spark, sf_dir).toPandas()  # warm codegen
+        warm = q.spark(spark, sf_dir).toPandas()  # warm codegen
         jgc = spark.sparkContext._jvm.System.gc
         s = median5(lambda: q.spark(spark, sf_dir).toPandas(), pre=jgc)
         con.execute(q.oracle).df()  # warm
         d = median5(lambda: con.execute(q.oracle).df())
         rows.append((n, s, d))
-        print(f"# {n}: spark {s:.2f}s duckdb {d:.3f}s", flush=True)
+        extra = ""
+        if len(warm) > 1_000_000:
+            # transfer-heavy row (degree_by_type lesson, VERDICT r7 ask
+            # #7): ALSO report engine-only time on both sides — COUNT
+            # lets both engines prune the payload symmetrically, so the
+            # pair isolates plan cost from steal-sensitive Arrow/C
+            # materialization of the multi-million-row result.
+            se = median5(lambda: q.spark(spark, sf_dir).count(), pre=jgc)
+            de = median5(
+                lambda: con.execute(
+                    f"SELECT COUNT(*) FROM ({q.oracle})"
+                ).fetchall()
+            )
+            extra = (
+                f" [engine-only: spark {se:.2f}s duckdb {de:.3f}s"
+                f" over {len(warm)} payload rows]"
+            )
+        print(f"# {n}: spark {s:.2f}s duckdb {d:.3f}s{extra}", flush=True)
         # drop cached/checkpointed blocks the query left behind
         # (iterative queries localCheckpoint; at sf1+ the pinned blocks
         # measurably contaminate every query that follows)

@@ -19,10 +19,11 @@ discipline), plan rebuilt every sample, Arrow materialization:
                   — isolates Generate+scan cost from the agg
   hh_full         the registered heavy-hitter plan
   hh_oracle       the DuckDB twin
-  phrase_hof      registered docs_phrase_search (rlike prefilter +
+  phrase_hof      registered docs_phrase_search_hof (rlike prefilter +
                   positional HOF verify)
   phrase_postings registered docs_phrase_search_postings (m-1
-                  (doc,pos)-keyed equi-joins, no lambdas)
+                  (doc,pos)-keyed equi-joins, no lambdas; also the
+                  plan behind the default docs_phrase_search since r8)
   phrase_oracle   the DuckDB twin (same list_filter loop as the HOF)
 
 Usage: PYTHONPATH=. python tools/profile_sf10_tail.py [sf_dir] [runs]
@@ -106,7 +107,7 @@ def main() -> None:
         ("hh_explode_only", lambda: t_spark(hh_explode_only)),
         ("hh_full", lambda: t_spark(qs["docs_heavy_hitter_terms"].spark)),
         ("hh_oracle", lambda: t_duck(qs["docs_heavy_hitter_terms"].oracle)),
-        ("phrase_hof", lambda: t_spark(qs["docs_phrase_search"].spark)),
+        ("phrase_hof", lambda: t_spark(qs["docs_phrase_search_hof"].spark)),
         (
             "phrase_postings",
             lambda: t_spark(qs["docs_phrase_search_postings"].spark),
