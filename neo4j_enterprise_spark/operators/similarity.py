@@ -26,6 +26,24 @@ from pyspark.sql.window import Window
 from ..functions.vectors import QUANT, dot as _dot, dot_double as _dot_d, quantize
 
 
+def _np_quantize(mat: np.ndarray, scale: int = 1000) -> np.ndarray:
+    """Numpy twin of ``functions.vectors.quantize`` — EXACTLY Spark's
+    ``round(CAST(x AS DOUBLE) * scale, 0)`` (BigDecimal HALF_UP = half
+    away from zero on the exact binary value), which is also DuckDB's
+    ``round``. ``np.round`` would be wrong at ties (half-to-even: a
+    float32-exact input like 0.0625 gives v = 62.5 exactly → Spark 63,
+    np.round 62). floor(v + 0.5) / ceil(v − 0.5) is exact half-up/
+    half-down because the add is EXACT for |v| < 2^51 (0.5 is a power
+    of two; ulp(v) ≤ 0.5 there, so v ± 0.5 is representable), and the
+    float64 multiply x*scale is the same IEEE op the JVM performs.
+    Embedding magnitudes are O(1) → |v| ~ scale, far below 2^51.
+    """
+    v = mat.astype(np.float64) * scale
+    return np.where(
+        v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)
+    ).astype(np.int64)
+
+
 def cosine_topk_bruteforce(
     embeddings: DataFrame, seeds: DataFrame, k: int = 5
 ) -> DataFrame:
@@ -46,12 +64,19 @@ def cosine_topk_bruteforce(
     Determinism: quantized BIGINT dots and norms, one int->double cast
     each, one multiply, one sqrt, one divide — bit-identical to the SQL
     oracle's expression (same IEEE op sequence, numpy or JVM).
+
+    Quantization happens INSIDE the Arrow batch (``_np_quantize`` —
+    exact Spark/DuckDB ROUND half-away-from-zero, see its proof), not
+    as a Catalyst ``transform`` lambda on the corpus side: the
+    interpreted-HOF tax on |corpus|·dims elements measured 0.71 s of
+    this query's 1.2 s wall at sf1 (58%) — the numpy form is free
+    inside the batch the scorer already owns.
     """
-    seed_rows = seeds.select(
-        F.col("vec_id"), quantize(F.col("embedding")).alias("qv")
-    ).collect()
+    seed_rows = seeds.select(F.col("vec_id"), "embedding").collect()
     sid = np.array([r["vec_id"] for r in seed_rows], dtype=np.int64)
-    smat = np.array([r["qv"] for r in seed_rows], dtype=np.int64)
+    smat = _np_quantize(
+        np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
+    )
     order = np.argsort(sid)
     sid, smat = sid[order], smat[order]
     sn = (smat * smat).sum(axis=1)
@@ -61,7 +86,9 @@ def cosine_topk_bruteforce(
             if pdf.empty:
                 continue
             ids = pdf["vec_id"].to_numpy(np.int64)
-            cmat = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            cmat = _np_quantize(
+                np.array(pdf["emb"].tolist(), dtype=np.float64)
+            )
             cn = (cmat * cmat).sum(axis=1)
             # cosine is undefined for the zero vector: a 0-norm row would
             # score NaN, which numpy's lexsort and Spark's window order
@@ -93,7 +120,7 @@ def cosine_topk_bruteforce(
                 yield pd.concat(out, ignore_index=True)
 
     scored = embeddings.select(
-        "vec_id", quantize(F.col("embedding")).alias("qv")
+        "vec_id", F.col("embedding").alias("emb")
     ).mapInPandas(score_batches, "seed long, neighbor long, score double")
     w = Window.partitionBy("seed").orderBy(F.desc("score"), F.asc("neighbor"))
     return (

@@ -126,6 +126,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "docs_phrase_search_hof",
     # -- registered THIS round (r8): first driver rows, in-window ------
     "emb_semdedup_greedy",
+    "rel_chain_explorer",
+    "rel_single_assertion",
     "docs_tfidf_keywords",
     "docs_char_gini",
     "docs_gopher_rules",
@@ -167,8 +169,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "docs_incremental_dedup",
     "docs_neardup_clusters",
     "docs_span_dedup",
-    "docs_ngram_jaccard_pairs",
-    "docs_containment_pairs",
 )
 
 

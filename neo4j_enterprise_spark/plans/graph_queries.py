@@ -3794,3 +3794,77 @@ def graph_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return negative_edge_samples(e, k=3, seed=42).orderBy("src", "try_idx")
+
+
+@register(
+    "rel_chain_explorer",
+    f"""
+    {graph_cte(nodes=False)},
+    suspect AS (SELECT id AS rel_id FROM rels ORDER BY id LIMIT 5),
+    e0 AS (
+      SELECT s.rel_id, r.src AS node FROM suspect s JOIN rels r ON r.id = s.rel_id
+      UNION ALL
+      SELECT s.rel_id, r.dst FROM suspect s JOIN rels r ON r.id = s.rel_id),
+    r1 AS (SELECT DISTINCT rel_id, found_rel FROM (
+      SELECT e.rel_id, r.id AS found_rel FROM e0 e JOIN rels r ON e.node = r.src
+      UNION ALL
+      SELECT e.rel_id, r.id FROM e0 e JOIN rels r ON e.node = r.dst)),
+    e2 AS (SELECT DISTINCT rel_id, node FROM (
+      SELECT x.rel_id, r.src AS node FROM r1 x JOIN rels r ON r.id = x.found_rel
+      UNION ALL
+      SELECT x.rel_id, r.dst FROM r1 x JOIN rels r ON r.id = x.found_rel)),
+    r2 AS (SELECT DISTINCT rel_id, found_rel FROM (
+      SELECT e.rel_id, r.id AS found_rel FROM e2 e JOIN rels r ON e.node = r.src
+      UNION ALL
+      SELECT e.rel_id, r.id FROM e2 e JOIN rels r ON e.node = r.dst))
+    SELECT DISTINCT rel_id, found_rel FROM (
+      SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+    ORDER BY rel_id, found_rel
+    """,
+    doc="T3/J13/U1 driver-checked (was pytest-only): the repair tool's "
+    "depth-2 chain exploration (traversal.chain_explorer; "
+    "RelationshipChainExplorer.java:39-90) — from each suspect "
+    "relationship (the 5 lowest rel ids), every relationship on both "
+    "endpoint nodes' chains, then the chains of those rels' other "
+    "endpoints; the two rounds union as a distinct RecordSet "
+    "(RecordSet.java union semantics). Plan: two fixed self-join "
+    "rounds over the exploded endpoint table — node-keyed equi-joins "
+    "(no OR-join: src and dst branches union), bounded fanout = "
+    "2-hop chain neighborhoods of 5 suspects at any store size.",
+)
+def rel_chain_explorer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rels = derived_rels(spark, sf_dir)
+    suspects = (
+        rels.orderBy("id").limit(5).select(F.col("id").alias("rel_id"))
+    )
+    return traversal.chain_explorer(rels, suspects).orderBy(
+        "rel_id", "found_rel"
+    )
+
+
+@register(
+    "rel_single_assertion",
+    f"""
+    {graph_cte(nodes=False)}
+    SELECT id, src, dst, CAST(type_id AS INTEGER) AS type_id, type_name
+    FROM rels
+    WHERE src = 1 AND type_name = 'IN_NATION'
+    ORDER BY id
+    """,
+    doc="P5 driver-checked (was pytest-only): getSingleRelationship "
+    "(type, dir) 0-or-1 semantics (reads.single_relationship; "
+    "LockableNode.java:147-151 — the kernel throws NotFoundException "
+    "on >1). Customer 1 has EXACTLY ONE outgoing IN_NATION "
+    "relationship by construction, so the assertion path (a bounded "
+    "limit(2).collect() probe — 2 rows max, never corpus-sized) "
+    "passes and the single row is hash-compared. The >1 raise branch "
+    "is covered by the unit test.",
+)
+def rel_single_assertion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rels = derived_rels(spark, sf_dir)
+    return reads.single_relationship(
+        rels, node_id=1, rel_type="IN_NATION", direction="out"
+    ).select(
+        "id", "src", "dst", F.col("type_id").cast("int").alias("type_id"),
+        "type_name",
+    ).orderBy("id")

@@ -104,12 +104,15 @@ def docs_lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Similarity search baseline: exact top-5 cosine neighbors per "
     "seed over quantized embeddings (integer dot products → "
-    "order-independent, engine-exact doubles). Perf floor (r5 "
-    "profile): the scorer is an Arrow-batched int64 matmul; the "
-    "residual ~2.5x vs DuckDB at sf1 is Arrow transit + py4j on a "
-    "sub-second query, not plan shape — LSH (ann_lsh_md5_top5) and "
-    "IVF (ann_ivf_fixed_top5) are the scale paths that avoid scoring "
-    "the full corpus per seed.",
+    "order-independent, engine-exact doubles). r8: quantization moved "
+    "INTO the Arrow batch (similarity._np_quantize — proof-exact "
+    "HALF_UP twin of the SQL round), deleting the interpreted "
+    "transform lambda from the corpus path (was 0.71 s of 1.24 s at "
+    "sf1; 1.24 s -> 1.06 s measured end-to-end). Remaining sf1 floor "
+    "is per-job scheduling (~0.2 s x 5 jobs: seed collect, scan, "
+    "scorer, window, sort) — vanishes at volume; LSH "
+    "(ann_lsh_md5_top5) and IVF (ann_ivf_fixed_top5) are the scale "
+    "paths that avoid scoring the full corpus per seed.",
     bench=True,
 )
 def ann_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3349,9 +3352,12 @@ def ann_ivf_pq_fixed_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "log(N/df); one IEEE divide of exact int64s is bit-stable where "
     "log is not — the collocations pattern). Ranks TERMS within docs "
     "where BM25 ranks docs for a query: the keyword/tagging step of "
-    "corpus curation. Plan: explode once; (doc,term) tf map-side-"
-    "combinable; df FROM the tf table (vocabulary shuffle); N one "
-    "broadcast row; doc-keyed top-k window with total order.",
+    "corpus curation. Plan: (doc,term) tf map-side-combinable off the "
+    "explode; df FROM the tf table (vocabulary shuffle — exchange "
+    "reuse collapses the re-explode when both branches shuffle; at "
+    "broadcast-small volumes AQE trades the reuse for a broadcast tf "
+    "side); N one broadcast row; doc-keyed top-k via WindowGroupLimit "
+    "(k rows per doc survive BEFORE the exchange) with total order.",
 )
 def docs_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -1461,3 +1461,25 @@ def test_dup_rate_by_source_hand_computed(spark):
     assert out[("web", "en")] == (3, 2, 1, 2 / 3)
     assert out[("books", "en")] == (2, 1, 1, 0.5)
     assert out[("web", "de")] == (1, 0, 0, 0.0)
+
+
+def test_np_quantize_matches_spark_round_at_ties(spark):
+    """_np_quantize == Spark round(x*1000) including EXACT .5 ties
+    (0.0625 is float32-exact → v = 62.5: HALF_UP gives 63 where
+    numpy's default half-to-even would give 62) and negatives."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from neo4j_enterprise_spark.functions.vectors import quantize
+    from neo4j_enterprise_spark.operators.similarity import _np_quantize
+
+    vals = [0.0625, -0.0625, 0.1875, -0.1875, 0.5, -0.5, 0.123, -0.987,
+            0.0005, 1.0, 0.0, 0.33333334]
+    df = spark.createDataFrame(
+        [(1, [float(v) for v in vals])], "vec_id long, embedding array<float>"
+    )
+    jvm = df.select(quantize(F.col("embedding")).alias("qv")).collect()[0]["qv"]
+    npq = _np_quantize(np.array([np.float32(v) for v in vals], dtype=np.float64))
+    assert list(npq) == list(jvm)
+    assert jvm[0] == 63 and jvm[1] == -63  # the tie cases, half AWAY from zero

@@ -134,3 +134,86 @@ def test_nb_classifier_stays_jvm_side(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def _tree(plan: str) -> str:
+    """The operator-tree section of a formatted explain (each node
+    appears ONCE; the details section repeats every node name)."""
+    return plan.split("\n\n(1)")[0]
+
+
+def test_char_gini_is_shuffle_free_scan(spark, sf_dir):
+    """27 length/replace codegen expressions fused into the scan —
+    no Exchange (beyond the registered output sort), no Generate, no
+    lambda, no Python."""
+    plan = _plan(spark, sf_dir, "docs_char_gini")
+    tree = _tree(plan)
+    assert tree.count("Exchange") <= 1  # only the output sort
+    assert "Generate" not in tree
+    assert "lambda" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gopher_rules_is_shuffle_free_scan(spark, sf_dir):
+    """One token split + one line split + fixed counts; the only
+    lambdas are the non-allocating list_filter comparisons."""
+    plan = _plan(spark, sf_dir, "docs_gopher_rules")
+    tree = _tree(plan)
+    assert tree.count("Exchange") <= 1  # only the output sort
+    assert "Generate" not in tree
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tfidf_explodes_corpus_once(spark, sf_dir):
+    """At runtime the corpus is exploded once — df derives FROM the tf
+    table, so AQE reuses tf's (doc, term) exchange instead of
+    re-exploding (the ngram_novelty contract). N comes back as a 1-row
+    broadcast (nested-loop on one row, never a shuffled cartesian);
+    all JVM-side."""
+    df = all_queries()["docs_tfidf_keywords"].spark(spark, sf_dir)
+    df.collect()
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+    ).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # top-k never ranks the full tf table: WindowGroupLimit prunes to
+    # k rows per doc BEFORE the doc-keyed exchange
+    assert "WindowGroupLimit" in plan
+    # at most the tf branch + the df-derivation branch touch the corpus
+    # (at broadcast-small scale AQE rewrites the tf side to a broadcast,
+    # which forfeits exchange reuse — both-shuffle scales reuse it)
+    assert plan.count("Generate explode") <= 2
+
+
+def test_dup_rate_uses_partial_aggregation_not_window(spark, sf_dir):
+    """Digest counting must be a map-side-combinable groupBy + join
+    back, never an unbounded per-digest window (the exact_substr r7
+    ADVICE skew lesson applied from the start)."""
+    plan = _plan(spark, sf_dir, "docs_dup_rate_by_source")
+    tree = _tree(plan)
+    assert "Window" not in tree
+    assert "HashAggregate" in tree
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_exact_substr_gram_count_is_partial_agg_semi_join(spark, sf_dir):
+    """The r8 skew fix pinned: gram occurrence counting is a groupBy
+    (partial aggregation) + LEFT SEMI join-back on the 16-byte digest
+    — NO window partitioned by gram anywhere in the plan (the r7
+    rendering put every occurrence of a hot gram on one reducer)."""
+    plan = _plan(spark, sf_dir, "docs_exact_substr_spans")
+    assert "LeftSemi" in plan
+    # every windowspec partitions by doc, never by gram or its digest
+    for spec in plan.split("windowspecdefinition(")[1:]:
+        assert spec.startswith("doc_id"), spec[:60]
+
+
+def test_semdedup_greedy_single_python_stage(spark, sf_dir):
+    """The sequential-greedy replay is ONE applyInPandas over cell_id;
+    candidate generation stays JVM (broadcast assign, no cartesian)."""
+    plan = _plan(spark, sf_dir, "emb_semdedup_greedy")
+    tree = _tree(plan)
+    assert tree.count("FlatMapGroupsInPandas") == 1
+    assert "CartesianProduct" not in tree
