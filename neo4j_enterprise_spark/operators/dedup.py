@@ -876,3 +876,84 @@ def dup_rate_by_source(
             F.col("n_dup_docs").cast("double") / F.col("n_docs"),
         )
     )
+
+
+def minhash_jaccard_calibration(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH CALIBRATION report: for every banded-LSH candidate pair,
+    the MinHash similarity ESTIMATE (matching signature components /
+    num_hashes) next to the TRUE shingle Jaccard and their signed
+    error — the diagnostic a curator runs on a sample before trusting
+    a (num_hashes, bands) configuration to sweep 100 TB (E[estimate]
+    = Jaccard; the spread tells you whether the banding threshold
+    p ≈ (1/bands)^(1/rows) actually separates your corpus).
+
+    Determinism: the estimate is n_match / num_hashes (num_hashes a
+    power of two → the divide is EXACT); Jaccard is one IEEE divide of
+    exact intersection/union counts; err is one subtraction of those
+    two doubles — all bit-stable against the SQL twin, which replays
+    the md5-based permutation family verbatim.
+
+    Plan: signatures + candidates from the portable MinHash pipeline
+    (shingle → 32 affine perms → band buckets — candidates only, never
+    all-pairs); the component-match count is a zip_with/aggregate over
+    64-element arrays of CANDIDATE pairs only (bounded, non-allocating
+    comparisons); exact Jaccard joins the per-doc distinct shingle
+    table twice, keyed on (doc, shingle) — candidates only again.
+
+    Returns (doc_a, doc_b, n_match, est_sim, n_inter, n_union,
+    jaccard, err).
+    """
+    sh = shingles(docs, text_col, k)
+    sig = minhash_signatures(sh, num_hashes, seed, portable=True)
+    pairs = minhash_lsh_pairs(
+        docs, text_col, k, num_hashes, bands, seed, portable=True
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    matches = F.aggregate(
+        F.zip_with(
+            "sig_a",
+            "sig_b",
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    ia = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    ib = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(ia, "doc_a")
+        .join(ib, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    est = F.col("n_match").cast("double") / F.lit(num_hashes)
+    jac = F.col("n_inter").cast("double") / F.col("n_union")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_match", matches)
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .fillna(0, subset=["n_inter"])
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .withColumn("n_union", (F.col("na") + F.col("nb") - F.col("n_inter")).cast("long"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_match",
+            est.alias("est_sim"),
+            "n_inter",
+            "n_union",
+            jac.alias("jaccard"),
+            (est - jac).alias("err"),
+        )
+    )

@@ -1407,3 +1407,50 @@ def ivf_pq_fixed_ann_topk(
         .filter(F.col("rk") <= k)
         .select("seed", "neighbor", "score", "rk")
     )
+
+
+def norm_outliers(embeddings: DataFrame) -> DataFrame:
+    """Embedding hygiene screen: flag vectors whose QUANTIZED squared
+    norm falls outside the Tukey fences [q1 − 1.5·IQR, q3 + 1.5·IQR] —
+    the cheap first check of an embedding pipeline (near-zero norms =
+    failed encodes; huge norms = degenerate inputs; either poisons
+    cosine/IVF training downstream).
+
+    Determinism: norm² is an exact BIGINT; quartiles at p ∈ {.25, .75}
+    interpolate on exact binary fractions (Spark ``percentile`` ==
+    DuckDB ``quantile_cont`` there — bit-identical); the fences are
+    two IEEE ops in a pinned order (q1 − 1.5·(q3 − q1), 1.5 exact).
+
+    Scale: the quartiles here are the EXACT percentile aggregate
+    (sort-based — right for the oracle-checked fixture path); at
+    corpus scale swap ``approx_percentile`` (fixed-size sketch,
+    map-side combinable) or fixed fences from a profiling run — the
+    flagging pass itself is a zero-shuffle scan against two broadcast
+    scalars either way.
+
+    Returns (vec_id, norm2, lo_fence, hi_fence, is_outlier), all rows.
+    """
+    n = embeddings.select(
+        "vec_id",
+        _dot(
+            quantize(F.col("embedding")), quantize(F.col("embedding"))
+        ).alias("norm2"),
+    )
+    q = n.agg(
+        F.percentile("norm2", 0.25).alias("q1"),
+        F.percentile("norm2", 0.75).alias("q3"),
+    )
+    fences = q.select(
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo_fence"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi_fence"),
+    )
+    return n.crossJoin(F.broadcast(fences)).select(
+        "vec_id",
+        "norm2",
+        "lo_fence",
+        "hi_fence",
+        (
+            (F.col("norm2") < F.col("lo_fence"))
+            | (F.col("norm2") > F.col("hi_fence"))
+        ).alias("is_outlier"),
+    )

@@ -1509,3 +1509,28 @@ def gopher_rules(
             "keep"
         ),
     )
+
+
+def langid_agreement(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Label-vs-heuristic language QA: the confusion matrix between the
+    corpus's declared ``lang`` column and ``language_scores``'s
+    marker-word prediction — the agreement report a curator reads
+    before trusting EITHER signal for filtering (systematic
+    disagreement on one (lang, source) slice usually means mislabeled
+    ingest, not a bad classifier). Ties in the argmax resolve to the
+    lexicographically GREATEST language (array_max over (hits, lang)
+    structs — replicated verbatim by the oracle's (h DESC, l DESC)
+    rank). Plan: the marker counting is the language_scores scan
+    (non-allocating list_filter lambdas, zero shuffle); the rollup is
+    one lang x predicted groupBy — at most |langs|² rows out of any
+    corpus size.
+
+    Returns (lang, predicted_lang, n_docs).
+    """
+    pred = language_scores(docs, text_col)
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )

@@ -132,6 +132,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "docs_char_gini",
     "docs_gopher_rules",
     "docs_dup_rate_by_source",
+    "docs_langid_agreement",
+    "emb_norm_outliers",
+    "docs_minhash_calibration",
     # -- oldest evidence: the full r3 cohort ---------------------------
     "ann_cosine_top5",
     "docs_chunk_windows",
@@ -166,9 +169,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_ivf_fixed_top5",
     "ann_lsh_md5_top5",
     "docs_cdc_dedup",
-    "docs_incremental_dedup",
-    "docs_neardup_clusters",
-    "docs_span_dedup",
 )
 
 

@@ -3495,3 +3495,162 @@ def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.dup_rate_by_source(docs).orderBy("source", "lang")
+
+
+@register(
+    "docs_langid_agreement",
+    r"""
+    WITH base AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t
+      FROM documents),
+    sc AS (SELECT doc_id, lang,
+             len(list_filter(t, x -> x IN ('the','and','of'))) AS h_en,
+             len(list_filter(t, x -> x IN ('der','und','die'))) AS h_de,
+             len(list_filter(t, x -> x IN ('le','et','la'))) AS h_fr,
+             len(list_filter(t, x -> x IN ('el','y','de'))) AS h_es
+           FROM base),
+    cand AS (
+      SELECT doc_id, lang, 'en' AS l, h_en AS h FROM sc
+      UNION ALL SELECT doc_id, lang, 'de', h_de FROM sc
+      UNION ALL SELECT doc_id, lang, 'fr', h_fr FROM sc
+      UNION ALL SELECT doc_id, lang, 'es', h_es FROM sc),
+    pred AS (SELECT doc_id, lang, l AS predicted_lang FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY h DESC, l DESC) AS rk
+      FROM cand) WHERE rk = 1)
+    SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY lang, predicted_lang
+    ORDER BY lang, predicted_lang
+    """,
+    doc="Label-vs-heuristic language QA (text.langid_agreement): the "
+    "confusion matrix between the corpus's declared lang column and "
+    "the marker-word language_scores prediction — the agreement "
+    "report a curator reads before trusting EITHER signal for "
+    "filtering (systematic disagreement on a slice = mislabeled "
+    "ingest, not a bad classifier). Argmax ties resolve to the "
+    "lexicographically greatest language on BOTH engines (array_max "
+    "over (hits, lang) structs == rank by h DESC, l DESC). Plan: "
+    "zero-shuffle marker-count scan + a |langs|x|langs| rollup.",
+)
+def docs_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.langid_agreement(docs).orderBy("lang", "predicted_lang")
+
+
+@register(
+    "emb_norm_outliers",
+    """
+    WITH n AS (SELECT vec_id,
+                      list_dot_product(
+                        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+                        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                      ) AS norm2
+               FROM embeddings),
+    q AS (SELECT quantile_cont(norm2, 0.25) AS q1,
+                 quantile_cont(norm2, 0.75) AS q3 FROM n),
+    f AS (SELECT q1 - 1.5 * (q3 - q1) AS lo_fence,
+                 q3 + 1.5 * (q3 - q1) AS hi_fence FROM q)
+    SELECT vec_id, CAST(norm2 AS BIGINT) AS norm2, lo_fence, hi_fence,
+           (norm2 < lo_fence OR norm2 > hi_fence) AS is_outlier
+    FROM n, f ORDER BY vec_id
+    """,
+    doc="Embedding hygiene screen (similarity.norm_outliers): Tukey-"
+    "fence outliers on the QUANTIZED squared norm — near-zero norms "
+    "are failed encodes, huge norms degenerate inputs; either poisons "
+    "cosine scoring and IVF training downstream. Exact-BIGINT norms; "
+    "quartiles at p=.25/.75 interpolate on exact binary fractions "
+    "(Spark percentile == DuckDB quantile_cont there); fences = two "
+    "IEEE ops in pinned order. Scale: swap the exact percentile for "
+    "approx_percentile (mergeable sketch) or fixed profiled fences — "
+    "the flagging pass is a zero-shuffle scan against two broadcast "
+    "scalars either way (docstring rule in SCALE sec 7.7 spirit).",
+)
+def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.norm_outliers(emb).orderBy("vec_id")
+
+
+def _minhash_calibration_oracle_sql() -> str:
+    """Extends ``_minhash_oracle_sql``'s pipeline past candidates:
+    per-pair signature-component match count (the MinHash estimate)
+    next to exact shingle Jaccard and the signed error."""
+    from ..operators.dedup import minhash_params
+
+    perms = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_params(32, 42))
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE doc_id < 200),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 5, 0) + 2),
+                                     i -> array_to_string(t[i:i+4], ' '))) AS shingle
+        FROM toks)),
+    hx AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS hx FROM sh),
+    perms(i, a, b) AS (VALUES {perms}),
+    mins AS (
+      SELECT doc_id, p.i,
+             MIN((hx % 2147483647 * p.a + p.b) % 2147483647) AS mh
+      FROM hx CROSS JOIN perms p GROUP BY doc_id, p.i),
+    bands AS (
+      SELECT doc_id, i // 2 AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
+      FROM mins GROUP BY doc_id, i // 2),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id),
+    mtch AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_match
+      FROM cand c
+      JOIN mins x ON x.doc_id = c.doc_a
+      JOIN mins y ON y.doc_id = c.doc_b AND y.i = x.i
+      GROUP BY c.doc_a, c.doc_b),
+    szs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM sh GROUP BY doc_id),
+    intr AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT m.doc_a, m.doc_b, m.n_match,
+           CAST(m.n_match AS DOUBLE) / 32 AS est_sim,
+           COALESCE(i.n_inter, 0) AS n_inter,
+           CAST(sa.n + sb.n - COALESCE(i.n_inter, 0) AS BIGINT) AS n_union,
+           CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+             / (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS jaccard,
+           CAST(m.n_match AS DOUBLE) / 32
+             - CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+               / (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS err
+    FROM mtch m
+    LEFT JOIN intr i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+    JOIN szs sa ON sa.doc_id = m.doc_a
+    JOIN szs sb ON sb.doc_id = m.doc_b
+    ORDER BY m.doc_a, m.doc_b
+    """
+
+
+@register(
+    "docs_minhash_calibration",
+    _minhash_calibration_oracle_sql(),
+    doc="LSH calibration report (dedup.minhash_jaccard_calibration): "
+    "for every banded-LSH candidate pair, the MinHash ESTIMATE "
+    "(matching components / 32 — exact: 32 is a power of two) next "
+    "to the TRUE shingle Jaccard (one IEEE divide of exact counts) "
+    "and their signed error — the diagnostic run on a sample before "
+    "trusting a (num_hashes, bands) config to sweep 100 TB. "
+    "Component matching is a bounded zip_with over CANDIDATE pairs "
+    "only; exact Jaccard joins the distinct-shingle table twice on "
+    "(doc, shingle) — candidates only, never all-pairs. The oracle "
+    "replays the full md5 permutation family verbatim.",
+)
+def docs_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.minhash_jaccard_calibration(docs).orderBy("doc_a", "doc_b")

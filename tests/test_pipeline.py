@@ -1483,3 +1483,62 @@ def test_np_quantize_matches_spark_round_at_ties(spark):
     npq = _np_quantize(np.array([np.float32(v) for v in vals], dtype=np.float64))
     assert list(npq) == list(jvm)
     assert jvm[0] == 63 and jvm[1] == -63  # the tie cases, half AWAY from zero
+
+
+def test_langid_agreement_confusion_and_tiebreak(spark):
+    """Marker argmax: correct label agrees; mislabel shows up as a
+    confusion cell; zero hits tie-break to the lexicographically
+    GREATEST language ('fr')."""
+    from neo4j_enterprise_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of x", "en"),   # en markers → en
+            (2, "le chat et la maison", "fr"),       # fr markers → fr
+            (3, "le chat et la maison", "en"),       # mislabeled ingest
+            (4, "zzz qqq www", "de"),                # no markers → tie → fr
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        (r["lang"], r["predicted_lang"]): r["n_docs"]
+        for r in text.langid_agreement(docs).collect()
+    }
+    assert out == {("en", "en"): 1, ("fr", "fr"): 1, ("en", "fr"): 1,
+                   ("de", "fr"): 1}
+
+
+def test_norm_outliers_tukey_fences(spark):
+    """Four unit-norm vectors + one 100x vector: q1 = q3 = the common
+    norm2, IQR = 0 → only the big vector is flagged."""
+    from neo4j_enterprise_spark.operators import similarity
+
+    rows = [(i, [0.001, 0.0]) for i in range(4)] + [(9, [10.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in similarity.norm_outliers(emb).collect()}
+    assert all(not out[i]["is_outlier"] for i in range(4))
+    assert out[9]["is_outlier"]
+    assert out[0]["norm2"] == 1 and out[9]["norm2"] == 10000 ** 2
+    assert out[0]["lo_fence"] == 1.0 and out[0]["hi_fence"] == 1.0
+
+
+def test_minhash_calibration_identical_docs_exact(spark):
+    """Byte-identical docs: every signature component matches
+    (est_sim = 1.0), shingle Jaccard = 1.0, err = 0. Estimate is
+    always n_match/32 exactly."""
+    from neo4j_enterprise_spark.operators import dedup
+
+    txt = "a b c d e f g h i j k l"
+    docs = spark.createDataFrame(
+        [(1, txt), (2, txt), (3, "totally different words here x y z")],
+        "doc_id long, text string",
+    )
+    rows = dedup.minhash_jaccard_calibration(docs).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    assert r["n_match"] == 32 and r["est_sim"] == 1.0
+    assert r["jaccard"] == 1.0 and r["err"] == 0.0
+    for r in rows:
+        assert 0.0 <= r["est_sim"] <= 1.0
+        assert abs(r["err"] - (r["est_sim"] - r["jaccard"])) == 0.0
