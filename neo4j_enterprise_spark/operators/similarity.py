@@ -1428,14 +1428,30 @@ def norm_outliers(embeddings: DataFrame) -> DataFrame:
     flagging pass itself is a zero-shuffle scan against two broadcast
     scalars either way.
 
+    norm² is computed in an Arrow batch (``_np_quantize`` + int64
+    square-sum — exact), NOT as Catalyst quantize/dot lambdas: the
+    interpreted-HOF form evaluated ~12.8 M lambda trees at sf10 and
+    measured 30.3 s vs DuckDB's 1.4 s; the batch form is one numpy
+    expression (BASELINE sec 11 — the ann_cosine lesson applied).
+
     Returns (vec_id, norm2, lo_fence, hi_fence, is_outlier), all rows.
     """
+
+    def _norm_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = _np_quantize(np.array(pdf["emb"].tolist(), dtype=np.float64))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "norm2": (q * q).sum(axis=1),
+                }
+            )
+
     n = embeddings.select(
-        "vec_id",
-        _dot(
-            quantize(F.col("embedding")), quantize(F.col("embedding"))
-        ).alias("norm2"),
-    )
+        "vec_id", F.col("embedding").alias("emb")
+    ).mapInPandas(_norm_batches, "vec_id long, norm2 long")
     q = n.agg(
         F.percentile("norm2", 0.25).alias("q1"),
         F.percentile("norm2", 0.75).alias("q3"),

@@ -50,21 +50,25 @@ def language_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language heuristic: per-language hit counts over the
     token set, argmax as predicted language. Deterministic and
     JVM-side; a real deployment swaps in a Pandas-UDF n-gram model with
-    identical plumbing."""
-    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    identical plumbing.
 
-    def _match(marker: str):
-        # single-arg lambda: a 2-arg lambda would receive the array INDEX
-        # as its second argument and shadow the captured marker
-        return lambda x: x == F.lit(marker)
-
+    Each language's hit count is ONE single-pass ``regexp_count`` with
+    lookaround token boundaries — ``(?<!\\S)(?:m1|m2|m3)(?!\\S)``
+    counts exactly the tokens equal to a marker (markers are distinct,
+    a token matches at most once), identical to the original split +
+    per-marker ``list_filter`` form, which paid the interpreted-lambda
+    tax on every token x 12 markers (51.5 s vs DuckDB 3.2 s at sf10 —
+    BASELINE sec 11). Case-sensitive, as before (tokens not lowered).
+    """
+    t = F.trim(F.col(text_col))
     cols = []
     for lang, markers in _LANG_MARKERS.items():
-        hits = sum(
-            (F.size(F.filter(tokens, _match(m))) for m in markers),
-            F.lit(0),
+        hits = F.regexp_count(
+            t, F.lit(r"(?<!\S)(?:" + "|".join(markers) + r")(?!\S)")
         )
-        cols.append(F.struct(hits.cast("long").alias("hits"), F.lit(lang).alias("lang")))
+        cols.append(
+            F.struct(hits.cast("long").alias("hits"), F.lit(lang).alias("lang"))
+        )
     best = F.array_max(F.array(*cols))
     return docs.select(
         "doc_id",
@@ -1396,35 +1400,52 @@ def char_gini(docs: DataFrame, text_col: str = "text") -> DataFrame:
     (not bit-stable cross-engine); Gini is integer arithmetic + ONE
     IEEE divide — hash-exact against the SQL oracle by construction.
 
-    Plan: 27 fixed length/replace codegen expressions fused into the
-    scan — ZERO shuffle, zero explode, zero lambda at any corpus size
-    (the array-domain projection family). n^2 stays in BIGINT: exact
-    for docs up to ~3e9 chars (far beyond any real document).
+    Plan: lowering/trimming/filtering stay JVM-side; the 27-class
+    counting runs as ONE Arrow ``mapInPandas`` pass using C-speed
+    ``str.count`` per letter — zero shuffle, zero explode,
+    embarrassingly parallel. The first rendering expressed the counts
+    as 26 Catalyst length/replace pairs (pure codegen, no Python),
+    but each replace ALLOCATES a copy of the document: measured 76 s
+    vs DuckDB's 5.3 s for the identical SQL shape at sf10 (500 k docs
+    / 149 M chars) — the batch form scans the same bytes at C speed
+    without the 13 M string allocations. Exactness is preserved:
+    Python ``str.count`` over the JVM-lowered text counts the same
+    code points as length/replace; n² − Σc² is exact integer math
+    (Python ints, overflow-free), and the single true-division is the
+    same CAST-to-double + IEEE divide both engines perform.
 
     Returns (doc_id, n_chars_counted, gini) for non-empty docs.
     """
-    t = F.lower(F.trim(F.col(text_col)))
-    n = F.length(t).cast("long")
-    # stage 1: each letter count computed ONCE (26 length/replace pairs)
-    counted = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
-        "doc_id",
-        n.alias("n"),
-        *[
-            (n - F.length(F.replace(t, F.lit(ch)))).alias(f"c_{ch}")
-            for ch in _GINI_ALPHABET
-        ],
+    base = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        "doc_id", F.lower(F.trim(F.col(text_col))).alias("t")
     )
-    letters_total = sum(F.col(f"c_{ch}") for ch in _GINI_ALPHABET)
-    sumsq = sum(
-        F.col(f"c_{ch}") * F.col(f"c_{ch}") for ch in _GINI_ALPHABET
-    ) + (F.col("n") - letters_total) * (F.col("n") - letters_total)
-    return counted.select(
-        "doc_id",
-        F.col("n").alias("n_chars_counted"),
-        (
-            (F.col("n") * F.col("n") - sumsq).cast("double")
-            / (F.col("n") * F.col("n")).cast("double")
-        ).alias("gini"),
+
+    def _count_batches(batches):
+        import pandas as pd
+
+        letters = _GINI_ALPHABET
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, ns, ginis = [], [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf["t"]):
+                n = len(t)
+                counts = [t.count(ch) for ch in letters]
+                other = n - sum(counts)
+                sumsq = sum(c * c for c in counts) + other * other
+                ids.append(doc_id)
+                ns.append(n)
+                ginis.append((n * n - sumsq) / (n * n))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "n_chars_counted": pd.array(ns, dtype="int64"),
+                    "gini": pd.array(ginis, dtype="float64"),
+                }
+            )
+
+    return base.mapInPandas(
+        _count_batches, "doc_id long, n_chars_counted long, gini double"
     )
 
 
@@ -1456,58 +1477,95 @@ def gopher_rules(
                        5*n_alpha >= 4*n_words
       stop_words       >= 2 of the 8 canonical English stopwords
 
-    Plan: one split into tokens + one split into lines, then fixed
-    codegen counts; the two list_filter lambdas are non-allocating
-    comparisons (the SCALE §10 rule for when a HOF stays) — zero
-    shuffle, scan-fused, embarrassingly parallel at 100 TB.
+    Plan: one Arrow ``mapInPandas`` pass computing every signal with
+    C-speed string primitives — zero shuffle, scan-fused,
+    embarrassingly parallel at 100 TB. This is the op's THIRD
+    rendering, each measured at sf10 (500 k docs / 149 M chars,
+    BASELINE sec 11): split + per-token ``list_filter`` lambdas paid
+    the interpreted-HOF tax (52.9 s); single-pass ``regexp_count``
+    with lookaround token boundaries stayed whole-stage-codegen but
+    the JVM regex engine is ~4x DuckDB's RE2 on the same patterns
+    (21.9 s at full read parallelism); the batch form scans the same
+    bytes with str.count/split/startswith (5.0 s vs DuckDB's 5.1 s =
+    parity). Tokenization parity is pinned: Python ``re.ASCII`` \\s
+    == Java \\s == [ \\t\\n\\x0B\\f\\r]; lowering stays JVM-side
+    (``F.lower``) so case folding is the engines', not Python's.
 
     Returns per-doc flags + n_words + keep (AND of all rules).
     """
-    t = F.trim(F.col(text_col))
-    toks = F.split(F.lower(t), r"\s+")
-    lines = F.split(F.col(text_col), "\n")
-    n_words = F.size(toks)
-    word_chars = F.length(F.regexp_replace(t, r"\s", ""))
-    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#")))
-    n_ellipsis = (
-        F.length(t) - F.length(F.replace(t, F.lit("...")))
-    ) / F.lit(3)
-    n_lines = F.size(lines)
-    n_bullet = F.size(
-        F.filter(
-            lines,
-            lambda l: l.startswith("-")
-            | l.startswith("*")
-            | l.startswith("•"),
-        )
-    )
-    n_ell_lines = F.size(F.filter(lines, lambda l: l.endswith("...")))
-    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
-    n_stop = F.size(
-        F.filter(toks, lambda x: x.isin(*_GOPHER_STOPWORDS))
-    )
-    r_wc = (n_words >= min_words) & (n_words <= max_words)
-    r_mwl = (F.lit(3) * n_words <= word_chars) & (
-        word_chars <= F.lit(10) * n_words
-    )
-    r_sym = F.lit(10) * (n_hash + n_ellipsis.cast("long")) <= n_words
-    r_bul = F.lit(10) * n_bullet <= F.lit(9) * n_lines
-    r_ell = F.lit(10) * n_ell_lines <= F.lit(3) * n_lines
-    r_alpha = F.lit(5) * n_alpha >= F.lit(4) * n_words
-    r_stop = n_stop >= 2
-    return docs.filter(F.length(t) > 0).select(
+    base = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
         "doc_id",
-        n_words.cast("long").alias("n_words"),
-        r_wc.alias("rule_word_count"),
-        r_mwl.alias("rule_mean_word_len"),
-        r_sym.alias("rule_symbol_ratio"),
-        r_bul.alias("rule_bullet_lines"),
-        r_ell.alias("rule_ellipsis_lines"),
-        r_alpha.alias("rule_alpha_words"),
-        r_stop.alias("rule_stop_words"),
-        (r_wc & r_mwl & r_sym & r_bul & r_ell & r_alpha & r_stop).alias(
-            "keep"
-        ),
+        F.col(text_col).alias("raw"),
+        F.trim(F.col(text_col)).alias("t"),
+        F.lower(F.trim(F.col(text_col))).alias("tl"),
+    )
+    stopset = frozenset(_GOPHER_STOPWORDS)
+
+    def _rule_batches(batches):
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+", re.ASCII)      # Java \s == ASCII \s
+        # tokens with NO a-z letter (rare in text): one C-speed scan per
+        # doc replaces a per-token regex search over every token
+        noalpha = re.compile(r"(?<!\S)[^a-z\s]+(?!\S)", re.ASCII)
+        ws_chars = " \t\n\x0b\f\r"             # the Java \s class
+        cols = (
+            "doc_id", "n_words", "rule_word_count", "rule_mean_word_len",
+            "rule_symbol_ratio", "rule_bullet_lines", "rule_ellipsis_lines",
+            "rule_alpha_words", "rule_stop_words", "keep",
+        )
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {c: [] for c in cols}
+            for doc_id, raw, t, tl in zip(
+                pdf["doc_id"], pdf["raw"], pdf["t"], pdf["tl"]
+            ):
+                toks = ws.split(tl)
+                n_words = len(toks)
+                word_chars = len(t) - sum(t.count(c) for c in ws_chars)
+                n_sym = t.count("#") + t.count("...")
+                lines = raw.split("\n")
+                n_lines = len(lines)
+                n_bullet = sum(ln[:1] in "-*•" for ln in lines)
+                n_ell = sum(ln.endswith("...") for ln in lines)
+                n_alpha = n_words - len(noalpha.findall(tl))
+                n_stop = sum(map(stopset.__contains__, toks))
+                r_wc = min_words <= n_words <= max_words
+                r_mwl = 3 * n_words <= word_chars <= 10 * n_words
+                r_sym = 10 * n_sym <= n_words
+                r_bul = 10 * n_bullet <= 9 * n_lines
+                r_ell = 10 * n_ell <= 3 * n_lines
+                r_alpha = 5 * n_alpha >= 4 * n_words
+                r_stop = n_stop >= 2
+                vals = (
+                    doc_id, n_words, r_wc, r_mwl, r_sym, r_bul, r_ell,
+                    r_alpha, r_stop,
+                    r_wc and r_mwl and r_sym and r_bul and r_ell
+                    and r_alpha and r_stop,
+                )
+                for c, v in zip(cols, vals):
+                    out[c].append(v)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(out["doc_id"], dtype="int64"),
+                    "n_words": pd.array(out["n_words"], dtype="int64"),
+                    **{
+                        c: pd.array(out[c], dtype="bool")
+                        for c in cols[2:]
+                    },
+                }
+            )
+
+    return base.mapInPandas(
+        _rule_batches,
+        "doc_id long, n_words long, rule_word_count boolean, "
+        "rule_mean_word_len boolean, rule_symbol_ratio boolean, "
+        "rule_bullet_lines boolean, rule_ellipsis_lines boolean, "
+        "rule_alpha_words boolean, rule_stop_words boolean, "
+        "keep boolean",
     )
 
 

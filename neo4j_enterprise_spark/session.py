@@ -108,6 +108,17 @@ def get_spark(
             "spark.executor.extraJavaOptions",
             "-XX:+ExplicitGCInvokesConcurrent -XX:+AlwaysPreTouch",
         )
+        # Read-split sizing (r8): the default openCostInBytes (4 MB)
+        # packs a small well-compressed parquet into 1-2 read tasks —
+        # the sf10 documents fixture is 4.5 MB on disk but 149 M chars
+        # decompressed, so every corpus-scan operator ran 1-2-way
+        # parallel while DuckDB used all row groups (measured: the
+        # whole scan-op family 10-15x slower for no plan reason).
+        # 128 KB is the honest open cost on local NVMe; on object
+        # stores keep the default or raise it — split sizing is a
+        # per-deployment knob (SCALE §1). maxPartitionBytes stays
+        # default (128 MB): splits remain row-group-bounded.
+        .config("spark.sql.files.openCostInBytes", "131072")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
