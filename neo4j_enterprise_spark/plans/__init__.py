@@ -108,10 +108,17 @@ def register(
 #          cohort (28 queries) and the front of the r4 cohort. After
 #          this window no oracle query's newest evidence is older
 #          than r4.
-#   r9 TODO: recycle the remaining r4 cohort (~35 rows:
-#          cypher_* extensions, graph_* centrality/community family,
-#          events_stream_* driven-parity, store_upgrade_read, ...),
-#          then the r5 cohort by age.
+#   r9 TODO: recycle the remaining r4 cohort (45 rows — cypher_*
+#          extensions, the graph_* centrality/community family,
+#          events_stream_* driven-parity, docs_incremental_dedup /
+#          docs_neardup_clusters / docs_span_dedup /
+#          docs_prefix_simjoin / emb_centroid_similarity /
+#          customer_rfm_segments / customer_spend_gini displaced from
+#          this window by the r8 registrations, store_upgrade_read,
+#          ...), then start the r5 cohort by age. 14 queries were
+#          REGISTERED in r8 INSIDE the window (no register-late lag
+#          this round); if r9 adds operators, keep them in-window the
+#          same way.
 # bench.py and the local parity tests are order-independent.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- registered r7 after the window froze: first driver rows ------
