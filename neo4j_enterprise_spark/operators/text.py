@@ -1529,7 +1529,10 @@ def gopher_rules(
                 n_sym = t.count("#") + t.count("...")
                 lines = raw.split("\n")
                 n_lines = len(lines)
-                n_bullet = sum(ln[:1] in "-*•" for ln in lines)
+                # tuple membership, NOT `ln[:1] in "-*•"`: an empty
+                # line's '' is a substring of any string and would
+                # count as a bullet (caught by the hypothesis mirror)
+                n_bullet = sum(ln.startswith(("-", "*", "•")) for ln in lines)
                 n_ell = sum(ln.endswith("...") for ln in lines)
                 n_alpha = n_words - len(noalpha.findall(tl))
                 n_stop = sum(map(stopset.__contains__, toks))

@@ -267,3 +267,146 @@ def test_exact_substr_spans_matches_python_reference(spark, data, k):
         for r in exact_substr_spans(docs, k=k, min_count=2).collect()
     }
     assert got == _spans_reference(texts, k, 2)
+
+
+def _py_gopher(raw: str, min_words: int = 50, max_words: int = 100_000):
+    """Pure-Python mirror of text.gopher_rules for one document —
+    independent implementation (no shared helpers) for the property
+    test."""
+    import re
+
+    t = raw.strip(" ")      # Spark/DuckDB trim strips SPACES only
+    tl = t.lower()
+    toks = re.split(r"\s+", tl, flags=re.ASCII)
+    n_words = len(toks)
+    word_chars = len(t) - len(re.findall(r"\s", t, flags=re.ASCII))
+    n_sym = t.count("#") + t.count("...")
+    lines = raw.split("\n")
+    n_bullet = sum(ln.startswith(("-", "*", "•")) for ln in lines)
+    n_ell = sum(ln.endswith("...") for ln in lines)
+    n_alpha = sum(1 for w in toks if re.search(r"[a-z]", w))
+    stop = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    n_stop = sum(w in stop for w in toks)
+    r = dict(
+        rule_word_count=min_words <= n_words <= max_words,
+        rule_mean_word_len=3 * n_words <= word_chars <= 10 * n_words,
+        rule_symbol_ratio=10 * n_sym <= n_words,
+        rule_bullet_lines=10 * n_bullet <= 9 * len(lines),
+        rule_ellipsis_lines=10 * n_ell <= 3 * len(lines),
+        rule_alpha_words=5 * n_alpha >= 4 * n_words,
+        rule_stop_words=n_stop >= 2,
+    )
+    r["n_words"] = n_words
+    r["keep"] = all(
+        v for k, v in r.items() if k.startswith("rule_")
+    )
+    return r
+
+
+_doc_text = st.lists(
+    st.sampled_from(
+        list("abcdefghij XY.#-*•\n") + ["the ", " of ", " and ", "..."]
+    ),
+    min_size=1,
+    max_size=60,
+).map("".join)
+
+
+@given(
+    texts=st.lists(_doc_text, min_size=1, max_size=8),
+    min_words=st.integers(1, 6),
+)
+@_slow
+def test_gopher_rules_matches_python_mirror(spark, texts, min_words):
+    """gopher_rules == an independent pure-Python evaluation of the
+    same integer rules, for arbitrary small documents (bullets,
+    ellipses, newlines, symbols, stopwords all reachable)."""
+    from neo4j_enterprise_spark.operators.text import gopher_rules
+
+    rows = [(i, t) for i, t in enumerate(texts) if t.strip(" ")]
+    if not rows:
+        return
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_rules(docs, min_words=min_words).collect()
+    }
+    assert set(got) == {i for i, _ in rows}
+    for i, t in rows:
+        exp = _py_gopher(t, min_words=min_words)
+        g = got[i]
+        for k, v in exp.items():
+            assert g[k] == v, (k, t, g[k], v)
+
+
+@given(texts=st.lists(_doc_text, min_size=1, max_size=8))
+@_slow
+def test_char_gini_matches_python_mirror(spark, texts):
+    """char_gini == the definition computed independently in Python:
+    (n² − Σc²)/n² over 26 letters + pooled other, on lowered trimmed
+    text."""
+    from neo4j_enterprise_spark.operators.text import char_gini
+
+    rows = [(i, t) for i, t in enumerate(texts) if t.strip(" ")]
+    if not rows:
+        return
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_chars_counted"], r["gini"])
+        for r in char_gini(docs).collect()
+    }
+    for i, t in rows:
+        s = t.strip(" ").lower()  # Spark/DuckDB trim = spaces only
+        n = len(s)
+        counts = [s.count(ch) for ch in "abcdefghijklmnopqrstuvwxyz"]
+        other = n - sum(counts)
+        sumsq = sum(c * c for c in counts) + other * other
+        assert got[i] == (n, (n * n - sumsq) / (n * n))
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet=list("abc de"), min_size=1, max_size=30),
+        min_size=1,
+        max_size=6,
+    ),
+    top_k=st.integers(1, 3),
+)
+@_slow
+def test_tfidf_keywords_matches_python_mirror(spark, texts, top_k):
+    """tfidf_keywords == brute-force tf * N / df with (score desc,
+    term asc) ranking, for arbitrary token soups."""
+    from collections import Counter
+
+    from neo4j_enterprise_spark.operators.text import tfidf_keywords
+
+    rows = [(i, t) for i, t in enumerate(texts) if t.strip(" ")]
+    if not rows:
+        return
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tfs = {
+        i: Counter(w for w in t.strip(" ").lower().split() if w)
+        for i, t in rows
+    }
+    n_docs = len(rows)  # matches the operator's length(trim(text)) > 0
+    df = Counter()
+    for c in tfs.values():
+        for term in c:
+            df[term] += 1
+    exp = {}
+    for i, c in tfs.items():
+        ranked = sorted(
+            ((term, tf) for term, tf in c.items()),
+            key=lambda kv: (-(kv[1] * n_docs) / df[kv[0]], kv[0]),
+        )[:top_k]
+        exp[i] = [
+            (term, tf, df[term], (tf * n_docs) / df[term], rk + 1)
+            for rk, (term, tf) in enumerate(ranked)
+        ]
+    got = {}
+    for r in tfidf_keywords(docs, top_k=top_k).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["term"], r["tf"], r["df"], r["score"], r["rk"])
+        )
+    for i in exp:
+        assert sorted(got.get(i, [])) == sorted(exp[i]), (i, got.get(i), exp[i])
