@@ -163,6 +163,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     seed: int = 42,
     portable: bool = False,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
@@ -174,9 +175,18 @@ def minhash_lsh_pairs(
     ``portable=True`` uses the md5 base hash and keeps the band bucket
     as the raw joined signature string (no re-hash), so every step has
     an exact SQL twin.
+
+    ``sig`` — a precomputed (doc_id, sig) signature frame (as produced
+    by :func:`minhash_signatures` with the SAME num_hashes/seed/
+    portable); when given, the shingle→signature pipeline is not
+    rebuilt (callers that also need the signatures — e.g. the
+    calibration report — compute them once and share).
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(shingles(docs, text_col, k), num_hashes, seed, portable)
+    if sig is None:
+        sig = minhash_signatures(
+            shingles(docs, text_col, k), num_hashes, seed, portable
+        )
     def _bucket(b: int) -> F.Column:
         joined = F.concat_ws(
             ",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)]
@@ -900,12 +910,17 @@ def minhash_jaccard_calibration(
     two doubles — all bit-stable against the SQL twin, which replays
     the md5-based permutation family verbatim.
 
-    Plan: signatures + candidates from the portable MinHash pipeline
-    (shingle → 32 affine perms → band buckets — candidates only, never
-    all-pairs); the component-match count is a zip_with/aggregate over
-    64-element arrays of CANDIDATE pairs only (bounded, non-allocating
-    comparisons); exact Jaccard joins the per-doc distinct shingle
-    table twice, keyed on (doc, shingle) — candidates only again.
+    Plan: shingles + signatures are computed ONCE and shared — the
+    shingle frame feeds the signature build, the exact-Jaccard joins
+    and the size agg, and the signature frame feeds BOTH the band
+    buckets (via minhash_lsh_pairs's ``sig=`` hand-off) and the
+    per-pair component-match columns (r8 ADVICE: the old form re-ran
+    the tokenize/window/groupBy chain 2-3×). Candidates come from
+    band buckets — never all-pairs; the component-match count is a
+    zip_with/aggregate over num_hashes-element arrays (32 by default)
+    of CANDIDATE pairs only; exact Jaccard joins the per-doc distinct
+    shingle table twice, keyed on (doc, shingle) — candidates only
+    again.
 
     Returns (doc_a, doc_b, n_match, est_sim, n_inter, n_union,
     jaccard, err).
@@ -913,7 +928,7 @@ def minhash_jaccard_calibration(
     sh = shingles(docs, text_col, k)
     sig = minhash_signatures(sh, num_hashes, seed, portable=True)
     pairs = minhash_lsh_pairs(
-        docs, text_col, k, num_hashes, bands, seed, portable=True
+        docs, text_col, k, num_hashes, bands, seed, portable=True, sig=sig
     )
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))

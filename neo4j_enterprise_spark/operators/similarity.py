@@ -1449,9 +1449,14 @@ def norm_outliers(embeddings: DataFrame) -> DataFrame:
                 }
             )
 
+    # persist: `n` feeds BOTH the quartile agg and the final
+    # projection — without it the corpus scan + quantize batch runs
+    # twice (the dominant cost; r8 ADVICE). The cached frame is two
+    # int64 columns (16 B/row), MEMORY_AND_DISK spills if it must,
+    # and lineage survives executor loss (unlike localCheckpoint).
     n = embeddings.select(
         "vec_id", F.col("embedding").alias("emb")
-    ).mapInPandas(_norm_batches, "vec_id long, norm2 long")
+    ).mapInPandas(_norm_batches, "vec_id long, norm2 long").persist()
     q = n.agg(
         F.percentile("norm2", 0.25).alias("q1"),
         F.percentile("norm2", 0.75).alias("q3"),

@@ -63,8 +63,13 @@ def language_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.trim(F.col(text_col))
     cols = []
     for lang, markers in _LANG_MARKERS.items():
+        # markers are interpolated into the pattern: \Q...\E-quote each
+        # one so a future marker containing a regex metacharacter
+        # (apostrophe-adjacent forms, diacritic escapes) counts
+        # literally instead of silently rewriting the alternation
+        quoted = "|".join(r"\Q" + m + r"\E" for m in markers)
         hits = F.regexp_count(
-            t, F.lit(r"(?<!\S)(?:" + "|".join(markers) + r")(?!\S)")
+            t, F.lit(r"(?<!\S)(?:" + quoted + r")(?!\S)")
         )
         cols.append(
             F.struct(hits.cast("long").alias("hits"), F.lit(lang).alias("lang"))
@@ -1534,7 +1539,17 @@ def gopher_rules(
                 # count as a bullet (caught by the hypothesis mirror)
                 n_bullet = sum(ln.startswith(("-", "*", "•")) for ln in lines)
                 n_ell = sum(ln.endswith("...") for ln in lines)
-                n_alpha = n_words - len(noalpha.findall(tl))
+                # empty boundary tokens (\s+ split of text with a
+                # leading/trailing \n or \t — trim strips spaces only)
+                # bear no letter: the oracle's list_filter excludes
+                # them, and the noalpha regex cannot match '' — so
+                # subtract them explicitly (r8 VERDICT finding #1)
+                n_alpha = (
+                    n_words
+                    - len(noalpha.findall(tl))
+                    - (toks[0] == "")
+                    - (len(toks) > 1 and toks[-1] == "")
+                )
                 n_stop = sum(map(stopset.__contains__, toks))
                 r_wc = min_words <= n_words <= max_words
                 r_mwl = 3 * n_words <= word_chars <= 10 * n_words
@@ -1581,10 +1596,12 @@ def langid_agreement(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ingest, not a bad classifier). Ties in the argmax resolve to the
     lexicographically GREATEST language (array_max over (hits, lang)
     structs — replicated verbatim by the oracle's (h DESC, l DESC)
-    rank). Plan: the marker counting is the language_scores scan
-    (non-allocating list_filter lambdas, zero shuffle); the rollup is
-    one lang x predicted groupBy — at most |langs|² rows out of any
-    corpus size.
+    rank). Plan: the marker counting is the language_scores scan —
+    one single-pass ``regexp_count`` per language with lookaround
+    token boundaries, zero shuffle (the r8 rewrite of the interpreted
+    list_filter form: 51.5 s → 4.2 s at sf10, BASELINE sec 11); the
+    rollup is one lang x predicted groupBy — at most |langs|² rows
+    out of any corpus size.
 
     Returns (lang, predicted_lang, n_docs).
     """

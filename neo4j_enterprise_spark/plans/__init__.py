@@ -108,74 +108,84 @@ def register(
 #          cohort (28 queries) and the front of the r4 cohort. After
 #          this window no oracle query's newest evidence is older
 #          than r4.
-#   r9 TODO: recycle the remaining r4 cohort (45 rows — cypher_*
-#          extensions, the graph_* centrality/community family,
-#          events_stream_* driven-parity, docs_incremental_dedup /
-#          docs_neardup_clusters / docs_span_dedup /
-#          docs_prefix_simjoin / emb_centroid_similarity /
-#          customer_rfm_segments / customer_spend_gini displaced from
-#          this window by the r8 registrations, store_upgrade_read,
-#          ...), then start the r5 cohort by age. 14 queries were
-#          REGISTERED in r8 INSIDE the window (no register-late lag
-#          this round); if r9 adds operators, keep them in-window the
-#          same way.
+#   r8:    the six r7-registered queries led and went green; the 14
+#          queries registered in r8 sat inside the window (no
+#          register-late lag); the whole r3 cohort + front of r4
+#          recycled — 50/50 green (CORRECTNESS_r08.json). After r8 no
+#          oracle query's newest evidence is older than r4.
+#   r9 (this window): docs_gopher_rules FIRST — its r8 green row was
+#          earned pre-fix; the n_alpha empty-boundary-token bug (the
+#          r8 VERDICT red, engine said rule_alpha_words=true for
+#          'hello\n' vs oracle false) is fixed at text.py (see the
+#          r9 commit) and the hypothesis mirror passes, so the
+#          re-drive certifies head. Then any operator REGISTERED THIS
+#          ROUND (in-window, same rule as r8), then the ENTIRE
+#          remaining r4 cohort (45 rows — cypher_* extensions with
+#          cypher_with_having early since r9 re-plans its derived-rels
+#          pruning, graph_* centrality/community, events_stream_*
+#          driven-parity, the displaced docs/emb/customer rows,
+#          store_upgrade_read), then start the r5 cohort (front of the
+#          check_fixture family) as window filler. After this window
+#          no oracle query's newest evidence is older than r5.
 # bench.py and the local parity tests are order-independent.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- registered r7 after the window froze: first driver rows ------
-    "docs_ngram_novelty",
-    "docs_phrase_search_postings",
-    "emb_semdedup",
-    "ann_pq_fixed_top5",
-    "docs_exact_substr_spans",
-    "ann_ivf_pq_fixed_top5",
-    # -- default-plan swap re-check + the HOF twin's first row ---------
-    "docs_phrase_search",
-    "docs_phrase_search_hof",
-    # -- registered THIS round (r8): first driver rows, in-window ------
-    "emb_semdedup_greedy",
-    "rel_chain_explorer",
-    "rel_single_assertion",
-    "docs_tfidf_keywords",
-    "docs_char_gini",
+    # -- the r8 red's fix: re-certify at head, FIRST ------------------
     "docs_gopher_rules",
-    "docs_dup_rate_by_source",
-    "docs_langid_agreement",
-    "emb_norm_outliers",
-    "docs_minhash_calibration",
-    # -- oldest evidence: the full r3 cohort ---------------------------
-    "ann_cosine_top5",
-    "docs_chunk_windows",
-    "docs_fingerprints",
-    "docs_minhash_md5_candidates",
-    "docs_simhash_md5",
-    "docs_simhash_neardup_pairs",
-    "docs_token_stats",
-    "election_winner_per_nation",
-    "events_asof_attribution",
-    "events_column_profile",
-    "events_errors_per_session",
-    "events_funnel_signup_purchase",
-    "events_gap_distribution",
-    "events_hourly_rollup",
-    "events_incremental_rollup",
-    "events_per_user_cap",
-    "events_props_json_rollup",
-    "events_retention_cohorts",
-    "events_session_windows",
-    "events_sliding_rollup",
-    "events_stream_hourly_append",
-    "events_stream_hourly_rollup",
-    "events_stream_sessions_append",
-    "events_user_sessions",
-    "events_value_histogram",
-    "events_value_outliers",
-    "orders_price_quartiles",
-    "pricing_rollup_subtotals",
-    # -- next-oldest: front of the r4 cohort ----------------------------
-    "q12_delay_class_priority",
-    "ann_ivf_fixed_top5",
-    "ann_lsh_md5_top5",
-    "docs_cdc_dedup",
+    # -- registered THIS round (r9): first driver rows, in-window -----
+    # (inserted here as they land)
+    # -- the full remaining r4 cohort ---------------------------------
+    "cypher_with_having",
+    "cypher_case_classify",
+    "cypher_collect_unwind",
+    "cypher_exists_inactive",
+    "cypher_merge_nodes",
+    "cypher_merge_rels",
+    "cypher_rel_var_counts",
+    "cypher_set_tier",
+    "cypher_shortest_path",
+    "cypher_type_alternation",
+    "cypher_union_dedup",
+    "cypher_where_or",
+    "cypher_with_collect",
+    "cypher_with_topk_expand",
+    "customer_rfm_segments",
+    "customer_spend_gini",
+    "docs_containment_pairs",
+    "docs_incremental_dedup",
+    "docs_neardup_clusters",
+    "docs_ngram_jaccard_pairs",
+    "docs_prefix_simjoin",
+    "docs_span_dedup",
+    "emb_centroid_similarity",
+    "events_stream_dedup_rollup",
+    "events_stream_interval_join",
+    "events_stream_stateful_totals",
+    "graph_betweenness_exact_small",
+    "graph_degree_assortativity",
+    "graph_harmonic_centrality",
+    "graph_hits_scores",
+    "graph_jsonl_roundtrip",
+    "graph_katz_truncated",
+    "graph_louvain_communities",
+    "graph_louvain_move_round",
+    "graph_mis_luby",
+    "graph_nation_trade_scc",
+    "graph_node_similarity",
+    "graph_random_walks",
+    "graph_rich_club",
+    "graph_trade_condensation_layers",
+    "graph_trade_reciprocity",
+    "media_decode_pipeline",
+    "parts_brand_modularity",
+    "parts_ktruss_bounded",
+    "store_upgrade_read",
+    # -- window filler: front of the r5 cohort -------------------------
+    "check_fixture_dictionaries",
+    "check_fixture_first_property",
+    "check_fixture_nodes",
+    "check_fixture_ownership",
+    "check_fixture_properties",
+    "check_fixture_relationships",
 )
 
 
