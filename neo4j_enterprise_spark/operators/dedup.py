@@ -972,3 +972,36 @@ def minhash_jaccard_calibration(
             (est - jac).alias("err"),
         )
     )
+
+
+def soft_dedup_weights(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """SOFT deduplication: per-document training-sampling weights that
+    down-weight duplicated content instead of dropping it (He et al.
+    2024, "SoftDedup"; the reweight-don't-delete school of corpus
+    curation). Every doc keeps a row; a doc whose content appears c
+    times gets weight 1/c, so each distinct CONTENT contributes exactly
+    one unit of expected training mass and the effective dataset size
+    equals the distinct-content count — the invariant the tests assert.
+
+    Returns (doc_id, dup_count, weight_ppb) for every input doc, with
+    ``weight_ppb = 10^9 div dup_count`` as an exact truncating BIGINT
+    division (the engine's cross-engine determinism contract — no IEEE
+    reciprocal in the output).
+
+    Scale: digest counts via groupBy (map-side-combinable partials, so
+    a content duplicated 10^7 times — the boilerplate/404-page hot key —
+    combines locally instead of melting one reducer; a count-window over
+    ``partitionBy(content_hash)`` would NOT combine and is deliberately
+    avoided), then one hash-keyed join back with AQE skew-split. Two
+    narrow digest-keyed shuffles total; the text column itself is never
+    shuffled.
+    """
+    hashed = docs.select("doc_id", F.md5(F.col(text_col)).alias("content_hash"))
+    counts = hashed.groupBy("content_hash").agg(
+        F.count("*").cast("long").alias("dup_count")
+    )
+    return hashed.join(counts, "content_hash").select(
+        "doc_id",
+        "dup_count",
+        F.expr("CAST(1000000000 div dup_count AS BIGINT)").alias("weight_ppb"),
+    )

@@ -1612,3 +1612,139 @@ def langid_agreement(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("lang", "predicted_lang")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    ppb: int = 1_000_000_000,
+) -> DataFrame:
+    """CCNet-style per-language quality bucketing (Wenzek et al. 2020):
+    rank every document inside its language by a corpus-LM quality
+    score and cut each language into equal-count tiers — CCNet's
+    head/middle/tail split that downstream pipelines use to keep head,
+    sample middle, drop tail.
+
+    The score is the log-free commonness key ``commonness_ppb =
+    (sum_cf * 10^9) div n_tokens`` — mean corpus frequency of the doc's
+    tokens as ONE exact truncating BIGINT ratio (a perplexity scorer is
+    the same plan with a log-sum; transcendentals are not bit-stable
+    across engines, the monotone integer ratio is). Higher commonness =
+    more head-like, mirroring CCNet's lower-perplexity-is-better.
+    Buckets come from NTILE(n) over (lang) ordered by (commonness desc,
+    doc_id) — the doc_id tiebreak makes the tile assignment a total
+    order, hence cross-engine identical.
+
+    Returns (doc_id, lang, n_tokens, commonness_ppb, bucket, tier) with
+    tier in {head, middle, tail} (bucket numbers beyond 3 keep the
+    numeric label only).
+
+    Scale: token frequencies exactly as ``unigram_commonness`` (one
+    exploded count aggregate reused by all consumers, Zipf hot-key note
+    there). The NTILE window is the one non-scalable piece at 100 TB —
+    a per-lang window is a per-lang SORT on a handful of partition keys
+    (en alone would be one executor's sort). The production swap is
+    approx_percentile cutoffs per lang (one scalar row per lang,
+    broadcast back, bucket by comparison) — kept OUT of the default
+    plan only because approximate cutoffs are not oracle-exact; the
+    fixture languages are small enough to sort exactly.
+    """
+    toks = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("t0"),
+        )
+        .select("doc_id", "lang", F.lower(F.col("t0")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    db = toks.groupBy("doc_id", "lang", "tok").agg(F.count("*").alias("cnt"))
+    cf = db.groupBy("tok").agg(F.sum("cnt").alias("cf"))
+    per = (
+        db.join(cf, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("cf")).cast("long").alias("sum_cf"),
+        )
+        .withColumn(
+            "commonness_ppb",
+            F.expr(f"CAST((sum_cf * CAST({ppb} AS DECIMAL(38,0))) div n_tokens AS BIGINT)"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("commonness_ppb"), "doc_id")
+    return per.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "commonness_ppb",
+        F.ntile(n_buckets).over(w).cast("int").alias("bucket"),
+    ).withColumn(
+        "tier",
+        F.when(F.col("bucket") == 1, F.lit("head"))
+        .when(F.col("bucket") == 2, F.lit("middle"))
+        .when(F.col("bucket") == 3, F.lit("tail"))
+        .otherwise(F.col("bucket").cast("string")),
+    )
+
+
+def rrf_fusion(
+    docs: DataFrame,
+    terms_a: tuple[str, ...] = ("dup", "vector", "stream"),
+    terms_b: tuple[str, ...] = ("merge", "window", "batch"),
+    rrf_k: int = 60,
+    depth: int = 50,
+    top: int = 10,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    ppb: int = 1_000_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two lexical rankers (Cormack et al.
+    2009) — the multi-query retrieval pattern RAG pipelines run when
+    query rewriting produces several formulations of one information
+    need: rank each formulation independently (here: BM25 over two term
+    sets, ``bm25_rank``'s exact-integer scorer), then fuse by
+    ``sum 1/(k + rank)`` so agreement between rankers beats a single
+    high rank.
+
+    Determinism: ranks are row_number over (score desc, doc_id) — a
+    total order — and each contribution is the exact truncating BIGINT
+    ``10^9 div (k + rank)``; the fused score is a sum of those integers,
+    so it is bit-identical across engines (no IEEE reciprocals summed).
+    Docs outside a ranker's depth contribute 0 from that ranker (the
+    standard list-truncated RRF).
+
+    Scale: each ranker ends in TakeOrderedAndProject(depth) — the only
+    full-corpus work is the two BM25 scans, which are themselves
+    zero-shuffle scan-aggregates (see ``bm25_rank``). The rank window
+    and the fusion join run on two depth-row frames (constant-size,
+    single partition by construction — this is post-top-k driver-scale
+    data kept distributed, not a corpus window).
+    """
+    def ranked(terms: tuple[str, ...], rank_name: str) -> DataFrame:
+        t = bm25_rank(
+            docs, terms=terms, top=depth, key_col=key_col, text_col=text_col, ppb=ppb
+        ).select(key_col, "bm25_ppb")
+        w = Window.orderBy(F.desc("bm25_ppb"), key_col)
+        return t.select(
+            key_col, F.row_number().over(w).cast("long").alias(rank_name)
+        )
+
+    a = ranked(terms_a, "rank_a")
+    b = ranked(terms_b, "rank_b")
+    fused = (
+        a.join(b, key_col, "full_outer")
+        .withColumn(
+            "rrf_ppb",
+            F.coalesce(
+                F.expr(f"CAST({ppb} div ({rrf_k} + rank_a) AS BIGINT)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"CAST({ppb} div ({rrf_k} + rank_b) AS BIGINT)"), F.lit(0)
+            ),
+        )
+        .orderBy(F.desc("rrf_ppb"), key_col)
+        .limit(top)
+    )
+    return fused.select(key_col, "rank_a", "rank_b", "rrf_ppb")

@@ -132,7 +132,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- the r8 red's fix: re-certify at head, FIRST ------------------
     "docs_gopher_rules",
     # -- registered THIS round (r9): first driver rows, in-window -----
-    # (inserted here as they land)
+    "docs_soft_dedup_weights",
+    "docs_ccnet_buckets",
+    "docs_rrf_fusion",
     # -- the full remaining r4 cohort ---------------------------------
     "cypher_with_having",
     "cypher_case_classify",

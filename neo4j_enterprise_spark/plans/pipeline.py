@@ -3661,3 +3661,155 @@ def _minhash_calibration_oracle_sql() -> str:
 def docs_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return dedup.minhash_jaccard_calibration(docs).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "docs_soft_dedup_weights",
+    r"""
+    WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+    c AS (SELECT content_hash, CAST(COUNT(*) AS BIGINT) AS dup_count
+          FROM h GROUP BY content_hash)
+    SELECT h.doc_id, c.dup_count,
+           CAST(1000000000 // c.dup_count AS BIGINT) AS weight_ppb
+    FROM h JOIN c USING (content_hash)
+    ORDER BY h.doc_id
+    """,
+    doc="Soft deduplication (dedup.soft_dedup_weights; He et al. 2024 "
+    "SoftDedup): every doc keeps a row with sampling weight 1/dup_count "
+    "as an exact truncating ppb BIGINT — reweight duplicated content "
+    "instead of dropping it, so each distinct CONTENT contributes one "
+    "unit of expected training mass. Digest counts via map-side-"
+    "combinable groupBy (a count-window over the hash would not "
+    "combine and melts on the boilerplate hot key), one AQE-skew-split "
+    "join back; the text column is never shuffled.",
+)
+def docs_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.soft_dedup_weights(docs).orderBy("doc_id")
+
+
+@register(
+    "docs_ccnet_buckets",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS tok
+      FROM documents),
+    tf AS (SELECT doc_id, lang, tok FROM toks WHERE tok <> ''),
+    db AS (SELECT doc_id, lang, tok, COUNT(*) AS cnt
+           FROM tf GROUP BY doc_id, lang, tok),
+    cf AS (SELECT tok, SUM(cnt) AS cf FROM db GROUP BY tok),
+    per AS (SELECT d.doc_id, d.lang,
+                   CAST(SUM(d.cnt) AS BIGINT) AS n_tokens,
+                   CAST(SUM(d.cnt * c.cf) AS BIGINT) AS sum_cf
+            FROM db d JOIN cf c USING (tok) GROUP BY d.doc_id, d.lang),
+    k AS (SELECT doc_id, lang, n_tokens,
+                 CAST((CAST(sum_cf AS HUGEINT) * 1000000000) // n_tokens
+                      AS BIGINT) AS commonness_ppb
+          FROM per),
+    b AS (SELECT doc_id, lang, n_tokens, commonness_ppb,
+                 CAST(ntile(3) OVER (PARTITION BY lang
+                      ORDER BY commonness_ppb DESC, doc_id) AS INT) AS bucket
+          FROM k)
+    SELECT doc_id, lang, n_tokens, commonness_ppb, bucket,
+           CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                       WHEN 3 THEN 'tail'
+                       ELSE CAST(bucket AS VARCHAR) END AS tier
+    FROM b ORDER BY doc_id
+    """,
+    doc="CCNet head/middle/tail bucketing (text.ccnet_buckets; Wenzek "
+    "et al. 2020): per-language NTILE(3) over the log-free commonness "
+    "key (sum_cf*10^9) div n_tokens — one exact BIGINT ratio, rank-"
+    "equivalent to the negative unigram log-perplexity CCNet sorts by "
+    "(transcendentals are not bit-stable cross-engine; the monotone "
+    "integer ratio is). doc_id tiebreak makes tile assignment a total "
+    "order. Scale: token stats exactly as docs_unigram_commonness; the "
+    "per-lang NTILE window is the documented non-scalable piece (a "
+    "handful of partition keys = one executor's sort per language) — "
+    "the 100 TB swap is approx_percentile cutoffs per lang broadcast "
+    "back, kept out of the default plan because approximate cutoffs "
+    "are not oracle-exact.",
+)
+def docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.ccnet_buckets(docs).orderBy("doc_id")
+
+
+def _bm25_ranked_cte(terms: tuple[str, ...], s: str, depth: int) -> str:
+    """DuckDB CTE fragment replaying text.bm25_rank's exact-integer BM25
+    (k1=6/5, b=3/4 -> cleared coefficients 44/20/6/18 — see bm25_rank's
+    docstring derivation) for one term set, ranked and truncated to
+    ``depth``. Suffix ``s`` namespaces the CTEs so two rankers coexist
+    in one WITH clause."""
+    tf_cols = ",\n".join(
+        f"             COUNT(*) FILTER (WHERE tok = '{t}') AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n".join(
+        f"            CAST(COUNT(*) FILTER (WHERE tf_{i} > 0) AS BIGINT) AS df_{i}"
+        for i in range(len(terms))
+    )
+    score_cols = ",\n".join(
+        f"""        CASE WHEN p.tf_{i} > 0 THEN CAST(
+          (CAST(44 AS HUGEINT) * p.tf_{i} * g.total_len
+             * (2 * g.n_docs - 2 * g.df_{i} + 1) * 1000000000)
+          // ((CAST(20 AS HUGEINT) * p.tf_{i} * g.total_len
+             + 6 * g.total_len + 18 * p.dl * g.n_docs)
+             * (2 * g.df_{i} + 1)) AS BIGINT) ELSE 0 END AS s_{i}"""
+        for i in range(len(terms))
+    )
+    total = " + ".join(f"s_{i}" for i in range(len(terms)))
+    return f"""
+    per{s} AS (SELECT doc_id,
+             COUNT(*) FILTER (WHERE tok <> '') AS dl,
+{tf_cols}
+            FROM u GROUP BY doc_id),
+    g{s} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS total_len,
+{df_cols}
+          FROM per{s}),
+    sc{s} AS (SELECT p.doc_id,
+{score_cols}
+     FROM per{s} p, g{s} g),
+    rk0{s} AS (SELECT doc_id,
+                  CAST(row_number() OVER
+                       (ORDER BY {total} DESC, doc_id) AS BIGINT) AS rnk
+           FROM sc{s} WHERE {total} > 0),
+    rk{s} AS (SELECT doc_id, rnk FROM rk0{s} WHERE rnk <= {depth})"""
+
+
+def _rrf_fusion_oracle_sql() -> str:
+    a = _bm25_ranked_cte(("dup", "vector", "stream"), "a", 50)
+    b = _bm25_ranked_cte(("merge", "window", "batch"), "b", 50)
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents),
+    u AS (SELECT doc_id, unnest(t) AS tok FROM toks),{a},{b}
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           a.rnk AS rank_a, b.rnk AS rank_b,
+           CAST(COALESCE(1000000000 // (60 + a.rnk), 0)
+              + COALESCE(1000000000 // (60 + b.rnk), 0) AS BIGINT) AS rrf_ppb
+    FROM rka a FULL OUTER JOIN rkb b ON a.doc_id = b.doc_id
+    ORDER BY rrf_ppb DESC, doc_id LIMIT 10
+    """
+
+
+@register(
+    "docs_rrf_fusion",
+    _rrf_fusion_oracle_sql(),
+    doc="Reciprocal-rank fusion (text.rrf_fusion; Cormack et al. 2009): "
+    "fuse two BM25 rankers over different query formulations by "
+    "sum(10^9 div (60 + rank)) — the multi-query RAG retrieval pattern "
+    "(query rewriting -> rank each -> RRF). Ranks are row_number over "
+    "(score desc, doc_id), a total order; every contribution is an "
+    "exact truncating BIGINT, so the fused score never sums IEEE "
+    "reciprocals. Scale: the only full-corpus work is the two zero-"
+    "shuffle BM25 scan-aggregates ending in TakeOrderedAndProject(50); "
+    "the rank windows and fusion join run on two 50-row frames. The "
+    "oracle replays the cleared-coefficient BM25 integer arithmetic "
+    "verbatim per term set.",
+)
+def docs_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.rrf_fusion(docs)

@@ -1542,3 +1542,72 @@ def test_minhash_calibration_identical_docs_exact(spark):
     for r in rows:
         assert 0.0 <= r["est_sim"] <= 1.0
         assert abs(r["err"] - (r["est_sim"] - r["jaccard"])) == 0.0
+
+
+# ---------------------------------------------------------------- r9 ops
+def test_soft_dedup_weights_invariants(spark, sf_dir):
+    from neo4j_enterprise_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = dedup.soft_dedup_weights(docs)
+    rows = {r["doc_id"]: r for r in w.collect()}
+    assert len(rows) == docs.count()  # every doc keeps a row
+    for r in rows.values():
+        assert r["dup_count"] >= 1
+        assert r["weight_ppb"] == 1_000_000_000 // r["dup_count"]
+    # docs with byte-identical text share one dup_count
+    texts = {d["doc_id"]: d["text"] for d in docs.select("doc_id", "text").collect()}
+    from collections import Counter
+
+    c = Counter(texts.values())
+    for doc_id, r in rows.items():
+        assert r["dup_count"] == c[texts[doc_id]]
+
+
+def test_ccnet_buckets_ordering_and_balance(spark, sf_dir):
+    from collections import Counter
+
+    from neo4j_enterprise_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = text_ops.ccnet_buckets(docs).collect()
+    assert all(1 <= r["bucket"] <= 3 for r in rows)
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        sizes = Counter(r["bucket"] for r in rs)
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (lang, sizes)
+        # strictly-more-common docs never land in a LATER bucket
+        for a in rs:
+            for b in rs:
+                if a["commonness_ppb"] > b["commonness_ppb"]:
+                    assert a["bucket"] <= b["bucket"]
+
+
+def test_rrf_fusion_mirrors_python(spark, sf_dir):
+    from neo4j_enterprise_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = [tuple(r) for r in text_ops.rrf_fusion(docs).collect()]
+    assert 0 < len(got) <= 10
+
+    def ranks(terms):
+        top = text_ops.bm25_rank(docs, terms=terms, top=50).collect()
+        ordered = sorted(top, key=lambda r: (-r["bm25_ppb"], r["doc_id"]))
+        return {r["doc_id"]: i + 1 for i, r in enumerate(ordered)}
+    ra = ranks(("dup", "vector", "stream"))
+    rb = ranks(("merge", "window", "batch"))
+    fused = {}
+    for d in set(ra) | set(rb):
+        s = 0
+        if d in ra:
+            s += 1_000_000_000 // (60 + ra[d])
+        if d in rb:
+            s += 1_000_000_000 // (60 + rb[d])
+        fused[d] = s
+    want = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    want_rows = [
+        (d, ra.get(d), rb.get(d), s) for d, s in want
+    ]
+    assert got == want_rows
