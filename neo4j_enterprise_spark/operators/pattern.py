@@ -71,10 +71,20 @@ def match_path(
     Example — (customer)-[:PLACED]->(o)-[:CONTAINS]->(p):
         match_path(nodes, rels, [("PLACED", "out"), ("CONTAINS", "out")])
     """
-    start = nodes.select(F.col("id").alias("n0"))
-    if start_filter is not None:
-        start = nodes.filter(start_filter).select(F.col("id").alias("n0"))
-    out = start
+    # An unfiltered start never joins the node store: the first edge
+    # segment BINDS n0 by itself, and endpoint closure (every src/dst
+    # exists in nodes) is a store invariant the checker family verifies
+    # separately (endpoints_not_in_use / check_fixture_relationships) —
+    # exactly the assumption the reference's traversal makes
+    # (RelationshipStore resolves endpoints without consulting the node
+    # store). Joining all N node ids in front of the first hop was the
+    # r9 sf10 finding: at 18.6M derived nodes it DOUBLED
+    # cypher_with_having's wall for a constant-true existence check.
+    out = (
+        nodes.filter(start_filter).select(F.col("id").alias("n0"))
+        if start_filter is not None
+        else nodes.select(F.col("id").alias("n0")) if not steps else None
+    )
     for i, step in enumerate(steps):
         type_name, direction = step[0], step[1]
         lo, hi = (step[2], step[3]) if len(step) > 2 else (1, 1)
@@ -128,14 +138,12 @@ def match_path(
                     acc = level if acc is None else acc.unionByName(level)
             seg = acc.distinct()
         extra = [rel_var] if rel_var is not None else []
-        out = out.join(
-            seg.select(
-                F.col("__a").alias(f"n{i}"),
-                F.col("__b").alias(f"n{i + 1}"),
-                *extra,
-            ),
-            f"n{i}",
+        bound = seg.select(
+            F.col("__a").alias(f"n{i}"),
+            F.col("__b").alias(f"n{i + 1}"),
+            *extra,
         )
+        out = bound if out is None else out.join(bound, f"n{i}")
     return out
 
 
@@ -144,6 +152,7 @@ def cypher_match(
     rels: DataFrame,
     pattern: str,
     attach: dict[str, list[str]] | None = None,
+    defer_kinds: set[str] | None = None,
 ) -> DataFrame:
     """Cypher-ish MATCH for fixed-length patterns, compiled to joins.
 
@@ -212,6 +221,13 @@ def cypher_match(
         out = out.withColumnRenamed(f"n{i}", var)
     for var, kind, props in vars_:
         if kind is None and not props:
+            continue
+        if defer_kinds and var in defer_kinds and not props:
+            # the caller applies this kind-only semi AFTER its
+            # aggregation (the var is a grouping key there, so the semi
+            # commutes with the aggregate — see the cypher_query stage
+            # pipeline); skipping it here keeps the full match frame
+            # from being sort-merge-joined against the node store
             continue
         cond = F.lit(True)
         if kind is not None:
@@ -576,6 +592,97 @@ def _apply_conds(out: DataFrame, conds) -> DataFrame:
     return out
 
 
+# Aggregates that merge losslessly across a finer grouping: grouping by
+# the node ID first and re-aggregating after the property attach gives
+# bit-identical results for these (count partials SUM, sum/min/max are
+# associative). avg / DISTINCT / collect are NOT mergeable this way and
+# disable the rewrite.
+_MERGE_FNS = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+
+
+def _deferrable_attach_vars(
+    items, conds, exists_conds, set_list, opt_body, attach
+) -> set[str]:
+    """Vars whose property attach can move PAST the aggregation.
+
+    The r9 sf10 finding (BASELINE §12): ``RETURN n.name, count(*)``
+    attached ``name`` onto the full match frame — an id-keyed join of
+    millions of path rows against the entire node store — when grouping
+    by the node ID first shrinks the frame to the group count, the
+    attach join becomes a broadcast of the aggregated side, and a
+    trivial re-aggregate by the property merges id-groups that share a
+    property value. Safe only when (a) every aggregate is mergeable
+    (``_MERGE_FNS``, non-DISTINCT, no CASE forms), and (b) the var's
+    properties are referenced ONLY as plain projection keys — a WHERE /
+    EXISTS / SET / aggregate reference needs the column pre-aggregation,
+    and a var bound by OPTIONAL MATCH can carry a NULL id that the
+    post-agg inner attach would drop.
+    """
+    if not items:
+        return set()
+    aggs = [it for it in items if it[0] not in ("plain", "case")]
+    if not aggs or any(it[0] == "case" for it in items):
+        return set()
+    for kind, _var, _prop, distinct, _alias in aggs:
+        if kind.startswith("aggcase:") or distinct:
+            return set()
+        if kind.split(":")[1] not in _MERGE_FNS:
+            return set()
+    blocked: set[str] = set()
+    for v, p in _cond_refs(conds):
+        blocked.add(v)
+    for _k, v, _spec, _neg in exists_conds:
+        blocked.add(v)
+    for v, _p, _val in set_list:
+        blocked.add(v)
+    for _kind, v, prop, _d, _a in aggs:
+        if prop and not callable(v):
+            blocked.add(v)
+    if opt_body:
+        for m in _NODE_RE.findall(opt_body):
+            if m[0]:
+                blocked.add(m[0])
+    return set(attach) - blocked
+
+
+def _project_items_deferred(
+    nodes: DataFrame, out: DataFrame, items, distinct_flag: bool,
+    defer: set[str], attach: dict[str, list[str]],
+) -> DataFrame:
+    """``_project_items`` with the attach-after-aggregate rewrite for
+    ``defer`` vars: group by the node id, join the node properties onto
+    the (small) aggregated frame, re-aggregate by the property keys
+    with the merge functions. Output schema and values are identical
+    to the direct form (see ``_deferrable_attach_vars``)."""
+    items2 = []
+    seen_ids: set[str] = set()
+    for kind, var, prop, distinct, alias in items:
+        if kind == "plain" and var in defer and prop is not None:
+            if var not in seen_ids:
+                items2.append(("plain", var, None, False, f"__id_{var}"))
+                seen_ids.add(var)
+            continue
+        items2.append((kind, var, prop, distinct, alias))
+    out = _project_items(out, items2, distinct_flag)
+    for var in sorted(defer):
+        proj = nodes.select(
+            F.col("id").alias(f"__id_{var}"),
+            *[F.col(p).alias(f"{var}_{p}") for p in attach[var]],
+        )
+        out = out.join(proj, f"__id_{var}")
+    keys, agg_cols = [], []
+    for kind, var, prop, distinct, alias in items:
+        if kind == "plain":
+            if var in defer and prop is not None:
+                keys.append(F.col(f"{var}_{prop}").alias(alias))
+            else:
+                keys.append(F.col(alias))
+        else:
+            merge = _MERGE_FNS[kind.split(":")[1]]
+            agg_cols.append(getattr(F, merge)(F.col(alias)).alias(alias))
+    return out.groupBy(*keys).agg(*agg_cols)
+
+
 def _project_items(out: DataFrame, items, distinct_flag: bool) -> DataFrame:
     """Compile a WITH / RETURN item list: plain items become grouping
     keys when aggregates are present, else a projection. ``collect()``
@@ -719,7 +826,7 @@ def shortest_path_match(
     return out, {a_var, b_var, path_var}
 
 
-def _compile_stage(nodes, rels, match_body, opt_body, attach):
+def _compile_stage(nodes, rels, match_body, opt_body, attach, defer_kinds=None):
     """Compile one MATCH [+ OPTIONAL MATCH] pattern group, attaching the
     requested var properties. OPTIONAL MATCH compiles to a LEFT OUTER
     join on the shared variables (Cypher semantics: unmatched rows keep
@@ -733,7 +840,10 @@ def _compile_stage(nodes, rels, match_body, opt_body, attach):
             v: ps for v, ps in attach.items()
             if v not in main_vars and v in opt_vars
         }
-    out = cypher_match(nodes, rels, match_body, attach=attach_main or None)
+    out = cypher_match(
+        nodes, rels, match_body, attach=attach_main or None,
+        defer_kinds=defer_kinds,
+    )
     if opt_body:
         opt = cypher_match(nodes, rels, opt_body, attach=attach_opt or None)
         shared = [c for c in out.columns if c in set(opt.columns)]
@@ -953,6 +1063,40 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
             if prop in nodes.columns:
                 attach.setdefault(var, []).append(prop)
         attach = {v: sorted(set(ps)) for v, ps in attach.items()}
+        defer = _deferrable_attach_vars(
+            items, conds, exists_conds, stage["set"], stage["opt"], attach
+        )
+        # kind-ONLY label semis on vars that survive as projection/group
+        # keys commute with the stage's projection (each group is
+        # homogeneous in the var, so dropping non-matching groups after
+        # the aggregate drops exactly the rows the pre-agg semi would
+        # have) — defer them past the aggregation so the full match
+        # frame is never sort-merge-joined against the node store (the
+        # r9 sf10 cypher_with_having finding, BASELINE §12).
+        kind_defer: dict[str, str] = {}
+        id_alias: dict[str, str] = {}
+        if items is not None and stage["match"] and not _SHORTEST_RE.match(
+            stage["match"]
+        ):
+            opt_vars = (
+                {m[0] for m in _NODE_RE.findall(stage["opt"]) if m[0]}
+                if stage["opt"]
+                else set()
+            )
+            id_alias = {
+                v: a
+                for k, v, p, _, a in items
+                if k == "plain" and p is None and not callable(v)
+            }
+            for var, kind, props in _NODE_RE.findall(stage["match"]):
+                if (
+                    var
+                    and kind
+                    and not props
+                    and var in id_alias
+                    and var not in opt_vars
+                ):
+                    kind_defer[var] = kind
 
         if carried is not None and post_conds:
             carried = _apply_conds(carried, post_conds)
@@ -985,7 +1129,9 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
         pattern_vars: set[str] = set()
         if stage["match"] is not None:
             pattern_attach = {
-                v: ps for v, ps in attach.items() if v not in carried_node_vars
+                v: ps
+                for v, ps in attach.items()
+                if v not in carried_node_vars and v not in defer
             }
             sp = _SHORTEST_RE.match(stage["match"])
             if sp:
@@ -996,9 +1142,10 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
                 )
             else:
                 df_stage, pattern_vars = _compile_stage(
-                    nodes, rels, stage["match"], stage["opt"], pattern_attach
+                    nodes, rels, stage["match"], stage["opt"], pattern_attach,
+                    defer_kinds=set(kind_defer) or None,
                 )
-            bad = set(pattern_attach) - pattern_vars - carried_node_vars
+            bad = (set(pattern_attach) | defer) - pattern_vars - carried_node_vars
             if bad:
                 raise ValueError(f"unbound variables referenced: {sorted(bad)}")
             if carried is None:
@@ -1017,7 +1164,7 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
             out = carried
 
         # props of carried node vars attach via an id-keyed join here
-        for var in sorted(set(attach) & carried_node_vars - pattern_vars):
+        for var in sorted(set(attach) & carried_node_vars - pattern_vars - defer):
             want = [p for p in attach[var] if f"{var}_{p}" not in out.columns]
             missing = [p for p in want if p not in nodes.columns]
             if missing:
@@ -1040,7 +1187,21 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
             out = out.withColumn(f"{var}_{prop}", F.lit(val))
 
         if items is not None:
-            out = _project_items(out, items, distinct_flag)
+            out = (
+                _project_items_deferred(
+                    nodes, out, items, distinct_flag, defer, attach
+                )
+                if defer
+                else _project_items(out, items, distinct_flag)
+            )
+            for var, kind in kind_defer.items():
+                out = out.join(
+                    nodes.filter(F.col("kind") == kind).select(
+                        F.col("id").alias(id_alias[var])
+                    ),
+                    id_alias[var],
+                    "left_semi",
+                )
             if not is_final:
                 out = _apply_sort_page(
                     out,

@@ -1340,6 +1340,7 @@ def tfidf_keywords(
     top_k: int = 3,
     text_col: str = "text",
     key_col: str = "doc_id",
+    head_df: int = 1000,
 ) -> DataFrame:
     """Per-document keyword extraction by LINEAR-IDF tf-idf (Sparck
     Jones 1972 rendered log-free): score(term, doc) = tf * (N / df),
@@ -1353,10 +1354,24 @@ def tfidf_keywords(
 
     Plan: tokenize + explode once; (doc, term) tf is a map-side-
     combinable groupBy; df derives FROM the tf table (term-keyed
-    vocabulary shuffle, not a corpus re-scan); N is one broadcast
+    vocabulary aggregate, not a corpus re-scan); N is one broadcast
     scalar row; the top-k window is doc-keyed over the tf table with
     a total order (score desc, term asc). No corpus-sized join, no
     lambda, no Python.
+
+    The df join-back is a ZIPF HEAD/TAIL SPLIT (the r9 sf10 A/B,
+    BASELINE §12: the naive tf⋈df term-shuffle join re-shuffled the
+    whole tf table on the vocabulary's hot keys — 28.4s vs this plan's
+    ~9s at sf10): terms with df >= ``head_df`` (the Zipf head — 'the',
+    boilerplate; exactly the keys an AQE skew split would have to
+    rescue) are BROADCAST and map-side joined, so the hot keys never
+    shuffle; the remaining tail joins by term where every key carries
+    < head_df rows BY CONSTRUCTION — skew-free without relying on AQE.
+    The tf exchange is canonically identical under all three consumers
+    (df aggregate, head join, tail anti+join), so Spark reuses one
+    shuffle. head_df trades broadcast size against tail width: the
+    head has at most (corpus pairs)/head_df terms — Zipf-small in
+    practice; at 100 TB size it so head fits the broadcast budget.
 
     Returns (doc_id, term, tf, df, score, rk), rk = 1..top_k.
     """
@@ -1372,8 +1387,14 @@ def tfidf_keywords(
     )
     df_ = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     nd = base.agg(F.count("*").cast("long").alias("n_docs"))
+    head = df_.filter(F.col("df") >= head_df)
+    tail = df_.filter(F.col("df") < head_df)
+    scored_head = tf.join(F.broadcast(head), "term")
+    scored_tail = tf.join(
+        F.broadcast(head.select("term")), "term", "left_anti"
+    ).join(tail, "term")
     scored = (
-        tf.join(df_, "term")
+        scored_head.unionByName(scored_tail)
         .crossJoin(F.broadcast(nd))
         .withColumn(
             "score",
