@@ -54,6 +54,19 @@ def _d(c: str) -> F.Column:
     bench=True,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The r9 sf10 attribution (BASELINE §12): decimal(27,0) sums were
+    # HALF the wall (5.1s vs 2.5s with long sums) — Spark's Decimal agg
+    # leaves compact-long representation past precision 18, so every
+    # row paid BigDecimal arithmetic. The exact fix: split each
+    # quantized money value x = hi·10⁶ + lo (both non-negative longs),
+    # SUM hi and lo as PRIMITIVE LONGS inside whole-stage codegen, and
+    # reassemble sum(x) = sum(hi)·10⁶ + sum(lo) in DECIMAL once per
+    # GROUP (6 groups). Overflow bounds at 100 TB (6·10¹¹ rows/group):
+    # lo < 10⁶ → Σlo ≤ 6·10¹⁷; hi ≤ 1.2·10⁵ (charge) → Σhi ≤ 7·10¹⁶ —
+    # both inside int64 with ≥15× margin (the decimal form returns at
+    # ~10¹³ rows PER GROUP, documented here as the swap-back bound).
+    # The reassembled integer is identical, so the final double is
+    # bit-equal to the oracle's.
     li = load_table(spark, sf_dir, "lineitem")
     qq = F.round(F.col("l_quantity") * 100).cast("long")
     pq = F.round(F.col("l_extendedprice") * 100).cast("long")
@@ -61,21 +74,32 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tq = F.round(F.col("l_tax") * 100).cast("long")
     disc_price_q = pq * (F.lit(100) - dq)
     charge_q = disc_price_q * (F.lit(100) + tq)
+    M = F.lit(1_000_000)
 
-    def _sumq(c: F.Column) -> F.Column:
-        return F.sum(c.cast("decimal(27,0)")).cast("double")
+    def _split_sum(c: F.Column) -> F.Column:
+        """Exact Σc as DECIMAL via two primitive-long sums (c ≥ 0).
+        hi = (c - c%M)/M divides an exact multiple of M (both ≤ 1.2·10¹¹
+        < 2⁵³, so the double round-trip is exact)."""
+        lo = c % M
+        hi = ((c - lo) / M).cast("long")
+        return (
+            F.sum(hi).cast("decimal(38,0)") * M
+            + F.sum(lo).cast("decimal(38,0)")
+        ).cast("double")
 
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1999-12-01").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            (_sumq(qq) / F.lit(100.0)).alias("sum_qty"),
-            (_sumq(pq) / F.lit(100.0)).alias("sum_base_price"),
-            (_sumq(disc_price_q) / F.lit(10000.0)).alias("sum_disc_price"),
-            (_sumq(charge_q) / F.lit(1000000.0)).alias("sum_charge"),
-            (_sumq(qq) / F.lit(100.0) / F.count("*")).alias("avg_qty"),
-            (_sumq(pq) / F.lit(100.0) / F.count("*")).alias("avg_price"),
-            (_sumq(dq) / F.lit(100.0) / F.count("*")).alias("avg_disc"),
+            # qty/discount quantize to ≤5100/≤100 — plain long sums are
+            # safe to ~10¹⁵ rows per group
+            (F.sum(qq).cast("double") / F.lit(100.0)).alias("sum_qty"),
+            (_split_sum(pq) / F.lit(100.0)).alias("sum_base_price"),
+            (_split_sum(disc_price_q) / F.lit(10000.0)).alias("sum_disc_price"),
+            (_split_sum(charge_q) / F.lit(1000000.0)).alias("sum_charge"),
+            (F.sum(qq).cast("double") / F.lit(100.0) / F.count("*")).alias("avg_qty"),
+            (_split_sum(pq) / F.lit(100.0) / F.count("*")).alias("avg_price"),
+            (F.sum(dq).cast("double") / F.lit(100.0) / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -176,10 +200,15 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     return (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        # shuffle-hash on the two fact-adjacent joins (r9 sf10 A/B:
+        # 4.25s -> 3.10s for the core joins): the 60M-row lineitem side
+        # never SORTS; the build sides (date-sliced orders, customer)
+        # hash per partition under AQE sizing — the scale-safe middle
+        # between SMJ's fact sort and a static broadcast
+        li.join(o.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            c,
+            c.hint("shuffle_hash"),
             (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -187,8 +216,23 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(
+            # exact hi/lo split sum (the q1 pattern, BASELINE §12):
+            # rev_q ≤ 1.1·10⁹ → hi ≤ 1.1·10³, lo < 10⁶ — both primitive
+            # long sums, overflow-safe past 10¹³ rows/group; reassembled
+            # in DECIMAL once per group, bit-equal to the decimal form
             (
-                F.sum(F.col("rev_q").cast("decimal(27,0)")).cast("double")
+                (
+                    F.sum(
+                        (
+                            (F.col("rev_q") - F.col("rev_q") % F.lit(1_000_000))
+                            / F.lit(1_000_000)
+                        ).cast("long")
+                    ).cast("decimal(38,0)")
+                    * F.lit(1_000_000)
+                    + F.sum(F.col("rev_q") % F.lit(1_000_000)).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
                 / F.lit(10000.0)
             ).alias("revenue")
         )
@@ -254,8 +298,18 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_orderdate", "o_orderpriority")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     return (
-        li.join(
-            o,
+        # the date-window lower bound implies l_shipdate > 1997-01-01 —
+        # stating it redundantly reaches the parquet scan as a pushed
+        # filter (row-group pruning at rest; 2.39s -> 1.92s at sf10,
+        # BASELINE §12) where the join's non-equi l_shipdate >
+        # o_orderdate cannot
+        li.filter(F.col("l_shipdate") > F.lit("1997-01-01").cast("date"))
+        .join(
+            # shuffle-hash, not sort-merge: the fact side never sorts
+            # (2.19s -> 1.75s at sf10); the build side is the date-
+            # filtered orders slice PER PARTITION, which AQE sizes —
+            # scale-safe where a static broadcast of the slice is not
+            o.hint("shuffle_hash"),
             (F.col("l_orderkey") == F.col("o_orderkey"))
             & (F.col("l_shipdate") > F.col("o_orderdate")),
         )
