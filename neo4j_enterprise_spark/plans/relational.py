@@ -110,7 +110,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT o.o_orderkey,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue,
            CAST(o.o_orderdate AS DATE) AS orderdate
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
                     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -122,7 +124,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
     doc="TPC-H Q3: selective dim filter (broadcast), fact join, "
-    "agg + deterministic top-10.",
+    "agg + deterministic top-10. r9: revenue on cent-quantized BIGINTs "
+    "with the q1 hi/lo split sums (BASELINE §12 — decimal(18,2) "
+    "products summed in a >18-precision buffer pay BigDecimal per "
+    "row), and shuffle_hash on the fact join so the lineitem side "
+    "never sorts; the oracle mirrors the quantized op sequence "
+    "(identical exact value, identical final IEEE ops).",
     bench=True,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,13 +140,29 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("date")
     )
-    revenue = _d("l_extendedprice") * (F.lit(1) - _d("l_discount"))
+    rev_q = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    M = F.lit(1_000_000)
+    lo = rev_q % M
+    hi = ((rev_q - lo) / M).cast("long")
+    co = F.broadcast(c).join(o, c["c_custkey"] == o["o_custkey"])
     return (
-        F.broadcast(c)
-        .join(o, c["c_custkey"] == o["o_custkey"])
+        # the hint sits on the JOINED (customer⋈orders) frame so it
+        # resolves to the lineitem join (a hint on o alone would bind
+        # to the broadcast join above and be discarded)
+        co.hint("shuffle_hash")
         .join(li, li["l_orderkey"] == o["o_orderkey"])
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(
+            (
+                (
+                    F.sum(hi).cast("decimal(38,0)") * M
+                    + F.sum(lo).cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(10000.0)
+            ).alias("revenue")
+        )
         .select(
             "o_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("orderdate")
         )
