@@ -383,12 +383,23 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # shuffle-hash: the static planner broadcast a fact-sized orders
     # relation here (~300 MB at sf1, degrading 4.7s -> 11s across runs)
+    M = F.lit(1_000_000)
+    lo = F.col("rq") % M
+    hi = ((F.col("rq") - lo) / M).cast("long")
     return (
         li.select("l_orderkey", rev_q.alias("rq"))
         .hint("shuffle_hash")
         .join(o, F.col("l_orderkey") == o["o_orderkey"])
         .groupBy("o_custkey")
-        .agg(F.sum(F.col("rq").cast("decimal(27,0)")).alias("rev_cust"))
+        # hi/lo split sums (the r9 q1 finding, BASELINE §12): primitive
+        # long accumulators in codegen, reassembled in DECIMAL once per
+        # customer — exact past 10¹³ rows/group, bit-equal output
+        .agg(
+            (
+                F.sum(hi).cast("decimal(38,0)") * M
+                + F.sum(lo).cast("decimal(38,0)")
+            ).alias("rev_cust")
+        )
         .join(c, F.col("o_custkey") == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .select(
@@ -559,15 +570,21 @@ def property_projection_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c.c_custkey, c.c_name, o.o_orderkey,
            CAST(o.o_totalprice AS DOUBLE) AS totalprice,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+           CAST(SUM(CAST(ROUND(l.l_quantity * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total_qty
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
                     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
-    HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 150
+    HAVING SUM(CAST(ROUND(l.l_quantity * 100) AS BIGINT)) > 15000
     ORDER BY totalprice DESC, o.o_orderkey
     LIMIT 20
     """,
-    doc="TPC-H Q18 shape: HAVING over a fact aggregation, top-20.",
+    doc="TPC-H Q18 shape: HAVING over a fact aggregation, top-20. r9: "
+    "quantity summed as cent-quantized primitive longs (the q1 "
+    "BigDecimal finding; ≤7 lineitems per order so the long sum is "
+    "unbounded-scale safe), HAVING compared in exact integers, oracle "
+    "mirrored — the §9 analysis put 88% of the wall in this fact "
+    "aggregate, which now runs whole-stage-codegen long arithmetic.",
     bench=True,
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -581,8 +598,10 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table twice and shuffling it once.
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(_d("l_quantity")).alias("qty_dec"))
-        .filter(F.col("qty_dec") > 150)
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_q")
+        )
+        .filter(F.col("qty_q") > 15000)
     )
     # shuffle-hash with the aggregated side as build: the static
     # planner's pruned-column size estimate prices the orders scan
@@ -597,7 +616,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_name",
             "o_orderkey",
             F.col("o_totalprice").cast("double").alias("totalprice"),
-            F.col("qty_dec").cast("double").alias("total_qty"),
+            (F.col("qty_q").cast("double") / F.lit(100.0)).alias("total_qty"),
         )
         .orderBy(F.desc("totalprice"), "o_orderkey")
         .limit(20)
@@ -1114,13 +1133,19 @@ def pricing_rollup_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_value
     FROM events
     GROUP BY 1, 2
     ORDER BY 1, 2
     """,
     doc="Tumbling-window rollup over the events stream table (batch view "
-    "of the Structured Streaming window agg; SURVEY §2.10 extension).",
+    "of the Structured Streaming window agg; SURVEY §2.10 extension). "
+    "r9: value summed as cent-quantized primitive longs (the q1 "
+    "finding — a DECIMAL(18,2) sum buffer is past compact precision "
+    "and pays BigDecimal per row); vq ≤ 56,021 keeps a plain long sum "
+    "safe past 10¹⁴ rows per group, the rounding matches the oracle's "
+    "decimal(18,2) cast, and one final /100 double matches bit-exact.",
     bench=True,
 )
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1132,7 +1157,10 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / F.lit(100.0)
+            ).alias("total_value"),
         )
         .orderBy("hour_epoch", "event_type")
     )
@@ -2221,7 +2249,8 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT window_start_us,
            CAST(window_start_us + 3600000000 AS BIGINT) AS window_end_us,
            event_type, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_value
     FROM slides
     GROUP BY window_start_us, event_type
     ORDER BY window_start_us, event_type
@@ -2242,7 +2271,11 @@ def events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+            # cent-quantized long sum (see events_hourly_rollup's r9 note)
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / F.lit(100.0)
+            ).alias("total_value"),
         )
         .select(
             F.unix_micros("w.start").alias("window_start_us"),
