@@ -1475,3 +1475,48 @@ def norm_outliers(embeddings: DataFrame) -> DataFrame:
             | (F.col("norm2") > F.col("hi_fence"))
         ).alias("is_outlier"),
     )
+
+
+def sq8_quantization_error(embeddings: DataFrame) -> DataFrame:
+    """INT8 scalar quantization (SQ8) with an exact reconstruction-error
+    audit — the memory-4x compression step vector stores apply before
+    ANN serving (Faiss ScalarQuantizer QT_8bit; the corpus-curation
+    question it answers: is 8-bit per dimension enough for THIS
+    embedding distribution, per vector, before committing the fleet's
+    RAM budget). Sits beside the PQ family as the simpler, per-dim
+    codec: PQ quantizes subvectors to learned codebooks, SQ8 quantizes
+    each dimension to a 0..255 code on a per-dim min/max ramp.
+
+    Exactness contract: embeddings go through the standard integer
+    quantization (round(x*1000) BIGINT — functions/vectors.py), so the
+    per-dim min/max, the code ((q-mn)*255 div span), the reconstruction
+    (mn + code*span div 255) and the per-dim |error| are ALL exact
+    integer arithmetic — truncating BIGINT division both directions, no
+    IEEE op until the final mean. Returns per vector:
+    (vec_id, max_err_q, sum_err_q, n_dims, mean_err_q) where *_q are in
+    quantized units (1/1000 of an embedding unit).
+
+    Scale: one explode to (vec_id, d, q); per-dim stats are a
+    64-row aggregate broadcast back (map-side combinable); code/
+    reconstruct/error are per-row projections; the per-vector rollup is
+    one vec-keyed combinable aggregate. No corpus-sized join or window
+    at any scale.
+    """
+    per = embeddings.select(
+        "vec_id", F.posexplode(quantize(F.col("embedding"))).alias("d", "q")
+    )
+    stats = per.groupBy("d").agg(F.min("q").alias("mn"), F.max("q").alias("mx"))
+    j = per.join(F.broadcast(stats), "d").withColumn(
+        "span", F.greatest(F.col("mx") - F.col("mn"), F.lit(1))
+    )
+    e = (
+        j.withColumn("code", F.expr("((q - mn) * 255) div span"))
+        .withColumn("deq", F.expr("mn + (code * span) div 255"))
+        .withColumn("err", F.abs(F.col("q") - F.col("deq")))
+    )
+    return e.groupBy("vec_id").agg(
+        F.max("err").cast("long").alias("max_err_q"),
+        F.sum("err").cast("long").alias("sum_err_q"),
+        F.count("*").cast("long").alias("n_dims"),
+        (F.sum("err").cast("double") / F.count("*")).alias("mean_err_q"),
+    )

@@ -135,6 +135,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "docs_soft_dedup_weights",
     "docs_ccnet_buckets",
     "docs_rrf_fusion",
+    "emb_sq8_error",
     # -- the full remaining r4 cohort ---------------------------------
     "cypher_with_having",
     "cypher_case_classify",

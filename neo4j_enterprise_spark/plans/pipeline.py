@@ -3813,3 +3813,42 @@ def _rrf_fusion_oracle_sql() -> str:
 def docs_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.rrf_fusion(docs)
+
+
+@register(
+    "emb_sq8_error",
+    r"""
+    WITH p AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) - 1 AS d,
+             CAST(ROUND(unnest(embedding) * 1000) AS BIGINT) AS q
+      FROM embeddings),
+    s AS (SELECT d, MIN(q) AS mn, MAX(q) AS mx FROM p GROUP BY d),
+    j AS (SELECT p.vec_id, p.q, s.mn,
+                 GREATEST(s.mx - s.mn, 1) AS span
+          FROM p JOIN s USING (d)),
+    e AS (SELECT vec_id,
+                 ABS(q - (mn + ((((q - mn) * 255) // span) * span) // 255))
+                   AS err
+          FROM j)
+    SELECT vec_id,
+           CAST(MAX(err) AS BIGINT) AS max_err_q,
+           CAST(SUM(err) AS BIGINT) AS sum_err_q,
+           CAST(COUNT(*) AS BIGINT) AS n_dims,
+           CAST(SUM(err) AS DOUBLE) / COUNT(*) AS mean_err_q
+    FROM e GROUP BY vec_id ORDER BY vec_id
+    """,
+    doc="INT8 scalar-quantization audit (similarity."
+    "sq8_quantization_error; Faiss ScalarQuantizer QT_8bit semantics): "
+    "per-dim min/max ramps, 0..255 codes, reconstruction and per-"
+    "vector |error| rollup — all exact BIGINT arithmetic on the "
+    "standard round(x*1000) quantization, truncating division both "
+    "directions, one final IEEE mean. The is-8-bits-enough question "
+    "answered per vector before committing a serving fleet's RAM to "
+    "the 4x compression. Scale: one explode, a 64-row per-dim stats "
+    "broadcast, map-side code/error projection, one vec-keyed "
+    "combinable aggregate.",
+)
+def emb_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.sq8_quantization_error(emb).orderBy("vec_id")

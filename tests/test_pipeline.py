@@ -1611,3 +1611,46 @@ def test_rrf_fusion_mirrors_python(spark, sf_dir):
         (d, ra.get(d), rb.get(d), s) for d, s in want
     ]
     assert got == want_rows
+
+
+def test_sq8_error_bounds_and_exactness(spark, sf_dir):
+    from neo4j_enterprise_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = sim.sq8_quantization_error(emb).collect()
+    assert len(rows) == emb.count()
+    # reconstruct one vector by hand and check the integer arithmetic
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    import collections
+    dims = collections.defaultdict(list)
+    q = {}
+    for vid, v in vecs.items():
+        # half-away-from-zero like Spark/DuckDB round (NOT python's
+        # banker's round — the _np_quantize tie proof)
+        import math
+
+        qv = [
+            int(math.floor(float(x) * 1000 + 0.5))
+            if float(x) >= 0
+            else int(math.ceil(float(x) * 1000 - 0.5))
+            for x in v
+        ]
+        q[vid] = qv
+        for d, x in enumerate(qv):
+            dims[d].append(x)
+    mn = {d: min(xs) for d, xs in dims.items()}
+    mx = {d: max(xs) for d, xs in dims.items()}
+    for r in rows:
+        qv = q[r["vec_id"]]
+        errs = []
+        for d, x in enumerate(qv):
+            span = max(mx[d] - mn[d], 1)
+            code = ((x - mn[d]) * 255) // span
+            deq = mn[d] + (code * span) // 255
+            errs.append(abs(x - deq))
+        assert r["n_dims"] == len(qv)
+        assert r["max_err_q"] == max(errs)
+        assert r["sum_err_q"] == sum(errs)
+        # SQ8 cell width is span/255 -> error bounded by one cell
+        worst_span = max(max(mx[d] - mn[d], 1) for d in range(len(qv)))
+        assert r["max_err_q"] <= worst_span // 255 + worst_span // 255 + 1
