@@ -113,6 +113,9 @@ def register(
 #          register-late lag); the whole r3 cohort + front of r4
 #          recycled — 50/50 green (CORRECTNESS_r08.json). After r8 no
 #          oracle query's newest evidence is older than r4.
+#   r9 registrations: docs_soft_dedup_weights / docs_ccnet_buckets /
+#          docs_rrf_fusion / emb_sq8_error — all four sit in-window
+#          right behind the gopher re-drive (the r8 no-lag rule).
 #   r9 (this window): docs_gopher_rules FIRST — its r8 green row was
 #          earned pre-fix; the n_alpha empty-boundary-token bug (the
 #          r8 VERDICT red, engine said rule_alpha_words=true for
