@@ -40,6 +40,9 @@ QUERIES = (
     "q10_returned_items",
     "q18_large_volume_customers",
     "q21_sole_late_supplier",
+    # r9: q5's residual after split sums + shuffle_hash is the fact's
+    # orderkey exchange — the same layout lever applies
+    "q5_local_supplier_volume",
 )
 BUCKET_SPEC = {
     # table -> (bucket/sort column, registered table name)
