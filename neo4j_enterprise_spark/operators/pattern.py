@@ -645,6 +645,36 @@ def _deferrable_attach_vars(
     return set(attach) - blocked
 
 
+def _deferrable_kind_semis(items, match_body, opt_body):
+    """Kind-ONLY label semis on vars that survive as projection/group
+    keys commute with the stage's projection (each group is homogeneous
+    in the var, so dropping non-matching groups after the aggregate
+    drops exactly the rows the pre-agg semi would have) — defer them
+    past the aggregation so the full match frame is never
+    sort-merge-joined against the node store (the r9 sf10
+    cypher_with_having finding, BASELINE §12). Returns
+    ({var: kind}, {var: alias}); empty when the stage has no items, no
+    match, or a shortestPath match (which applies labels internally).
+    Vars bound by OPTIONAL MATCH are excluded — their NULL ids would be
+    dropped by the post-agg inner semi.
+    """
+    if items is None or not match_body or _SHORTEST_RE.match(match_body):
+        return {}, {}
+    opt_vars = (
+        {m[0] for m in _NODE_RE.findall(opt_body) if m[0]} if opt_body else set()
+    )
+    id_alias = {
+        v: a
+        for k, v, p, _, a in items
+        if k == "plain" and p is None and not callable(v)
+    }
+    kind_defer: dict[str, str] = {}
+    for var, kind, props in _NODE_RE.findall(match_body):
+        if var and kind and not props and var in id_alias and var not in opt_vars:
+            kind_defer[var] = kind
+    return kind_defer, id_alias
+
+
 def _project_items_deferred(
     nodes: DataFrame, out: DataFrame, items, distinct_flag: bool,
     defer: set[str], attach: dict[str, list[str]],
@@ -1066,37 +1096,9 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
         defer = _deferrable_attach_vars(
             items, conds, exists_conds, stage["set"], stage["opt"], attach
         )
-        # kind-ONLY label semis on vars that survive as projection/group
-        # keys commute with the stage's projection (each group is
-        # homogeneous in the var, so dropping non-matching groups after
-        # the aggregate drops exactly the rows the pre-agg semi would
-        # have) — defer them past the aggregation so the full match
-        # frame is never sort-merge-joined against the node store (the
-        # r9 sf10 cypher_with_having finding, BASELINE §12).
-        kind_defer: dict[str, str] = {}
-        id_alias: dict[str, str] = {}
-        if items is not None and stage["match"] and not _SHORTEST_RE.match(
-            stage["match"]
-        ):
-            opt_vars = (
-                {m[0] for m in _NODE_RE.findall(stage["opt"]) if m[0]}
-                if stage["opt"]
-                else set()
-            )
-            id_alias = {
-                v: a
-                for k, v, p, _, a in items
-                if k == "plain" and p is None and not callable(v)
-            }
-            for var, kind, props in _NODE_RE.findall(stage["match"]):
-                if (
-                    var
-                    and kind
-                    and not props
-                    and var in id_alias
-                    and var not in opt_vars
-                ):
-                    kind_defer[var] = kind
+        kind_defer, id_alias = _deferrable_kind_semis(
+            items, stage["match"], stage["opt"]
+        )
 
         if carried is not None and post_conds:
             carried = _apply_conds(carried, post_conds)

@@ -232,3 +232,54 @@ def test_cypher_collect_distinct(spark, sf_dir):
     for row in got:
         ids = row["nation_ids"]
         assert ids == sorted(set(ids))  # sorted, deduped
+
+
+# ------------------------------------------------- r9 deferral rewrites
+# The deferred-attach and deferred-label-semi rewrites (BASELINE §12)
+# must be OBSERVATIONALLY INVISIBLE: every query runs once with the
+# rewrites active and once with both eligibility gates forced empty,
+# and the sorted results must match exactly.
+
+_DEFER_QUERIES = [
+    # both rewrites fire (the cypher_with_having shape)
+    "MATCH (c:customer)-[:PLACED]->(o) "
+    "WITH c, count(*) AS n_orders WHERE n_orders >= 3 "
+    "MATCH (c)-[:IN_NATION]->(n) "
+    "RETURN n.name AS nation, count(*) AS cnt, sum(n_orders) AS total "
+    "ORDER BY nation",
+    # min/max merge fns
+    "MATCH (c:customer)-[:IN_NATION]->(n) "
+    "RETURN n.name AS nation, min(c) AS min_c, max(c) AS max_c "
+    "ORDER BY nation",
+    # attach deferral blocked by a WHERE on the var's prop
+    "MATCH (c)-[:IN_NATION]->(n) WHERE n.name STARTS WITH 'NATION_1' "
+    "RETURN n.name AS nation, count(*) AS cnt ORDER BY nation",
+    # blocked by a non-mergeable aggregate (collect)
+    "MATCH (c:customer)-[:IN_NATION]->(n) "
+    "RETURN n.name AS nation, collect(c) AS members ORDER BY nation",
+    # blocked by count(DISTINCT ...)
+    "MATCH (c:customer)-[:IN_NATION]->(n) "
+    "RETURN n.name AS nation, count(DISTINCT c) AS nc ORDER BY nation",
+    # label semi on a plain grouping key, no aggregates (projection)
+    "MATCH (c:customer)-[:PLACED]->(o) "
+    "WITH DISTINCT c MATCH (c)-[:IN_NATION]->(n) "
+    "RETURN n.name AS nation, count(*) AS cnt ORDER BY nation",
+    # OPTIONAL MATCH var must be excluded from both deferrals
+    "MATCH (n:nation)-[:IN_REGION]->(r) "
+    "OPTIONAL MATCH (c)-[:IN_NATION]->(n) "
+    "RETURN r.name AS region, count(c) AS nc ORDER BY region",
+]
+
+
+@pytest.mark.parametrize("q", _DEFER_QUERIES)
+def test_deferral_rewrites_are_invisible(spark, sf_dir, q, monkeypatch):
+    from neo4j_enterprise_spark.operators import pattern as P
+    from neo4j_enterprise_spark.operators.pattern import cypher_query
+
+    nodes, rels = derived_nodes(spark, sf_dir), derived_rels(spark, sf_dir)
+    with_rewrites = sorted(tuple(r) for r in cypher_query(nodes, rels, q).collect())
+    monkeypatch.setattr(P, "_deferrable_attach_vars", lambda *a, **k: set())
+    monkeypatch.setattr(P, "_deferrable_kind_semis", lambda *a, **k: ({}, {}))
+    without = sorted(tuple(r) for r in cypher_query(nodes, rels, q).collect())
+    assert with_rewrites == without
+    assert with_rewrites  # non-degenerate fixture
