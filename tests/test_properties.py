@@ -410,3 +410,80 @@ def test_tfidf_keywords_matches_python_mirror(spark, texts, top_k):
         )
     for i in exp:
         assert sorted(got.get(i, [])) == sorted(exp[i]), (i, got.get(i), exp[i])
+
+
+@given(
+    texts=st.lists(
+        st.lists(_TOK, min_size=0, max_size=10).map(" ".join),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_soft_dedup_weights_matches_python_mirror(spark, texts):
+    """soft_dedup_weights == brute-force 1e9 // content-count for
+    arbitrary colliding corpora (duplicates, empty docs)."""
+    from collections import Counter
+
+    from neo4j_enterprise_spark.operators.dedup import soft_dedup_weights
+
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["dup_count"], r["weight_ppb"])
+        for r in soft_dedup_weights(docs).collect()
+    }
+    counts = Counter(texts)
+    want = {
+        i: (counts[t], 1_000_000_000 // counts[t]) for i, t in enumerate(texts)
+    }
+    assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.lists(_TOK, min_size=1, max_size=10).map(" ".join),
+        min_size=1,
+        max_size=10,
+    ),
+    langs=st.lists(st.sampled_from(["en", "zh"]), min_size=10, max_size=10),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_ccnet_buckets_matches_python_mirror(spark, texts, langs):
+    """ccnet_buckets == brute-force commonness + per-lang ntile for
+    arbitrary corpora: exact integer key, doc_id tiebreak, ntile's
+    earlier-tiles-get-the-remainder split."""
+    from collections import Counter, defaultdict
+
+    from neo4j_enterprise_spark.operators.text import ccnet_buckets
+
+    rows = [(i, t, langs[i % len(langs)]) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["commonness_ppb"], r["bucket"])
+        for r in ccnet_buckets(docs).collect()
+    }
+    cf = Counter(tok for _, t, _ in rows for tok in t.split())
+    per = {}
+    by_lang = defaultdict(list)
+    for i, t, lang in rows:
+        toks = t.split()
+        n = len(toks)
+        sum_cf = sum(cf[tok] for tok in toks)
+        key = (sum_cf * 1_000_000_000) // n
+        per[i] = (n, key)
+        by_lang[lang].append((key, i))
+    want = {}
+    for lang, members in by_lang.items():
+        members.sort(key=lambda kv: (-kv[0], kv[1]))
+        m = len(members)
+        # NTILE(3): first (m % 3) tiles get ceil(m/3), rest floor(m/3)
+        base, extra = divmod(m, 3)
+        sizes = [base + (1 if t < extra else 0) for t in range(3)]
+        pos = 0
+        for tile, size in enumerate(sizes, start=1):
+            for _ in range(size):
+                if pos < m:
+                    _, i = members[pos]
+                    want[i] = (per[i][0], per[i][1], tile)
+                    pos += 1
+    assert got == want
