@@ -268,6 +268,11 @@ _DEFER_QUERIES = [
     "MATCH (n:nation)-[:IN_REGION]->(r) "
     "OPTIONAL MATCH (c)-[:IN_NATION]->(n) "
     "RETURN r.name AS region, count(c) AS nc ORDER BY region",
+    # agg over ANOTHER var's attached prop: c blocked (needs c_name
+    # pre-agg), n still deferred — mixed mode
+    "MATCH (c:customer)-[:IN_NATION]->(n) "
+    "RETURN n.name AS nation, min(c.name) AS first_c, max(c.name) AS last_c "
+    "ORDER BY nation",
 ]
 
 
