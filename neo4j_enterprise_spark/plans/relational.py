@@ -47,10 +47,12 @@ def _d(c: str) -> F.Column:
     "partial aggregation (map-side combine) on cent-quantized BIGINTs "
     "(the q5 pattern: money columns ARE cents, so price*(1-d)*(1+t) ≡ "
     "pq*(100-dq)*(100+tq) exactly — codegen int64 multiplies instead "
-    "of interpreted-cost DECIMAL ones). Per-row charge ≤ ~10^11 and "
-    "sums accumulate in DECIMAL(27,0), so no overflow at 100 TB; one "
-    "int->double cast + the same division sequence as the oracle at "
-    "the end keeps every output bit-exact.",
+    "of interpreted-cost DECIMAL ones). r9: money sums use the hi/lo "
+    "SPLIT-SUM accumulators (BASELINE §12 — DECIMAL past precision 18 "
+    "pays BigDecimal per row; two primitive-long sums reassembled in "
+    "DECIMAL once per group, overflow-safe past 10¹³ rows/group, "
+    "5.1 s → 2.1 s at sf10); the same division sequence as the oracle "
+    "at the end keeps every output bit-exact.",
     bench=True,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,18 +193,19 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q5: 6-way join. r5 rewrite after the sf1 profile "
     "(BASELINE.md §8): (1) revenue is computed on cent-quantized "
     "BIGINTs — price·(1-disc) ≡ pq·(100-dq) exactly, ×2.2 cheaper than "
-    "DECIMAL multiplies (0.56s→0.40s per li pass at sf1) — accumulated "
-    "in DECIMAL so per-group sums cannot overflow int64 at 100 TB, "
-    "with ONE int-sum→double conversion and ONE ÷10⁴ at the end "
-    "(identical IEEE op sequence in the oracle: bit-exact by "
-    "construction, and equal to the DECIMAL form's value); (2) join "
-    "order starts from lineitem (li⋈o on orderkey, then customer on "
-    "custkey + the nation-match conjunct) with minimal projections, so "
-    "AQE's runtime sizing broadcasts the pruned order/customer sides "
-    "at bench scale (executed plan: 5 BroadcastHashJoin, zero fact "
-    "shuffles) yet falls back to partitioned joins automatically when "
-    "the runtime sizes outgrow the threshold — the scale-safe version "
-    "of a static fact broadcast, which q18 showed OOMs at 100 TB.",
+    "DECIMAL multiplies (0.56s→0.40s per li pass at sf1) — r9: "
+    "accumulated via the hi/lo SPLIT SUMS (BASELINE §12; primitive-"
+    "long accumulators, DECIMAL reassembly once per group, overflow-"
+    "safe past 10¹³ rows/group) with ONE sum→double conversion and "
+    "ONE ÷10⁴ at the end (identical IEEE op sequence in the oracle: "
+    "bit-exact by construction); (2) join order starts from lineitem "
+    "(li⋈o on orderkey, then customer on custkey + the nation-match "
+    "conjunct) with minimal projections and r9 shuffle_hash hints on "
+    "the orders/customer joins — the fact side never SORTS, the build "
+    "sides hash per partition under AQE sizing (the scale-safe middle "
+    "between SMJ's fact sort and a static broadcast, which q18 showed "
+    "OOMs at 100 TB); at broadcast-small runtime sizes AQE still "
+    "upgrades the hinted joins to broadcasts.",
     bench=True,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -361,8 +364,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q10 shape: returned-item revenue per customer, top 20. "
     "Revenue on cent-quantized BIGINTs like q5 (exact integer "
-    "arithmetic, accumulated in DECIMAL(27,0) so group sums cannot "
-    "overflow int64 at 100 TB), ONE int->double cast + ONE /10^4 at "
+    "arithmetic; r9: hi/lo split-sum accumulation, BASELINE §12 — "
+    "overflow-safe past 10¹³ rows/group), ONE sum->double cast + ONE /10^4 at "
     "the end. Profiled at sf1 (tools/profile_q10_variants.py): the "
     "per-order pre-aggregate the r3-r5 plan carried only shrinks the "
     "returned-lineitem side 1.5M->1.0M rows and costs its own hash "
