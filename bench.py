@@ -43,6 +43,148 @@ def _steal() -> float:
         return 0.0
 
 
+def _timed_phase(spark, name, build, sf_dir, warm_s):
+    """Median-of-5 timed runs of one query (1 run when the warmup pass
+    says the phase is long/throughput-bound): a single sample conflates
+    the query's steady-state cost with one-off AQE/GC/scheduler jitter
+    (measured at 3-4x on this rig — see BASELINE.md appendix); the
+    median is the honest steady-state number the reference's
+    TimingProgress also reports after its warmup. Long phases aren't
+    jitter-dominated; one run is representative — classified by the
+    WARMUP duration, not the first timed sample (a one-off GC/AQE spike
+    on sample 1 must not suppress the re-sampling that would absorb
+    it). Samples overlapping a hypervisor CPU-steal burst are discarded
+    and re-run — see _steal(). Returns (phase dict, sorted samples)."""
+    runs = 1 if warm_s > 5.0 else 5
+    samples = []
+    n = 0
+    attempts = 0
+    polluted = 0  # steal-overlapped samples kept after budget exhaustion
+    steal_kept = 0.0  # stolen CPU-seconds inside the KEPT samples
+    while len(samples) < runs and attempts < 4 * runs:
+        attempts += 1
+        # drive ContextCleaner before the timer starts: weak-ref
+        # cleanup of prior runs' shuffle/broadcast state otherwise
+        # lags on a large heap and reads as query-time regression
+        # (measured 2s->45s->159s at sf1 without this)
+        spark.sparkContext._jvm.System.gc()
+        st0 = _steal()
+        t0 = time.perf_counter()
+        df = build(spark, sf_dir)
+        n = len(df.collect())  # full materialization
+        dt_s = time.perf_counter() - t0
+        st = _steal() - st0
+        # steal above ~30% of the sample's wall clock (floor 1
+        # CPU-second) measures the neighbor tenant — retry while
+        # the attempt budget still allows reaching `runs` samples
+        if st > max(1.0, 0.3 * dt_s):
+            if len(samples) + (4 * runs - attempts) >= runs:
+                continue
+            # budget exhausted: the polluted sample is kept, but the
+            # artifact must say so (BENCH_r05's 4x jump was exactly
+            # this, silently — see VERDICT r5 "What's wrong" #1)
+            polluted += 1
+            steal_kept += st
+        samples.append(dt_s)
+    samples.sort()
+    dt = samples[len(samples) // 2]
+    phase = {
+        "name": name,
+        "elementCount": n,
+        "time": round(dt * 1000),  # ms, like the reference
+        "recordsPerSecond": round(n / dt) if dt > 0 else 0,
+    }
+    if polluted:
+        phase["pollutedSamples"] = polluted
+        phase["cpuStealSeconds"] = round(steal_kept, 2)
+        print(
+            f"# WARNING {name}: {polluted} steal-polluted sample(s) "
+            f"kept ({steal_kept:.1f} stolen CPU-s) — timing unreliable",
+            file=sys.stderr,
+        )
+    return phase, samples
+
+
+# the orderkey-bucketed at-rest layout (VERDICT r9 item 1): bucket/sort
+# column and registered table name per fact table
+_BUCKET_SPEC = {
+    "lineitem": ("l_orderkey", "bkt_lineitem"),
+    "orders": ("o_orderkey", "bkt_orders"),
+}
+
+
+def _bucketed_block(spark, sf_dir, queries):
+    """SPARK_GRAFT_BUCKETED=1 opt-in: derive orderkey-bucketed
+    lineitem/orders ONCE (un-timed, disclosed via deriveSeconds) and
+    re-run the TPC-H bench family against the bucketed layout. The
+    headline ``value``/``queries`` stay flat-layout (comparable
+    round-over-round); this block rides alongside, the same way a
+    production deployment would pay the bucketing once at ingest and
+    every orderkey join/agg thereafter skips its fact exchange
+    (`MultiPassStore.java:40-120`'s id-windowed design intent). Returns
+    None when the mode is off."""
+    if os.environ.get("SPARK_GRAFT_BUCKETED") != "1":
+        return None
+    import shutil
+
+    from neo4j_enterprise_spark import catalog as _catalog
+    from neo4j_enterprise_spark.plans import relational as _rel
+    from neo4j_enterprise_spark.sources import sink
+
+    tpch = {n: q for n, q in queries.items() if re.match(r"q\d+_", n)}
+    t0 = time.perf_counter()
+    for src, (col, tbl) in _BUCKET_SPEC.items():
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(f"spark-warehouse/{tbl}", ignore_errors=True)
+        sink.write_bucketed(
+            _catalog.load_table(spark, sf_dir, src),
+            tbl, [col], n_buckets=32, sort_cols=[col],
+        )
+    derive_s = time.perf_counter() - t0
+    print(f"# bucketed layout derived in {derive_s:.1f}s (un-timed)", file=sys.stderr)
+
+    flat_load = _catalog.load_table
+
+    def _bucketed_load(spark_, sf_dir_, name):
+        if name in _BUCKET_SPEC:
+            return spark_.table(_BUCKET_SPEC[name][1])
+        return flat_load(spark_, sf_dir_, name)
+
+    # the plan modules bind load_table at import time — patch there
+    _rel.load_table = _bucketed_load
+    try:
+        warm = {}
+        for name, q in sorted(tpch.items()):
+            t0 = time.perf_counter()
+            len(q.spark(spark, sf_dir).collect())
+            warm[name] = time.perf_counter() - t0
+        b_timings, b_phases = {}, []
+        for name, q in sorted(tpch.items()):
+            phase, samples = _timed_phase(
+                spark, f"{name}[bucketed]", q.spark, sf_dir, warm[name]
+            )
+            b_timings[name] = round(phase["time"] / 1000.0, 3)
+            b_phases.append(phase)
+            print(
+                f"# {name}[bucketed]: {phase['elementCount']} rows in "
+                f"{b_timings[name]}s "
+                f"(samples: {[round(s, 3) for s in samples]})",
+                file=sys.stderr,
+            )
+    finally:
+        _rel.load_table = flat_load
+    return {
+        "note": (
+            "TPC-H family re-run on orderkey-bucketed lineitem/orders "
+            "(32 buckets, bucket-sorted), derived once un-timed; "
+            "headline value/queries remain flat-layout"
+        ),
+        "deriveSeconds": round(derive_s, 1),
+        "queries": b_timings,
+        "phases": b_phases,
+    }
+
+
 def main() -> None:
     t_start = time.perf_counter()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -88,71 +230,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     phases = []
     for name, q in sorted(queries.items()):
-        # median of 5 timed runs: a single sample conflates the query's
-        # steady-state cost with one-off AQE/GC/scheduler jitter (measured
-        # at 3-4x on this rig — see BASELINE.md appendix); the median is
-        # the honest steady-state number the reference's TimingProgress
-        # also reports after its warmup. Long throughput-bound phases
-        # aren't jitter-dominated; one run is representative — classified
-        # by the WARMUP duration, not the first timed sample (a one-off
-        # GC/AQE spike on sample 1 must not suppress the re-sampling that
-        # would absorb it). Samples overlapping a hypervisor CPU-steal
-        # burst (>0.5 stolen CPU-seconds) are discarded and re-run —
-        # see _steal().
-        runs = 1 if warm[name] > 5.0 else 5
-        samples = []
-        n = 0
-        attempts = 0
-        polluted = 0  # steal-overlapped samples kept after budget exhaustion
-        steal_kept = 0.0  # stolen CPU-seconds inside the KEPT samples
-        while len(samples) < runs and attempts < 4 * runs:
-            attempts += 1
-            # drive ContextCleaner before the timer starts: weak-ref
-            # cleanup of prior runs' shuffle/broadcast state otherwise
-            # lags on a large heap and reads as query-time regression
-            # (measured 2s->45s->159s at sf1 without this)
-            spark.sparkContext._jvm.System.gc()
-            st0 = _steal()
-            t0 = time.perf_counter()
-            df = q.spark(spark, sf_dir)
-            n = len(df.collect())  # full materialization
-            dt_s = time.perf_counter() - t0
-            st = _steal() - st0
-            # steal above ~30% of the sample's wall clock (floor 1
-            # CPU-second) measures the neighbor tenant — retry while
-            # the attempt budget still allows reaching `runs` samples
-            if st > max(1.0, 0.3 * dt_s):
-                if len(samples) + (4 * runs - attempts) >= runs:
-                    continue
-                # budget exhausted: the polluted sample is kept, but the
-                # artifact must say so (BENCH_r05's 4x jump was exactly
-                # this, silently — see VERDICT r5 "What's wrong" #1)
-                polluted += 1
-                steal_kept += st
-            samples.append(dt_s)
-        samples.sort()
-        dt = samples[len(samples) // 2]
-        timings[name] = round(dt, 3)
-        phase = {
-            "name": name,
-            "elementCount": n,
-            "time": round(dt * 1000),  # ms, like the reference
-            "recordsPerSecond": round(n / dt) if dt > 0 else 0,
-        }
-        if polluted:
-            phase["pollutedSamples"] = polluted
-            phase["cpuStealSeconds"] = round(steal_kept, 2)
-            print(
-                f"# WARNING {name}: {polluted} steal-polluted sample(s) "
-                f"kept ({steal_kept:.1f} stolen CPU-s) — timing unreliable",
-                file=sys.stderr,
-            )
+        phase, samples = _timed_phase(spark, name, q.spark, sf_dir, warm[name])
+        timings[name] = round(phase["time"] / 1000.0, 3)
         phases.append(phase)
         print(
-            f"# {name}: {n} rows in {timings[name]}s "
+            f"# {name}: {phase['elementCount']} rows in {timings[name]}s "
             f"(samples: {[round(s, 3) for s in samples]})",
             file=sys.stderr,
         )
+
+    bucketed_block = _bucketed_block(spark, sf_dir, queries)
 
     if b1_split:
         # B1 per-store phases: mirror FullCheck's sequential store scans.
@@ -268,28 +355,38 @@ def main() -> None:
     total_sec = round(sum(timings.values()), 3)
     total_rows = sum(p["elementCount"] for p in phases)
     total_polluted = sum(p.get("pollutedSamples", 0) for p in phases)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_clock",
-                "value": total_sec,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "phases": phases,
-                "total": {
-                    "elementCount": total_rows,
-                    "time": round(total_sec * 1000),
-                    "recordsPerSecond": round(total_rows / total_sec) if total_sec else 0,
-                    # >0 means some phase medians include steal-polluted
-                    # samples (see per-phase pollutedSamples) — compare
-                    # this artifact round-over-round with caution
-                    "pollutedSamples": total_polluted,
-                },
-                **({"b1_canonical": canonical} if canonical else {}),
-            }
-        )
-    )
+    report = {
+        "metric": "headline_queries_wall_clock",
+        "value": total_sec,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "phases": phases,
+        "total": {
+            "elementCount": total_rows,
+            "time": round(total_sec * 1000),
+            "recordsPerSecond": round(total_rows / total_sec) if total_sec else 0,
+            # >0 means some phase medians include steal-polluted
+            # samples (see per-phase pollutedSamples) — compare
+            # this artifact round-over-round with caution
+            "pollutedSamples": total_polluted,
+        },
+        **({"b1_canonical": canonical} if canonical else {}),
+        **({"bucketed": bucketed_block} if bucketed_block else {}),
+    }
+    # The driver's BENCH_r{N}.json keeps only a 2000-char stdout tail
+    # (BENCH_r09 recorded parsed:null), so the one-line JSON alone is
+    # truncation-lossy — ALSO write the complete reference-schema report
+    # (`JsonReportWriter.java:60-131` shape) to a committed file so the
+    # per-phase table survives independent of the driver artifact.
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "bench_report.json")
+    try:
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=2)
+            f.write("\n")
+    except OSError as exc:
+        print(f"# bench_report write failed: {exc!r}", file=sys.stderr)
+    print(json.dumps(report))
     spark.stop()
 
 

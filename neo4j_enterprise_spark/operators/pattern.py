@@ -11,6 +11,7 @@ hop, each keyed on the node id — co-partitioned on a bucketed layout.
 
 from __future__ import annotations
 
+import os
 import re
 from collections.abc import Sequence
 
@@ -80,6 +81,36 @@ def match_path(
     # store). Joining all N node ids in front of the first hop was the
     # r9 sf10 finding: at 18.6M derived nodes it DOUBLED
     # cypher_with_having's wall for a constant-true existence check.
+    # CORRECTNESS CONTRACT: on a store that VIOLATES endpoint closure
+    # (dangling src/dst, duplicate node ids) the skipped join changes
+    # results — dangling paths are kept and duplicate ids no longer fan
+    # out — instead of silently dropping rows. Debug runs can assert the
+    # invariant eagerly: SPARK_GRAFT_DEBUG_INVARIANTS=1 makes every
+    # unfiltered-start compile verify closure and raise on violation
+    # (tests/test_pattern.py::test_unfiltered_start_invariant_debug).
+    if (
+        start_filter is None
+        and steps
+        and os.environ.get("SPARK_GRAFT_DEBUG_INVARIANTS")
+    ):
+        ids = nodes.select("id")
+        dangling = (
+            rels.select(F.col("src").alias("id"))
+            .unionByName(rels.select(F.col("dst").alias("id")))
+            .join(ids, "id", "left_anti")
+            .limit(1)
+            .count()
+        )
+        dup = (
+            ids.groupBy("id").count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dangling or dup:
+            raise ValueError(
+                "endpoint-closure invariant violated "
+                f"(dangling={bool(dangling)}, duplicate_ids={bool(dup)}): "
+                "an unfiltered pattern start relies on it; run "
+                "endpoints_not_in_use / check_fixture_relationships to locate"
+            )
     out = (
         nodes.filter(start_filter).select(F.col("id").alias("n0"))
         if start_filter is not None
@@ -594,14 +625,40 @@ def _apply_conds(out: DataFrame, conds) -> DataFrame:
 
 # Aggregates that merge losslessly across a finer grouping: grouping by
 # the node ID first and re-aggregating after the property attach gives
-# bit-identical results for these (count partials SUM, sum/min/max are
-# associative). avg / DISTINCT / collect are NOT mergeable this way and
-# disable the rewrite.
+# bit-identical results for these (count partials SUM; min/max are
+# associative for every type; sum is associative for integral/decimal
+# inputs ONLY — FP addition is order-dependent, so a DOUBLE/FLOAT sum is
+# blocked in ``_deferrable_attach_vars`` rather than merged). avg /
+# DISTINCT / collect are NOT mergeable this way and disable the rewrite.
 _MERGE_FNS = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+
+# Spark typeName()s whose sum is exactly associative (wrap-around aside,
+# which both the direct and deferred forms share): integral + decimal.
+_EXACT_SUM_TYPES = {"byte", "short", "integer", "long", "decimal"}
+
+
+def _sum_input_is_exact(var, prop, nodes, carried) -> bool:
+    """True iff the resolved input column of ``sum(var.prop)`` (or
+    ``sum(var)`` for a carried scalar) has an integral/decimal type.
+    Unknown / unresolvable types return False — conservatively treated
+    as float, which disables the deferred-attach rewrite for the stage.
+    """
+    dt = None
+    if prop is not None:
+        if nodes is not None and prop in nodes.columns:
+            dt = nodes.schema[prop].dataType.typeName()
+        elif carried is not None and f"{var}_{prop}" in carried.columns:
+            dt = carried.schema[f"{var}_{prop}"].dataType.typeName()
+    elif not callable(var) and carried is not None and var in carried.columns:
+        dt = carried.schema[var].dataType.typeName()
+    if dt is None:
+        return False
+    return dt.split("(")[0] in _EXACT_SUM_TYPES
 
 
 def _deferrable_attach_vars(
-    items, conds, exists_conds, set_list, opt_body, attach
+    items, conds, exists_conds, set_list, opt_body, attach,
+    nodes=None, carried=None,
 ) -> set[str]:
     """Vars whose property attach can move PAST the aggregation.
 
@@ -623,10 +680,17 @@ def _deferrable_attach_vars(
     aggs = [it for it in items if it[0] not in ("plain", "case")]
     if not aggs or any(it[0] == "case" for it in items):
         return set()
-    for kind, _var, _prop, distinct, _alias in aggs:
+    for kind, var, prop, distinct, _alias in aggs:
         if kind.startswith("aggcase:") or distinct:
             return set()
-        if kind.split(":")[1] not in _MERGE_FNS:
+        fn = kind.split(":")[1]
+        if fn not in _MERGE_FNS:
+            return set()
+        if fn == "sum" and not _sum_input_is_exact(var, prop, nodes, carried):
+            # sum-of-partial-sums is only bit-identical to the direct
+            # form for integral/decimal inputs; FP addition is not
+            # associative, so a double/float (or unresolvable) input
+            # disables the rewrite for the whole stage.
             return set()
     blocked: set[str] = set()
     for v, p in _cond_refs(conds):
@@ -1094,7 +1158,8 @@ def cypher_query(nodes: DataFrame, rels: DataFrame, query: str) -> DataFrame:
                 attach.setdefault(var, []).append(prop)
         attach = {v: sorted(set(ps)) for v, ps in attach.items()}
         defer = _deferrable_attach_vars(
-            items, conds, exists_conds, stage["set"], stage["opt"], attach
+            items, conds, exists_conds, stage["set"], stage["opt"], attach,
+            nodes=nodes, carried=carried,
         )
         kind_defer, id_alias = _deferrable_kind_semis(
             items, stage["match"], stage["opt"]

@@ -1367,11 +1367,15 @@ def tfidf_keywords(
     rescue) are BROADCAST and map-side joined, so the hot keys never
     shuffle; the remaining tail joins by term where every key carries
     < head_df rows BY CONSTRUCTION — skew-free without relying on AQE.
-    The tf exchange is canonically identical under all three consumers
-    (df aggregate, head join, tail anti+join), so Spark reuses one
-    shuffle. head_df trades broadcast size against tail width: the
-    head has at most (corpus pairs)/head_df terms — Zipf-small in
-    practice; at 100 TB size it so head fits the broadcast budget.
+    head and tail PARTITION the df table, so the tail inner join
+    already excludes every head term — no anti-join needed on the tail
+    leg. The tf exchange is canonically identical under both consumers
+    (df aggregate, tail join), so Spark reuses one shuffle. head_df
+    trades broadcast size against tail width: the head has at most
+    (corpus pairs)/head_df terms — Zipf-small in practice — but the
+    broadcast is data-dependent-size, so head_df must be chosen so the
+    head stays inside the executor broadcast budget (at 100 TB, raise
+    head_df until it does; the tail join only gets MORE skew-free).
 
     Returns (doc_id, term, tf, df, score, rk), rk = 1..top_k.
     """
@@ -1390,9 +1394,7 @@ def tfidf_keywords(
     head = df_.filter(F.col("df") >= head_df)
     tail = df_.filter(F.col("df") < head_df)
     scored_head = tf.join(F.broadcast(head), "term")
-    scored_tail = tf.join(
-        F.broadcast(head.select("term")), "term", "left_anti"
-    ).join(tail, "term")
+    scored_tail = tf.join(tail, "term")
     scored = (
         scored_head.unionByName(scored_tail)
         .crossJoin(F.broadcast(nd))
@@ -1687,11 +1689,19 @@ def ccnet_buckets(
         .groupBy("doc_id", "lang")
         .agg(
             F.sum("cnt").cast("long").alias("n_tokens"),
-            F.sum(F.col("cnt") * F.col("cf")).cast("long").alias("sum_cf"),
+            # cnt*cf in LONG wraps silently on a Zipf-heavy corpus (per-
+            # token products approach 10^17 at 100 TB; 10^4 distinct
+            # tokens/doc puts the sum past 2^63) while the DuckDB oracle
+            # sums BIGINTs into HUGEINT — sum in DECIMAL(38,0) so the
+            # Spark side stays exact and matches the HUGEINT oracle
+            # (the bm25_rank pattern, text.py §BM25).
+            F.sum(
+                F.col("cnt").cast("decimal(19,0)") * F.col("cf").cast("decimal(19,0)")
+            ).alias("sum_cf"),
         )
         .withColumn(
             "commonness_ppb",
-            F.expr(f"CAST((sum_cf * CAST({ppb} AS DECIMAL(38,0))) div n_tokens AS BIGINT)"),
+            F.expr(f"CAST((sum_cf * {ppb}) div n_tokens AS BIGINT)"),
         )
     )
     w = Window.partitionBy("lang").orderBy(F.desc("commonness_ppb"), "doc_id")

@@ -3701,10 +3701,10 @@ def docs_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     cf AS (SELECT tok, SUM(cnt) AS cf FROM db GROUP BY tok),
     per AS (SELECT d.doc_id, d.lang,
                    CAST(SUM(d.cnt) AS BIGINT) AS n_tokens,
-                   CAST(SUM(d.cnt * c.cf) AS BIGINT) AS sum_cf
+                   SUM(CAST(d.cnt AS HUGEINT) * c.cf) AS sum_cf
             FROM db d JOIN cf c USING (tok) GROUP BY d.doc_id, d.lang),
     k AS (SELECT doc_id, lang, n_tokens,
-                 CAST((CAST(sum_cf AS HUGEINT) * 1000000000) // n_tokens
+                 CAST((sum_cf * 1000000000) // n_tokens
                       AS BIGINT) AS commonness_ppb
           FROM per),
     b AS (SELECT doc_id, lang, n_tokens, commonness_ppb,

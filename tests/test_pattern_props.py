@@ -288,3 +288,71 @@ def test_deferral_rewrites_are_invisible(spark, sf_dir, q, monkeypatch):
     without = sorted(tuple(r) for r in cypher_query(nodes, rels, q).collect())
     assert with_rewrites == without
     assert with_rewrites  # non-degenerate fixture
+
+
+# ---------------------------------------------- r10 ADVICE hardening
+# 1) sum deferral is blocked for float/double inputs (FP addition is
+#    not associative, so sum-of-partial-sums is not bit-identical);
+# 2) SPARK_GRAFT_DEBUG_INVARIANTS asserts endpoint closure on an
+#    unfiltered pattern start (the r9 node-join skip's contract).
+
+
+def test_sum_deferral_blocked_for_double(spark):
+    from neo4j_enterprise_spark.operators.pattern import (
+        _deferrable_attach_vars,
+        _sum_input_is_exact,
+    )
+
+    nodes = spark.createDataFrame(
+        [(1, "a", 1.5, 7)], "id long, name string, score double, cnt long"
+    )
+    carried = spark.createDataFrame([(2.5, 3)], "x double, y long")
+    # RETURN n.name, sum(m.score): n deferrable only if the sum is exact
+    items = [
+        ("plain", "n", "name", False, "name"),
+        ("agg:sum", "m", "score", False, "total"),
+    ]
+    attach = {"n": ["name"], "m": ["score"]}
+    got = _deferrable_attach_vars(
+        items, [], [], [], None, attach, nodes=nodes, carried=None
+    )
+    assert got == set()  # double input blocks the whole stage
+    items_long = [
+        ("plain", "n", "name", False, "name"),
+        ("agg:sum", "m", "cnt", False, "total"),
+    ]
+    got_long = _deferrable_attach_vars(
+        items_long, [], [], [], None,
+        {"n": ["name"], "m": ["cnt"]}, nodes=nodes, carried=None,
+    )
+    assert got_long == {"n"}  # long input keeps n deferrable (m blocked as agg src)
+    # carried-scalar resolution + conservative unknown
+    assert _sum_input_is_exact("y", None, None, carried)
+    assert not _sum_input_is_exact("x", None, None, carried)
+    assert not _sum_input_is_exact("zz", None, None, carried)  # unresolvable
+
+
+def test_unfiltered_start_invariant_debug(spark, monkeypatch):
+    from neo4j_enterprise_spark.operators.pattern import match_path
+
+    nodes = spark.createDataFrame(
+        [(1, "customer", True, "A"), (2, "order", True, "B")],
+        "id long, kind string, in_use boolean, name string",
+    )
+    rels_ok = spark.createDataFrame(
+        [(10, 1, 2, "PLACED")], "id long, src long, dst long, type_name string"
+    )
+    rels_dangling = spark.createDataFrame(
+        [(10, 1, 99, "PLACED")], "id long, src long, dst long, type_name string"
+    )
+    monkeypatch.setenv("SPARK_GRAFT_DEBUG_INVARIANTS", "1")
+    assert match_path(nodes, rels_ok, [("PLACED", "out")]).count() == 1
+    with pytest.raises(ValueError, match="endpoint-closure"):
+        match_path(nodes, rels_dangling, [("PLACED", "out")])
+    # duplicate node ids also violate the contract
+    dup_nodes = nodes.unionByName(nodes)
+    with pytest.raises(ValueError, match="endpoint-closure"):
+        match_path(dup_nodes, rels_ok, [("PLACED", "out")])
+    # without the env var the skip is silent (performance contract)
+    monkeypatch.delenv("SPARK_GRAFT_DEBUG_INVARIANTS")
+    assert match_path(nodes, rels_dangling, [("PLACED", "out")]).count() == 1

@@ -41,6 +41,22 @@ def _steal() -> float:
 
 RUNS = 5
 
+# Rows whose Spark side pays fixed STREAMING MACHINERY (micro-batch
+# trigger loop, checkpoint dir, state store) against a plain batch
+# oracle: the ratio is a machinery-vs-batch artifact, volume-
+# independent, and must not be read as an engine gap (VERDICT r9 ask
+# #8 — at sf10 this row's 13.8× dominates worst-row optics while being
+# ~1.6 s absolute). Tagged † in the table; the aggregate is also
+# reported with these rows excluded.
+MACHINERY_ROWS = {
+    "events_stream_hourly_rollup": (
+        "Structured Streaming availableNow drain vs a batch SQL oracle: "
+        "fixed micro-batch/checkpoint cost, volume-independent (~1.6s "
+        "at any sf); the batch twin events_hourly_rollup measures the "
+        "same aggregation engine-vs-engine"
+    ),
+}
+
 
 def median5(fn, pre=None) -> float:
     """Median of RUNS steal-clean samples: a sample during which the
@@ -135,9 +151,20 @@ def main() -> None:
             rdd.unpersist()
     rows.sort(key=lambda r: -(r[1] / max(r[2], 1e-9)))
     for n, s, d in rows:
-        print(f"| {n} | {s:.2f} | {d:.3f} | {s / max(d, 1e-9):.1f}× |")
+        tag = " †" if n in MACHINERY_ROWS else ""
+        print(f"| {n} | {s:.2f} | {d:.3f} | {s / max(d, 1e-9):.1f}×{tag} |")
     ts, td = sum(r[1] for r in rows), sum(r[2] for r in rows)
     print(f"TOTAL spark={ts:.2f}s duckdb={td:.2f}s ratio={ts / td:.2f}x")
+    core = [r for r in rows if r[0] not in MACHINERY_ROWS]
+    if len(core) != len(rows):
+        tsc, tdc = sum(r[1] for r in core), sum(r[2] for r in core)
+        print(
+            f"TOTAL(batch-comparable) spark={tsc:.2f}s duckdb={tdc:.2f}s "
+            f"ratio={tsc / tdc:.2f}x"
+        )
+        for n in sorted(MACHINERY_ROWS):
+            if any(r[0] == n for r in rows):
+                print(f"# † {n}: {MACHINERY_ROWS[n]}")
     spark.stop()
 
 
