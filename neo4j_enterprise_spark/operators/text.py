@@ -357,22 +357,53 @@ def _merge_pair(sym, a: str, b: str):
     )
 
 
-def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text"):
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    max_batch: int = 16,
+):
     """Distributed BPE merge training (Sennrich-style): learn the top
     ``n_merges`` byte-pair merges from a corpus.
 
     Plan per round: adjacent-pair counts over the (word, count) table —
     one explode + one partial-agg shuffle on the pair key — then ONE
-    argmax row to the driver (the merge decision is a global scalar,
-    planner-sized like the IVF codebook collect); the merge itself is an
-    array fold fused into the projection (no shuffle). ONE driver action
-    per round: the argmax collect doubles as the materialization of the
-    current (lazily persisted) word table — the previous round's cache
-    is dropped only after its child is cached, so lineage stays one
-    merge deep. The word table carries one row per DISTINCT word
+    top-K collect to the driver (the merge decision is a global scalar
+    set, planner-sized like the IVF codebook collect); the merges apply
+    as array folds fused into one projection (no shuffle). ONE driver
+    action per round: the top-K collect doubles as the materialization
+    of the current (lazily persisted) word table — the previous round's
+    cache is dropped only after its child is cached, so lineage stays
+    one round deep. The word table carries one row per DISTINCT word
     (frequency-weighted), so round cost scales with vocabulary, not
     corpus size — the standard trainer shape at 100 TB where the
     word-count table is millions of rows against trillions of tokens.
+
+    ROUND BATCHING (``max_batch``, VERDICT r9 ask #6 — one driver
+    round-trip per merge caps realistic vocab size at 32k): each round
+    accepts a PREFIX of the rank order (count desc, a, b) whose merges
+    are provably the next sequential picks, so the learned merge list
+    is IDENTICAL to the one-merge-per-round trainer (pinned in
+    test_pipeline both against ``max_batch=1`` and the plain-Python
+    Sennrich loop). A candidate after the first is accepted only if
+    1. its symbols are disjoint from every already-accepted pair this
+       round — applying an earlier accepted merge then provably leaves
+       the candidate's count unchanged (pair occurrences only change
+       where they overlap a merged occurrence, which requires a shared
+       symbol), and
+    2. it STRICTLY dominates every pair that shares a symbol with the
+       accepted set — both the ones inside the collected top-K (no tie
+       at the candidate's count) and everything below the collected
+       horizon (bounded by the K+1-th count). Any pair the sequential
+       trainer could newly create or re-rank at this turn — (x, ab)
+       after merging (a, b), bounded by count(x, a) since every x·a·b
+       occurrence is an x·a occurrence — shares a symbol with the
+       accepted set, so strict dominance means the candidate is the
+       unique sequential argmax at its turn, tie-breaks included.
+    The batch stops at the first non-accepted candidate (rank order
+    must be preserved). Worst case (adversarially tied counts) degrades
+    to one merge per round — never to a wrong merge list. A 32k-vocab
+    train on a Zipf corpus takes ~32000/avg_batch driver round-trips.
 
     Returns (merges list[(a, b)], words DataFrame(word, count, syms)).
     """
@@ -390,10 +421,11 @@ def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text"):
     )
     merges: list[tuple[str, str]] = []
     prev: DataFrame | None = None
-    for _ in range(n_merges):
-        # the round's SINGLE action: the argmax scan also materializes
+    k_horizon = max(2 * max_batch, 32)
+    while len(merges) < n_merges:
+        # the round's SINGLE action: the top-K scan also materializes
         # ``words`` into its (lazy) persist cache as a side effect
-        pairs = (
+        top = (
             words.select(
                 "cnt",
                 F.explode(
@@ -407,18 +439,51 @@ def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text"):
             .groupBy("p.a", "p.b")
             .agg(F.sum("cnt").alias("n"))
             .orderBy(F.desc("n"), "a", "b")
-            .limit(1)
+            .limit(k_horizon + 1)
             .collect()
         )
         if prev is not None:
             # ``words`` is cached now; its parent can go
             prev.unpersist()
             prev = None
-        if not pairs or pairs[0]["n"] < 2:
+        if not top or top[0]["n"] < 2:
             break
-        a, b = pairs[0]["a"], pairs[0]["b"]
-        merges.append((a, b))
-        nxt = words.withColumn("syms", _merge_pair(F.col("syms"), a, b)).persist()
+        # counts below the collected horizon are <= this bound; a
+        # candidate must strictly beat it (an unseen pair sharing a
+        # symbol with the batch could otherwise tie at its turn)
+        outside = top[k_horizon]["n"] if len(top) > k_horizon else 0
+        batch: list[tuple[str, str]] = []
+        used: set[str] = set()
+        cap = min(max_batch, n_merges - len(merges))
+        for i, row in enumerate(top[:k_horizon]):
+            a, b, n = row["a"], row["b"], row["n"]
+            if n < 2 or len(batch) >= cap:
+                break
+            if batch:
+                if a in used or b in used:
+                    break  # count would change under the batch
+                if outside >= n:
+                    break  # unseen sharing pair could tie
+                if any(
+                    r["n"] == n and (r["a"] in used or r["b"] in used)
+                    for r in top[i + 1 : k_horizon]
+                ):
+                    break  # in-horizon sharing pair ties at n
+            batch.append((a, b))
+            used.update((a, b))
+        merges.extend(batch)
+        sym = F.col("syms")
+        for a, b in batch:
+            sym = _merge_pair(sym, a, b)
+        # lazy localCheckpoint, not persist: persist caches DATA but the
+        # logical plan still stacks every round's array folds — by ~30
+        # rounds the nested lambda expressions OOM the driver just
+        # RENDERING the plan (measured: explainString heap blowup at 32
+        # merges). The checkpoint truncates lineage to a LogicalRDD, so
+        # every round's plan is one projection over a materialized table —
+        # constant-size forever. Lazy: the NEXT round's top-K collect
+        # materializes it (one action per round, as before).
+        nxt = words.withColumn("syms", sym).localCheckpoint(eager=False)
         prev, words = words, nxt
     return merges, words
 

@@ -130,68 +130,79 @@ def register(
 #          store_upgrade_read), then start the r5 cohort (front of the
 #          check_fixture family) as window filler. After this window
 #          no oracle query's newest evidence is older than r5.
+#   r9:    50/50 green (CORRECTNESS_r09.json) — the gopher re-drive,
+#          the four r9 registrations, the full remaining r4 cohort;
+#          the six check_fixture fillers sat past slot 50 (unchecked,
+#          still r5-evidenced).
+#   r10 (this window): the two queries REGISTERED THIS ROUND lead
+#          (events_stream_pushk_parity / events_stream_catchup_tail —
+#          the R3/R5 driven parity twins, first driver rows, in-window
+#          per the r8 no-lag rule); then the two queries whose PLANS
+#          CHANGED this round (docs_ccnet_buckets: decimal-exact sum_cf
+#          both sides; docs_tfidf_keywords: tail anti-join dropped), so
+#          their r9/r8 greens are re-earned on the new plans; then the
+#          46 OLDEST-EVIDENCE queries, all with last check BEFORE r7
+#          (VERDICT r9 ask #3: >=40 pre-r7 re-greens after the r9
+#          compiler rewrites touched plan generation broadly) — the
+#          r1/r2 rows-only five, the six r5 check_fixture rows, and the
+#          front of the r5 cohort in name order. The ~56 remaining
+#          r5/r6-evidenced queries rotate in r11.
 # bench.py and the local parity tests are order-independent.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- the r8 red's fix: re-certify at head, FIRST ------------------
-    "docs_gopher_rules",
-    # -- registered THIS round (r9): first driver rows, in-window -----
-    "docs_soft_dedup_weights",
+    # -- registered THIS round (r10): first driver rows, in-window ----
+    "events_stream_pushk_parity",
+    "events_stream_catchup_tail",
+    # -- plans changed this round: re-earn the green ------------------
     "docs_ccnet_buckets",
-    "docs_rrf_fusion",
-    "emb_sq8_error",
-    # -- the full remaining r4 cohort ---------------------------------
-    "cypher_with_having",
-    "cypher_case_classify",
-    "cypher_collect_unwind",
-    "cypher_exists_inactive",
-    "cypher_merge_nodes",
-    "cypher_merge_rels",
-    "cypher_rel_var_counts",
-    "cypher_set_tier",
-    "cypher_shortest_path",
-    "cypher_type_alternation",
-    "cypher_union_dedup",
-    "cypher_where_or",
-    "cypher_with_collect",
-    "cypher_with_topk_expand",
-    "customer_rfm_segments",
-    "customer_spend_gini",
-    "docs_containment_pairs",
-    "docs_incremental_dedup",
-    "docs_neardup_clusters",
-    "docs_ngram_jaccard_pairs",
-    "docs_prefix_simjoin",
-    "docs_span_dedup",
-    "emb_centroid_similarity",
-    "events_stream_dedup_rollup",
-    "events_stream_interval_join",
-    "events_stream_stateful_totals",
-    "graph_betweenness_exact_small",
-    "graph_degree_assortativity",
-    "graph_harmonic_centrality",
-    "graph_hits_scores",
-    "graph_jsonl_roundtrip",
-    "graph_katz_truncated",
-    "graph_louvain_communities",
-    "graph_louvain_move_round",
-    "graph_mis_luby",
-    "graph_nation_trade_scc",
-    "graph_node_similarity",
-    "graph_random_walks",
-    "graph_rich_club",
-    "graph_trade_condensation_layers",
-    "graph_trade_reciprocity",
-    "media_decode_pipeline",
-    "parts_brand_modularity",
-    "parts_ktruss_bounded",
-    "store_upgrade_read",
-    # -- window filler: front of the r5 cohort -------------------------
+    "docs_tfidf_keywords",
+    # -- oldest evidence: last checked r1/r2 (rows-only family) -------
+    "ann_lsh_top5",
+    "docs_embedding_near_dup_lsh",
+    "graph_full_validation",
+    "graph_validation_suite_100k",
+    "txlog_replay_roundtrip",
+    # -- oldest evidence: last checked r5 ------------------------------
     "check_fixture_dictionaries",
     "check_fixture_first_property",
     "check_fixture_nodes",
     "check_fixture_ownership",
     "check_fixture_properties",
     "check_fixture_relationships",
+    "customer_fuzzy_match",
+    "customer_scd2_batch",
+    "docs_bigram_counts",
+    "docs_bpe_token_stats",
+    "docs_countmin_freq",
+    "docs_filter_pipeline",
+    "docs_heavy_hitter_terms",
+    "docs_incremental_minhash",
+    "docs_inverted_index",
+    "docs_keyword_search",
+    "docs_lang_id",
+    "docs_leakage_safe_split",
+    "docs_mixture_resample",
+    "docs_normalized_dedup",
+    "docs_pii_redaction",
+    "docs_quality_scores",
+    "docs_sequence_packing",
+    "docs_term_lift_by_source",
+    "docs_tokenizer_fertility",
+    "docs_train_eval_contamination",
+    "docs_unigram_commonness",
+    "docs_vocabulary_top_terms",
+    "emb_hard_negatives",
+    "events_burst_hours",
+    "events_conversion_latency",
+    "events_cumulative_users",
+    "events_equidepth_histogram",
+    "events_hourly_autocorr",
+    "events_hourly_gapfill",
+    "events_path_trigrams",
+    "events_stream_countmin",
+    "events_stream_leaderboard",
+    "graph_negative_samples",
+    "graph_orc_roundtrip",
+    "lineitem_skew_report",
 )
 
 

@@ -2789,6 +2789,154 @@ def events_stream_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_stream_pushk_parity",
+    """
+    SELECT s.sink_id,
+           e.event_type,
+           COUNT(*) * 2 AS n_events,
+           CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) * 2 AS BIGINT)
+             AS total_milli
+    FROM events e
+    CROSS JOIN (SELECT 0 AS sink_id UNION ALL SELECT 1
+                UNION ALL SELECT 2) s
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="DRIVEN push fan-out (R3, feeds.push_fanout — the reference's "
+    "master-push replication, `MasterTxIdGenerator.java:158-230`): the "
+    "events file staged TWICE with maxFilesPerTrigger=1 so the fan-out "
+    "runs across MULTIPLE committed micro-batches, each batch appended "
+    "to k=3 parquet sinks via foreachBatch; every sink is then read "
+    "back and rolled up per event_type. Parity contract: each sink "
+    "holds exactly the 2 staged copies — counts and milli-exact value "
+    "sums match the batch oracle x2 for ALL THREE sinks (no loss, no "
+    "extra delivery on any fan-out leg). Sixth driven stream/batch-"
+    "parity family (aggregate, join, custom state, dedup, fan-out).",
+)
+def events_stream_pushk_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from neo4j_enterprise_spark.streaming import feeds
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.realpath(os.path.join(sf_dir, "events.parquet"))
+    tag = hashlib.md5(path.encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"nes_pushk_src_{tag}")
+    os.makedirs(stage, exist_ok=True)
+    for name in ("aa_copy1.parquet", "bb_copy2.parquet"):
+        link = os.path.join(stage, name)
+        if os.path.lexists(link):
+            if os.path.islink(link) and os.readlink(link) != path:
+                os.unlink(link)
+                os.symlink(path, link)
+        else:
+            os.symlink(path, link)
+    # sinks + checkpoint are rebuilt fresh each run: append-mode sinks
+    # would otherwise accumulate copies across invocations
+    base = os.path.join(tempfile.gettempdir(), f"nes_pushk_out_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    sinks = [os.path.join(base, f"sink_{i}") for i in range(3)]
+    ckpt = os.path.join(base, "ckpt")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .select("event_id", "event_type", "value")
+    )
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = feeds.push_fanout(stream, sinks, ckpt)
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    per_sink = [
+        spark.read.parquet(d)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000).cast("long"))
+            .cast("long")
+            .alias("total_milli"),
+        )
+        .select(F.lit(i).cast("int").alias("sink_id"), "*")
+        for i, d in enumerate(sinks)
+    ]
+    out = per_sink[0]
+    for p in per_sink[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("sink_id", "event_type")
+
+
+@register(
+    "events_stream_catchup_tail",
+    """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT)
+             AS total_milli
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="DRIVEN late-joiner catch-up (R5 — the reference's backup-then-"
+    "tail, `BackupService.java:383-420`): a joiner that missed the "
+    "stream BACKFILLS everything before a cut point from the at-rest "
+    "store (batch read, the snapshot leg) and TAILS the stream from "
+    "the cut (readStream filtered ts >= cut, AvailableNow to a memory "
+    "sink — the tx-pull leg). The union of backfill rows and tailed "
+    "rows is aggregated once; hash-matching the whole-table batch "
+    "oracle proves the cut loses nothing and duplicates nothing across "
+    "the snapshot/stream seam. Cut = midpoint of the observed ts range "
+    "(deterministic per dataset). Seventh driven parity family.",
+)
+def events_stream_catchup_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    cut = (lo + hi) // 2  # epoch µs midpoint — deterministic
+    cols = ["event_id", "ts", "event_type", "value"]
+    backfill = ev.filter(F.unix_micros("ts") < cut).select(*cols)
+    tail = (
+        _staged_events_stream(spark, sf_dir)
+        .filter(F.unix_micros("ts") >= cut)
+        .select(*cols)
+    )
+    qn = f"events_stream_tail_{next(_STREAM_QUERY_SEQ)}"
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            tail.writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    return (
+        backfill.unionByName(spark.table(qn).select(*cols))
+        .groupBy(
+            F.unix_seconds(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000).cast("long"))
+            .cast("long")
+            .alias("total_milli"),
+        )
+        .orderBy("hour_epoch", "event_type")
+    )
+
+
+@register(
     "events_hourly_leaderboard",
     """
     WITH b AS (

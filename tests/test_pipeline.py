@@ -459,6 +459,32 @@ def test_bpe_train_matches_reference_loop(spark):
     assert segs == vocab
 
 
+def test_bpe_train_batched_matches_sequential(spark):
+    """Round batching (max_batch>1) must learn the IDENTICAL merge list
+    the one-merge-per-round trainer learns — the acceptance rule only
+    batches merges that are provably the next sequential picks. Run on
+    the real documents table (natural Zipf ties + shared symbols) and
+    on the toy corpus, at several merge depths."""
+    from neo4j_enterprise_spark.catalog import load_table
+    from neo4j_enterprise_spark.operators.text import bpe_train
+
+    corpora = {
+        "toy": spark.createDataFrame(
+            [(1, " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3))],
+            "doc_id long, text string",
+        ),
+        "docs": load_table(spark, "/root/testdata/sf0.001", "documents"),
+    }
+    for name, docs in corpora.items():
+        for n in (4, 12):
+            seq, w1 = bpe_train(docs, n_merges=n, max_batch=1)
+            bat, w2 = bpe_train(docs, n_merges=n, max_batch=16)
+            w1.unpersist()
+            w2.unpersist()
+            assert bat == seq, (name, n, seq, bat)
+            assert len(seq) == n  # non-degenerate: corpus supports n merges
+
+
 def test_bpe_encode_compresses_with_trained_merges(spark):
     from neo4j_enterprise_spark.operators.text import bpe_encode, bpe_train
 
