@@ -138,7 +138,7 @@ def _bucketed_block(spark, sf_dir, queries):
         shutil.rmtree(f"spark-warehouse/{tbl}", ignore_errors=True)
         sink.write_bucketed(
             _catalog.load_table(spark, sf_dir, src),
-            tbl, [col], n_buckets=32, sort_cols=[col],
+            tbl, [col], n_buckets=64, sort_cols=[col],
         )
     derive_s = time.perf_counter() - t0
     print(f"# bucketed layout derived in {derive_s:.1f}s (un-timed)", file=sys.stderr)
@@ -176,8 +176,8 @@ def _bucketed_block(spark, sf_dir, queries):
     return {
         "note": (
             "TPC-H family re-run on orderkey-bucketed lineitem/orders "
-            "(32 buckets, bucket-sorted), derived once un-timed; "
-            "headline value/queries remain flat-layout"
+            "(64 buckets, bucket-sorted, one file per bucket), derived "
+            "once un-timed; headline value/queries remain flat-layout"
         ),
         "deriveSeconds": round(derive_s, 1),
         "queries": b_timings,

@@ -225,17 +225,29 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
+    # r10 reorder (sf10 A/B in BASELINE §13): build the DIMENSION side
+    # first — orders(date-sliced) ⋈ customer on custkey, both small,
+    # projected to TWO columns (orderkey, c_nationkey) — then join THAT
+    # against the fact on orderkey. The r9 shape joined li⋈o first and
+    # then shuffled the 17M-row JOINED OUTPUT by custkey to meet
+    # customer; here the custkey exchange moves to the 4.3M-row orders
+    # slice and the fact's joined output never re-shuffles. On an
+    # orderkey-bucketed at-rest layout the fact side's exchange
+    # disappears too — the oc side alone re-hashes to the bucket count.
+    oc = (
+        o.join(c.hint("shuffle_hash"), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
+    )
     return (
-        # shuffle-hash on the two fact-adjacent joins (r9 sf10 A/B:
-        # 4.25s -> 3.10s for the core joins): the 60M-row lineitem side
-        # never SORTS; the build sides (date-sliced orders, customer)
-        # hash per partition under AQE sizing — the scale-safe middle
-        # between SMJ's fact sort and a static broadcast
-        li.join(o.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        # shuffle-hash, not sort-merge (r9 sf10 A/B: 4.25s -> 3.10s for
+        # the core joins): the 60M-row lineitem side never SORTS; the
+        # build side (oc, two ints per row) hashes per partition under
+        # AQE sizing — the scale-safe middle between SMJ's fact sort
+        # and a static broadcast
+        li.join(oc.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            c.hint("shuffle_hash"),
-            (F.col("o_custkey") == F.col("c_custkey"))
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))

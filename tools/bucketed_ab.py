@@ -9,8 +9,9 @@ Exchange-free in tests — this tool measures what that layout buys the
 three tail queries end-to-end:
 
   1. materialize lineitem + orders from the flat sf dir as bucketed,
-     bucket-sorted tables (32 buckets BY ORDERKEY — the join/group key
-     all three queries shuffle on);
+     bucket-sorted tables (N_BUCKETS BY ORDERKEY — the join/group key
+     all three queries shuffle on; 64 = two balanced waves on the
+     32-thread rig, and the r10 writer fix gives one file per bucket);
   2. run each query median-of-N steal-clean on the FLAT inputs, then
      again with `catalog.load_table` redirected to the bucketed tables;
   3. print the A/B rows + the Exchange counts of both physical plans,
@@ -43,13 +44,16 @@ QUERIES = (
     # r9: q5's residual after split sums + shuffle_hash is the fact's
     # orderkey exchange — the same layout lever applies
     "q5_local_supplier_volume",
+    # r10: q4's only fact join is on orderkey — co-bucketed layout
+    # removes both exchanges
+    "q4_order_priority",
 )
 BUCKET_SPEC = {
     # table -> (bucket/sort column, registered table name)
     "lineitem": ("l_orderkey", "bkt_lineitem"),
     "orders": ("o_orderkey", "bkt_orders"),
 }
-N_BUCKETS = 32
+N_BUCKETS = 64
 
 
 def main() -> None:
