@@ -89,6 +89,52 @@ def median5(fn, pre=None) -> float:
     return sorted(samples)[len(samples) // 2]
 
 
+def _oracle_worker(sf_dir: str, sql: str, runs: int, out_q) -> None:
+    """Run one oracle (warm + steal-clean median) inside a CHILD
+    process. sf30 lesson: a DuckDB out-of-memory on one heavy oracle
+    poisons the whole parent process heap — a fresh in-process
+    connection afterwards cannot allocate even 2 KB, and with no
+    explicit memory_limit DuckDB (sized to 80% of PHYSICAL RAM, blind
+    to the Spark JVM next door) aborts the process outright via
+    std::system_error. Process isolation makes every oracle failure a
+    clean, disclosed DNF row that cannot contaminate the sweep."""
+    try:
+        import duckdb as dk
+
+        c = dk.connect()
+        c.execute("SET threads TO 32")
+        c.execute("SET memory_limit='40GB'")
+        for t in TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        c.execute(sql).df()  # warm (parquet metadata, buffers)
+        global RUNS
+        RUNS = runs
+        d = median5(lambda: c.execute(sql).df())
+        out_q.put(("ok", d))
+    except Exception as exc:  # noqa: BLE001 — the whole point
+        out_q.put(("err", repr(exc)))
+
+
+def _oracle_median(sf_dir: str, sql: str, runs: int):
+    """(status, median_s | err_str) for one oracle, subprocess-isolated."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    out_q = ctx.Queue()
+    p = ctx.Process(target=_oracle_worker, args=(sf_dir, sql, runs, out_q))
+    p.start()
+    p.join(3600)
+    if p.is_alive():
+        p.terminate()
+        p.join()
+        return ("err", "oracle timeout (1h)")
+    if not out_q.empty():
+        return out_q.get()
+    return ("err", f"oracle subprocess died (exitcode {p.exitcode})")
+
+
 def main() -> None:
     global RUNS
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
@@ -98,12 +144,6 @@ def main() -> None:
     qs = {n: q for n, q in all_queries().items() if q.bench and q.oracle}
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
-    con = duckdb.connect()
-    con.execute("SET threads TO 32")
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
     rows = []
     dnf = []  # (name, spark_s, err): oracle failed — disclosed, not ratioed
     for n, q in sorted(qs.items()):
@@ -118,14 +158,12 @@ def main() -> None:
         warm = q.spark(spark, sf_dir).toPandas()  # warm codegen
         jgc = spark.sparkContext._jvm.System.gc
         s = median5(lambda: q.spark(spark, sf_dir).toPandas(), pre=jgc)
-        try:
-            con.execute(q.oracle).df()  # warm
-            d = median5(lambda: con.execute(q.oracle).df())
-        except Exception as exc:  # oracle DNF (e.g. span-dedup OOMs at
-            # sf30 while Spark spills and completes) — record the Spark
+        status, d = _oracle_median(sf_dir, q.oracle, RUNS)
+        if status != "ok":  # oracle DNF (e.g. span-dedup OOMs at sf30
+            # while Spark spills and completes) — record the Spark
             # time, exclude the row from ratio totals, disclose loudly
-            print(f"# {n}: spark {s:.2f}s duckdb DNF ({exc!r})", flush=True)
-            dnf.append((n, s, str(exc)))
+            print(f"# {n}: spark {s:.2f}s duckdb DNF ({d})", flush=True)
+            dnf.append((n, s, str(d)))
             import gc
 
             gc.collect()
@@ -140,13 +178,12 @@ def main() -> None:
             # pair isolates plan cost from steal-sensitive Arrow/C
             # materialization of the multi-million-row result.
             se = median5(lambda: q.spark(spark, sf_dir).count(), pre=jgc)
-            de = median5(
-                lambda: con.execute(
-                    f"SELECT COUNT(*) FROM ({q.oracle})"
-                ).fetchall()
+            st2, de = _oracle_median(
+                sf_dir, f"SELECT COUNT(*) FROM ({q.oracle})", RUNS
             )
             extra = (
-                f" [engine-only: spark {se:.2f}s duckdb {de:.3f}s"
+                f" [engine-only: spark {se:.2f}s duckdb "
+                f"{de if st2 != 'ok' else f'{de:.3f}s'}"
                 f" over {len(warm)} payload rows]"
             )
         print(f"# {n}: spark {s:.2f}s duckdb {d:.3f}s{extra}", flush=True)
