@@ -2912,7 +2912,12 @@ def events_stream_catchup_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     cut = (lo + hi) // 2  # epoch µs midpoint — deterministic
     cols = ["event_id", "ts", "event_type", "value"]
-    backfill = ev.filter(F.unix_micros("ts") < cut).select(*cols)
+    # NULL-ts rows belong to the backfill leg (a NULL fails BOTH range
+    # predicates and would otherwise be dropped by the seam entirely,
+    # while the batch oracle keeps them as a NULL hour group)
+    backfill = ev.filter(
+        (F.unix_micros("ts") < cut) | F.col("ts").isNull()
+    ).select(*cols)
     tail = (
         _staged_events_stream(spark, sf_dir)
         .filter(F.unix_micros("ts") >= cut)

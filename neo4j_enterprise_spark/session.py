@@ -125,6 +125,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # the 1g default aborts any multi-10M-row collect/toPandas (the
+        # sf30 degree_by_type materialization is ~1.5 GiB of Arrow
+        # batches) — size it to the analysis rig's driver heap. On a
+        # cluster this stays a guardrail against accidental full-table
+        # collects; analytical result pulls of this size should go
+        # through a parquet sink instead (sources/sink.py).
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "8g"),
+        )
     )
     if "SPARK_MASTER" not in os.environ:
         builder = builder.master(f"local[{cpus}]")

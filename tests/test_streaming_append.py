@@ -105,3 +105,25 @@ def test_session_append_matches_batch_and_evicts_state(spark, sf_dir):
     assert rows_total < len(got), (
         f"state rows ({rows_total}) not smaller than closed sessions ({len(got)})"
     )
+
+
+def test_catchup_tail_keeps_null_ts_rows(spark, tmp_path):
+    """The r10 catch-up twin's seam predicate: a NULL ts fails BOTH
+    range filters, so without the explicit isNull() branch those rows
+    vanish from the union while the batch oracle keeps them as a NULL
+    hour group. Replay the seam logic on a frame with NULL ts rows."""
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 05:00:00", "click", 1.0),
+            (2, "2024-01-02 05:00:00", "click", 2.0),
+            (3, None, "click", 4.0),
+        ],
+        "event_id long, ts_s string, event_type string, value double",
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "event_type", "value")
+    lo, hi = ev.agg(F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))).first()
+    cut = (lo + hi) // 2
+    backfill = ev.filter((F.unix_micros("ts") < cut) | F.col("ts").isNull())
+    tail = ev.filter(F.unix_micros("ts") >= cut)
+    union = backfill.unionByName(tail)
+    assert union.count() == ev.count()  # nothing lost at the seam
+    assert backfill.filter(F.col("ts").isNull()).count() == 1
