@@ -2270,31 +2270,55 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY window_start_us, event_type
     ORDER BY window_start_us, event_type
     """,
-    doc="Sliding-window rollup (1 h window, 15 min slide) via Spark's "
-    "native `window()` — each event lands in exactly 4 overlapping "
-    "windows, expanded map-side before one partial-agg shuffle. Oracle "
-    "derives the same 4 window starts arithmetically (floor-to-slide "
-    "minus k slides). Streaming twin: same expression under "
-    "readStream + watermark.",
+    doc="Sliding-window rollup (1 h window, 15 min slide), TWO-LEVEL: "
+    "aggregate the corpus ONCE into tumbling 15-min slot partials "
+    "(map-side combinable — the raw rows are touched exactly once), "
+    "then expand the AGGREGATED frame ×4 (each slot feeds the 4 "
+    "overlapping hour windows: start = slot − k·15 min, k ∈ 0..3) and "
+    "merge. Identical result to Spark's native window(1h, 15m) — a "
+    "row at t belongs to the windows starting at its slot minus 0-3 "
+    "slides, and counts/cent-sums merge associatively — but the ×4 "
+    "row expansion happens on thousands of slot rows instead of every "
+    "raw event (the r10 sf30 A/B: 2.36 s → measured below; at 100 TB "
+    "the native form quadruples the pre-shuffle volume). Oracle "
+    "derives the same starts arithmetically (floor-to-slide minus k "
+    "slides). The STREAMING path keeps native window() — watermark "
+    "eviction needs the built-in window column.",
     bench=True,  # the streaming-window scale path in the headline set
 )
 def events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    slots = ev.groupBy(
+        F.window("ts", "15 minutes").alias("s"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        # cent-quantized long sum (see events_hourly_rollup's r9 note)
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("vc"),
+    )
     return (
-        ev.groupBy(
-            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        slots.select(
+            F.unix_micros("s.start").alias("slot_us"),
+            "event_type",
+            "n",
+            "vc",
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("k"),
+        )
+        .groupBy(
+            (
+                F.col("slot_us")
+                - F.col("k").cast("long") * F.lit(900_000_000).cast("long")
+            ).alias("window_start_us"),
+            "event_type",
         )
         .agg(
-            F.count("*").alias("n_events"),
-            # cent-quantized long sum (see events_hourly_rollup's r9 note)
-            (
-                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
-                / F.lit(100.0)
-            ).alias("total_value"),
+            F.sum("n").cast("long").alias("n_events"),
+            (F.sum("vc").cast("double") / F.lit(100.0)).alias("total_value"),
         )
         .select(
-            F.unix_micros("w.start").alias("window_start_us"),
-            F.unix_micros("w.end").alias("window_end_us"),
+            "window_start_us",
+            (F.col("window_start_us") + F.lit(3_600_000_000)).alias(
+                "window_end_us"
+            ),
             "event_type",
             "n_events",
             "total_value",
