@@ -155,6 +155,59 @@ def minhash_signatures(
     )
 
 
+# Default quadratic-hot-spot guard for banded-LSH pair joins: a full
+# bucket costs cap^2/2 ~ 0.5M pair evaluations - bounded per-task work.
+# SQL oracles must mirror whatever cap the Spark plan uses (QUALIFY).
+MAX_BUCKET_DEFAULT = 1024
+
+
+def drop_oversized_buckets(
+    buckets: DataFrame,
+    max_bucket_size: int | None,
+    keys: tuple[str, ...] = ("band", "bucket"),
+) -> DataFrame:
+    """Guard every banded-LSH self-join against degenerate buckets.
+
+    A bucket of n members yields n·(n-1)/2 candidate pairs — one
+    pathological bucket (boilerplate docs sharing a band signature) is
+    a quadratic hot spot that AQE skew-split can spread across tasks
+    but not shrink. Production LSH systems bound it: buckets with MORE
+    than ``max_bucket_size`` members are dropped from candidate
+    generation entirely (their members were never going to be usefully
+    disambiguated by that band — with standard multi-band configs, any
+    genuinely similar pair still meets in its other, smaller bands).
+    ``oversized_bucket_report`` on the same frame names what was
+    dropped. ``None`` disables the guard. One window count over the
+    same (band, bucket) shuffle key the pair join uses — no extra
+    shuffle shape at scale.
+    """
+    if max_bucket_size is None:
+        return buckets
+    w = Window.partitionBy(*[F.col(c) for c in keys])
+    return (
+        buckets.withColumn("__bsz", F.count("*").over(w))
+        .filter(F.col("__bsz") <= max_bucket_size)
+        .drop("__bsz")
+    )
+
+
+def oversized_bucket_report(
+    buckets: DataFrame,
+    max_bucket_size: int,
+    keys: tuple[str, ...] = ("band", "bucket"),
+) -> DataFrame:
+    """The dropped-bucket report for :func:`drop_oversized_buckets`:
+    (keys..., bucket_size) for every bucket OVER the cap — the
+    monitoring view that tells a curator their banding config is
+    undersized for the corpus (the fix is more bands/planes or a
+    pre-dedup pass, not raising the cap)."""
+    return (
+        buckets.groupBy(*[F.col(c) for c in keys])
+        .agg(F.count("*").cast("long").alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -164,6 +217,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     portable: bool = False,
     sig: DataFrame | None = None,
+    max_bucket_size: int | None = MAX_BUCKET_DEFAULT,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
@@ -181,6 +235,13 @@ def minhash_lsh_pairs(
     portable); when given, the shingle→signature pipeline is not
     rebuilt (callers that also need the signatures — e.g. the
     calibration report — compute them once and share).
+
+    ``max_bucket_size`` — buckets with more members are DROPPED from
+    candidate generation (see :func:`drop_oversized_buckets`; the SQL
+    oracles mirror the cap with a QUALIFY window count). Pairs whose
+    only collision is an oversized bucket are NOT returned — the
+    documented recall trade that keeps one degenerate bucket from
+    going quadratic at 100 TB.
     """
     rows = num_hashes // bands
     if sig is None:
@@ -200,6 +261,7 @@ def minhash_lsh_pairs(
     buckets = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    buckets = drop_oversized_buckets(buckets, max_bucket_size)
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (
@@ -280,6 +342,7 @@ def simhash_banded_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     bits: int = 60,
+    max_bucket_size: int | None = MAX_BUCKET_DEFAULT,
 ) -> DataFrame:
     """Ladder step 3's retrieval half: near-dup *pairs* from simhash
     signatures via banded hamming lookup (`dedup.py` module docstring).
@@ -296,6 +359,13 @@ def simhash_banded_pairs(
 
     Input: (doc_id, simhash). Returns (doc_a, doc_b, hamming) with
     doc_a < doc_b, sorted output left to the caller.
+
+    ``max_bucket_size`` drops oversized (band, chunk) buckets before
+    the pair join (:func:`drop_oversized_buckets` — the quadratic-
+    hot-spot guard; oracle mirrors it via QUALIFY). NOTE the
+    pigeonhole-exactness claim above holds only for pairs all of whose
+    shared bands are within the cap; pairs living solely in dropped
+    buckets are not returned — disclosed recall trade.
     """
     band_width = bits // bands
     mask = (1 << band_width) - 1
@@ -316,6 +386,7 @@ def simhash_banded_pairs(
             )
         ).alias("bc"),
     ).select("doc_id", "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    banded = drop_oversized_buckets(banded, max_bucket_size, keys=("band", "chunk"))
     left = banded.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "chunk"
     )

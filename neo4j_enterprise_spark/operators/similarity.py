@@ -482,6 +482,7 @@ def embedding_near_dup_lsh(
     bands: int = 16,
     dims: int = 64,
     seed: int = 42,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """Embedding near-dup at scale: LSH-bucket candidate generation, then
     the same exact-cosine verify as ``embedding_near_dup``.
@@ -489,8 +490,22 @@ def embedding_near_dup_lsh(
     The pair join runs on (band, bucket) — candidate volume scales with
     collision rate, not corpus². Same output schema as the brute-force
     operator; recall is asserted against it in tests.
+
+    ``max_bucket_size`` (see ``dedup.drop_oversized_buckets``) drops a
+    (band, bucket) whose membership exceeds the cap before the pair
+    join — the quadratic-hot-spot guard. Random-hyperplane buckets
+    number 2^planes_per_band per band REGARDLESS of corpus size, so at
+    some corpus scale every bucket crosses any cap: a growing dropped-
+    bucket report (``dedup.oversized_bucket_report``) means the config
+    needs more planes per band (more, smaller buckets), not a bigger
+    cap.
     """
-    buckets = lsh_buckets(embeddings, planes_per_band, bands, dims, seed)
+    from .dedup import drop_oversized_buckets
+
+    buckets = drop_oversized_buckets(
+        lsh_buckets(embeddings, planes_per_band, bands, dims, seed),
+        max_bucket_size,
+    )
     cand = (
         buckets.join(
             buckets.withColumnRenamed("vec_id", "other"), ["band", "bucket"]

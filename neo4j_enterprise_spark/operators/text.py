@@ -357,6 +357,28 @@ def _merge_pair(sym, a: str, b: str):
     )
 
 
+def _release_checkpoint_blocks(df: DataFrame) -> None:
+    """Free a retired round-table's materialized blocks NOW.
+
+    ``DataFrame.unpersist()`` only clears CacheManager entries; a
+    ``localCheckpoint(eager=False)`` frame's blocks are held by the
+    underlying RDD (a ``LogicalRDD`` plan node), so after round 1 it
+    would be a no-op and a long (32k-vocab) train would accumulate one
+    round-table per merge round until GC + ContextCleaner reap them.
+    We unpersist BOTH: the CacheManager entry (round 0's ``persist()``)
+    and, when the plan is a LogicalRDD, its JVM RDD directly. Fallback
+    (plan shape changed across Spark versions): the ContextCleaner still
+    reclaims blocks on GC — correct, just not prompt.
+    """
+    df.unpersist()
+    try:
+        node = df._jdf.queryExecution().logical()
+        if node.getClass().getSimpleName() == "LogicalRDD":
+            node.rdd().unpersist(False)
+    except Exception:
+        pass  # best-effort: ContextCleaner remains the backstop
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 8,
@@ -444,7 +466,7 @@ def bpe_train(
         )
         if prev is not None:
             # ``words`` is cached now; its parent can go
-            prev.unpersist()
+            _release_checkpoint_blocks(prev)
             prev = None
         if not top or top[0]["n"] < 2:
             break

@@ -42,6 +42,13 @@ def register(
     bench: bool = False,
 ) -> Callable:
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        # A duplicate name would silently shadow the earlier registration
+        # (the r10 verdict found two such accidents); fail loudly instead.
+        if name in REGISTRY:
+            raise ValueError(
+                f"duplicate query registration: {name!r} is already "
+                f"registered ({REGISTRY[name].spark.__module__})"
+            )
         REGISTRY[name] = Query(name=name, spark=fn, oracle=oracle, doc=doc, bench=bench)
         return fn
 
@@ -147,62 +154,95 @@ def register(
 #          r1/r2 rows-only five, the six r5 check_fixture rows, and the
 #          front of the r5 cohort in name order. The ~56 remaining
 #          r5/r6-evidenced queries rotate in r11.
+#   r10:   50/50 hash-green (CORRECTNESS_r10.json): the two r10
+#          registrations, the two in-round plan changes, the r1/r2
+#          rows-only five, the six r5 check_fixture rows, the front of
+#          the r5 cohort. NOTE (r10 VERDICT "what's wrong" #2): two
+#          plans changed AFTER the r10 window froze —
+#          q5_local_supplier_volume (join reorder) and
+#          events_sliding_rollup (two-level slots) — so their r10-era
+#          greens were stale; they lead THIS window.
+#   r11 (this window): the two late-r10 stale greens FIRST
+#          (q5_local_supplier_volume, events_sliding_rollup — the
+#          latter also gained an explicit NULL-ts filter this round,
+#          mirrored in its oracle); then the three queries whose
+#          plans+oracles changed this round (the LSH oversized-bucket
+#          cap, mirrored via QUALIFY: docs_minhash_md5_candidates,
+#          docs_minhash_calibration, docs_simhash_neardup_pairs); then
+#          the two r11 RENAMES (first rows under the new names:
+#          graph_label_propagation_derived, docs_dup_rate_within_source
+#          — the r10 duplicate-registration fix; register() now raises
+#          on collision); then the oldest-evidence rotation: the full
+#          r5 cohort (8) and the r6 cohort in name order. No no_oracle
+#          re-drives this window (r10 VERDICT ask). 12 r6-evidenced
+#          queries did not fit and rotate first in r12:
+#          property_projection_default, q10_returned_items,
+#          q1_pricing_summary, record_counts_per_table,
+#          record_model_validation, rel_counts_by_type,
+#          round_robin_assignment, snapshot_branch_divergence,
+#          top_orders_per_customer, traverse_dfs_preorder,
+#          traverse_pruned_2hop, violations_summary.
+#          STANDING RULE (r10 VERDICT ask #1): any plan/oracle that
+#          changes AFTER this window's driver run leads the r12 window
+#          automatically — late-round changes re-earn their green the
+#          NEXT round, no exceptions.
 # bench.py and the local parity tests are order-independent.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- registered THIS round (r10): first driver rows, in-window ----
-    "events_stream_pushk_parity",
-    "events_stream_catchup_tail",
-    # -- plans changed this round: re-earn the green ------------------
-    "docs_ccnet_buckets",
-    "docs_tfidf_keywords",
-    # -- oldest evidence: last checked r1/r2 (rows-only family) -------
-    "ann_lsh_top5",
-    "docs_embedding_near_dup_lsh",
-    "graph_full_validation",
-    "graph_validation_suite_100k",
-    "txlog_replay_roundtrip",
-    # -- oldest evidence: last checked r5 ------------------------------
-    "check_fixture_dictionaries",
-    "check_fixture_first_property",
-    "check_fixture_nodes",
-    "check_fixture_ownership",
-    "check_fixture_properties",
-    "check_fixture_relationships",
-    "customer_fuzzy_match",
-    "customer_scd2_batch",
-    "docs_bigram_counts",
-    "docs_bpe_token_stats",
-    "docs_countmin_freq",
-    "docs_filter_pipeline",
-    "docs_heavy_hitter_terms",
-    "docs_incremental_minhash",
-    "docs_inverted_index",
-    "docs_keyword_search",
-    "docs_lang_id",
-    "docs_leakage_safe_split",
-    "docs_mixture_resample",
-    "docs_normalized_dedup",
-    "docs_pii_redaction",
-    "docs_quality_scores",
-    "docs_sequence_packing",
-    "docs_term_lift_by_source",
-    "docs_tokenizer_fertility",
-    "docs_train_eval_contamination",
-    "docs_unigram_commonness",
-    "docs_vocabulary_top_terms",
-    "emb_hard_negatives",
-    "events_burst_hours",
-    "events_conversion_latency",
-    "events_cumulative_users",
-    "events_equidepth_histogram",
-    "events_hourly_autocorr",
-    "events_hourly_gapfill",
-    "events_path_trigrams",
-    "events_stream_countmin",
-    "events_stream_leaderboard",
-    "graph_negative_samples",
-    "graph_orc_roundtrip",
-    "lineitem_skew_report",
+    # -- late-r10 plan changes: re-earn the stale green ----------------
+    "q5_local_supplier_volume",
+    "events_sliding_rollup",
+    # -- plans+oracles changed this round (LSH bucket cap) -------------
+    "docs_minhash_md5_candidates",
+    "docs_minhash_calibration",
+    "docs_simhash_neardup_pairs",
+    # -- renamed this round (duplicate-registration fix): first rows ---
+    "graph_label_propagation_derived",
+    "docs_dup_rate_within_source",
+    # -- oldest evidence: last checked r5 -------------------------------
+    "emb_label_centroids",
+    "nation_supplier_hhi",
+    "orders_incremental_join_view",
+    "orders_salted_join_rollup",
+    "parts_association_rules",
+    "parts_frequent_triples",
+    "supplier_pareto_share",
+    "txlog_as_of_read",
+    # -- oldest evidence: last checked r6 (name order) ------------------
+    "adjacency_out_typed",
+    "bfs_2hop_reach",
+    "chain_neighbors",
+    "check_fixture_graph_props",
+    "check_fixture_summary",
+    "cluster_member_rollup",
+    "connected_components",
+    "customer_props_unpivot",
+    "cypher_region_supply_paths",
+    "cypher_var_length_reach",
+    "degree_by_type",
+    "degree_histogram",
+    "degree_pivot_by_type",
+    "docs_curriculum_phases",
+    "docs_epoch_shuffle",
+    "docs_exact_k_sample",
+    "docs_hash_split_counts",
+    "docs_heavy_hitter_mg",
+    "docs_source_interleave",
+    "docs_stratified_sample",
+    "docs_token_budget_sample",
+    "endpoints_not_in_use",
+    "events_activity_streaks",
+    "events_hourly_leaderboard",
+    "events_rolling_hour_counts",
+    "events_time_profile",
+    "first_in_chain",
+    "graph_schema_summary",
+    "index_lookup_by_kind",
+    "neighborhood_1hop",
+    "node_counts_by_kind",
+    "node_point_lookup",
+    "orders_cube_pricing",
+    "pattern_2hop_paths",
+    "priority_take_k",
 )
 
 

@@ -1605,7 +1605,7 @@ def cypher_string_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "graph_label_propagation",
+    "graph_label_propagation_derived",
     f"""
     {graph_cte(nodes=False)},
     edges AS (SELECT src AS a, dst AS b FROM rels
@@ -1633,9 +1633,13 @@ def cypher_string_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "LPA) over the undirected derived graph; top-20 community sizes. "
     "Oracle unrolls both rounds as SQL CTEs — the 4th oracle-checked "
     "iterative algorithm (after BFS, Bellman-Ford, near-dup closure). "
-    "Per round: one count shuffle + one per-node window argmax.",
+    "Per round: one count shuffle + one per-node window argmax. "
+    "Renamed from graph_label_propagation in r11: that name was "
+    "accidentally reused by the lineitem co-purchase LPA (which keeps "
+    "it); this derived-graph variant exercises "
+    "traversal.label_propagation, the other community.label_propagation.",
 )
-def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_label_propagation_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     rels = derived_rels(spark, sf_dir)
     labels = traversal.label_propagation(rels, rounds=2)
     return (

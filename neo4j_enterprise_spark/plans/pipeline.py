@@ -321,12 +321,17 @@ def docs_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs).orderBy("doc_a", "doc_b")
 
 
-def _minhash_oracle_sql() -> str:
+def _minhash_oracle_sql(max_bucket_size: int | None = None) -> str:
     """Embed the identical permutation family as a VALUES list so the
     full shingle → minhash → band-bucket pipeline has an exact SQL twin
-    (md5 base hash, M = 2^31-1 keeps every product within BIGINT)."""
-    from ..operators.dedup import minhash_params
+    (md5 base hash, M = 2^31-1 keeps every product within BIGINT).
+    ``max_bucket_size`` defaults to the engine's MAX_BUCKET_DEFAULT —
+    the oracle replays the same oversized-bucket drop (QUALIFY window
+    count) the Spark plan applies."""
+    from ..operators.dedup import MAX_BUCKET_DEFAULT, minhash_params
 
+    if max_bucket_size is None:
+        max_bucket_size = MAX_BUCKET_DEFAULT
     perms = ", ".join(
         f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_params(32, 42))
     )
@@ -347,10 +352,14 @@ def _minhash_oracle_sql() -> str:
       SELECT doc_id, p.i,
              MIN((hx % 2147483647 * p.a + p.b) % 2147483647) AS mh
       FROM hx CROSS JOIN perms p GROUP BY doc_id, p.i),
-    bands AS (
+    bands_all AS (
       SELECT doc_id, i // 2 AS band,
              string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
-      FROM mins GROUP BY doc_id, i // 2)
+      FROM mins GROUP BY doc_id, i // 2),
+    bands AS (
+      -- mirror the engine's oversized-bucket drop (quadratic guard)
+      SELECT doc_id, band, bucket FROM bands_all
+      QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= {max_bucket_size})
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
     WHERE a.doc_id < b.doc_id
@@ -468,9 +477,13 @@ def docs_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
                   AS BIGINT) AS simhash
       FROM votes GROUP BY doc_id),
-    banded AS (
+    banded_all AS (
       SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS chunk
       FROM sig, (SELECT unnest(range(0, 4)) AS band) bands),
+    banded AS (
+      -- mirror the engine's oversized-bucket drop (quadratic guard)
+      SELECT doc_id, simhash, band, chunk FROM banded_all
+      QUALIFY COUNT(*) OVER (PARTITION BY band, chunk) <= 1024),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.simhash AS sa, b.simhash AS sb
@@ -486,7 +499,9 @@ def docs_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="SimHash ladder step 3 RETRIEVAL: banded hamming-ball lookup over "
     "the portable md5 60-bit signatures — 4×15-bit bands, equi-join on "
     "any band, verify bit_count(xor) <= 3. Exact by pigeonhole (3 < 4 "
-    "bands); the oracle re-implements the identical banding so the "
+    "bands) for pairs whose shared bands are within the bucket cap "
+    "(dedup.drop_oversized_buckets, mirrored in the oracle's QUALIFY); "
+    "the oracle re-implements the identical banding so the "
     "candidate-generation plan itself is hash-checked end-to-end.",
 )
 def docs_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -895,7 +910,7 @@ def events_per_user_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "docs_dup_rate_by_source",
+    "docs_dup_rate_within_source",
     """
     WITH hashed AS (SELECT source, md5(text) AS h FROM documents),
     grp AS (SELECT source, h, COUNT(*) AS n FROM hashed GROUP BY source, h)
@@ -908,9 +923,12 @@ def events_per_user_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Dedup health rollup: per source, documents that are redundant "
     "copies (beyond the first of each content group) and the redundancy "
     "rate — the monitoring view over the exact-dedup ladder. Integer "
-    "counts; one IEEE division.",
+    "counts; one IEEE division. Renamed from docs_dup_rate_by_source in "
+    "r11: that name was accidentally reused by the corpus-wide "
+    "(source x lang) variant, which keeps it; this one counts duplicate "
+    "groups WITHIN each source only.",
 )
-def docs_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+def docs_dup_rate_within_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     grp = (
         docs.select("source", F.md5("text").alias("h"))
@@ -3580,12 +3598,14 @@ def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_calibration_oracle_sql() -> str:
     """Extends ``_minhash_oracle_sql``'s pipeline past candidates:
     per-pair signature-component match count (the MinHash estimate)
-    next to exact shingle Jaccard and the signed error."""
-    from ..operators.dedup import minhash_params
+    next to exact shingle Jaccard and the signed error. Replays the
+    same oversized-bucket drop as the engine (QUALIFY)."""
+    from ..operators.dedup import MAX_BUCKET_DEFAULT, minhash_params
 
     perms = ", ".join(
         f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_params(32, 42))
     )
+    max_bucket_size = MAX_BUCKET_DEFAULT
     return rf"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
@@ -3603,10 +3623,14 @@ def _minhash_calibration_oracle_sql() -> str:
       SELECT doc_id, p.i,
              MIN((hx % 2147483647 * p.a + p.b) % 2147483647) AS mh
       FROM hx CROSS JOIN perms p GROUP BY doc_id, p.i),
-    bands AS (
+    bands_all AS (
       SELECT doc_id, i // 2 AS band,
              string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
       FROM mins GROUP BY doc_id, i // 2),
+    bands AS (
+      -- mirror the engine's oversized-bucket drop (quadratic guard)
+      SELECT doc_id, band, bucket FROM bands_all
+      QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= {max_bucket_size}),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket

@@ -1184,6 +1184,28 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_QUERY_SEQ = iter(range(1, 1 << 30))
 
 
+def _ensure_symlink(target: str, link: str) -> None:
+    """Make ``link`` a symlink to ``target``, whatever is there now.
+
+    The staging dirs live in tempdir across runs; anything at ``link``
+    that is not a symlink to ``target`` — a stale link, or a regular
+    file/dir left by an interrupted run — would silently feed a parity
+    query wrong input, so it is removed unconditionally and re-linked.
+    """
+    import os
+    import shutil
+
+    if os.path.lexists(link) and not (
+        os.path.islink(link) and os.readlink(link) == target
+    ):
+        if os.path.isdir(link) and not os.path.islink(link):
+            shutil.rmtree(link)
+        else:
+            os.unlink(link)
+    if not os.path.lexists(link):
+        os.symlink(target, link)
+
+
 def _staged_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage ``events.parquet`` behind a symlink dir and open it as a
     normalized (UTC, µs-timestamp ``ts``) streaming DataFrame.
@@ -1207,13 +1229,7 @@ def _staged_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(path.encode()).hexdigest()[:12]
     stage = os.path.join(tempfile.gettempdir(), f"nes_stream_events_{tag}")
     os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if os.path.lexists(link):
-        if os.path.islink(link) and os.readlink(link) != path:
-            os.unlink(link)
-            os.symlink(path, link)
-    else:
-        os.symlink(path, link)
+    _ensure_symlink(path, os.path.join(stage, "events.parquet"))
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(stage)
     ts_type = dict(stream.dtypes).get("ts", "")
@@ -1313,13 +1329,7 @@ def _staged_events_append_dir(spark: SparkSession, sf_dir: str) -> str:
     tag = hashlib.md5(path.encode()).hexdigest()[:12]
     stage = os.path.join(tempfile.gettempdir(), f"nes_stream_append_{tag}")
     os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "aa_events.parquet")
-    if os.path.lexists(link):
-        if os.path.islink(link) and os.readlink(link) != path:
-            os.unlink(link)
-            os.symlink(path, link)
-    else:
-        os.symlink(path, link)
+    _ensure_symlink(path, os.path.join(stage, "aa_events.parquet"))
     sentinel = os.path.join(stage, "zz_sentinel.parquet")
     if not os.path.exists(sentinel):
         sch = pq.read_schema(path)
@@ -2260,6 +2270,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                   - (CAST(EXTRACT(minute FROM e.ts) AS BIGINT) % 15) * 60000000
                   - CAST(k.k AS BIGINT) * 900000000 AS BIGINT) AS window_start_us
       FROM events e CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS k) k
+      WHERE e.ts IS NOT NULL
     )
     SELECT window_start_us,
            CAST(window_start_us + 3600000000 AS BIGINT) AS window_end_us,
@@ -2287,7 +2298,11 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,  # the streaming-window scale path in the headline set
 )
 def events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-ts contract, stated not accidental: window() silently drops
+    # NULL-timestamp rows, and the catch-up-seam work shows NULL ts is an
+    # anticipated input — filter explicitly and mirror it in the oracle
+    # (WHERE e.ts IS NOT NULL) so both engines agree by construction.
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     slots = ev.groupBy(
         F.window("ts", "15 minutes").alias("s"), "event_type"
     ).agg(
@@ -2781,13 +2796,7 @@ def events_stream_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = os.path.join(tempfile.gettempdir(), f"nes_stream_dup_{tag}")
     os.makedirs(stage, exist_ok=True)
     for name in ("aa_copy1.parquet", "bb_copy2.parquet"):
-        link = os.path.join(stage, name)
-        if os.path.lexists(link):
-            if os.path.islink(link) and os.readlink(link) != path:
-                os.unlink(link)
-                os.symlink(path, link)
-        else:
-            os.symlink(path, link)
+        _ensure_symlink(path, os.path.join(stage, name))
     schema = spark.read.parquet(path).schema
     stream = (
         spark.readStream.schema(schema)
@@ -2863,13 +2872,7 @@ def events_stream_pushk_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = os.path.join(tempfile.gettempdir(), f"nes_pushk_src_{tag}")
     os.makedirs(stage, exist_ok=True)
     for name in ("aa_copy1.parquet", "bb_copy2.parquet"):
-        link = os.path.join(stage, name)
-        if os.path.lexists(link):
-            if os.path.islink(link) and os.readlink(link) != path:
-                os.unlink(link)
-                os.symlink(path, link)
-        else:
-            os.symlink(path, link)
+        _ensure_symlink(path, os.path.join(stage, name))
     # sinks + checkpoint are rebuilt fresh each run: append-mode sinks
     # would otherwise accumulate copies across invocations
     base = os.path.join(tempfile.gettempdir(), f"nes_pushk_out_{tag}")

@@ -1680,3 +1680,33 @@ def test_sq8_error_bounds_and_exactness(spark, sf_dir):
         # SQ8 cell width is span/255 -> error bounded by one cell
         worst_span = max(max(mx[d] - mn[d], 1) for d in range(len(qv)))
         assert r["max_err_q"] <= worst_span // 255 + worst_span // 255 + 1
+
+
+def test_bpe_train_releases_round_tables(spark):
+    """Each retired round-table's localCheckpoint blocks must be freed
+    promptly (r10 ADVICE: DataFrame.unpersist is a no-op for
+    checkpointed frames — a 32k-vocab train would otherwise accumulate
+    one materialized table per round until GC)."""
+    from neo4j_enterprise_spark.operators.text import bpe_train
+
+    corpus = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    docs = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+
+    def live_ids():
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return {
+            infos[i].id()
+            for i in range(len(infos))
+            if infos[i].numCachedPartitions() > 0
+        }
+
+    before = live_ids()
+    # max_batch=1 forces one checkpoint per merge: 8 rounds
+    merges, words = bpe_train(docs, n_merges=8, max_batch=1)
+    assert len(merges) == 8
+    added = live_ids() - before
+    # at most the final round-table and its immediate parent survive;
+    # without the fix all 8 rounds' tables linger here
+    assert len(added) <= 3, f"{len(added)} round tables left cached"

@@ -130,9 +130,15 @@ def _oracle_median(sf_dir: str, sql: str, runs: int):
         p.terminate()
         p.join()
         return ("err", "oracle timeout (1h)")
-    if not out_q.empty():
-        return out_q.get()
-    return ("err", f"oracle subprocess died (exitcode {p.exitcode})")
+    # Queue.empty() is unreliable right after child exit (the feeder
+    # thread may still be flushing) — a blocking get with a grace
+    # timeout is the only reliable read.
+    import queue as _queue
+
+    try:
+        return out_q.get(timeout=10)
+    except _queue.Empty:
+        return ("err", f"oracle subprocess died (exitcode {p.exitcode})")
 
 
 def main() -> None:
