@@ -13,6 +13,7 @@ Usage: PYTHONPATH=. python tools/compare_duckdb.py [sf_dir] [runs]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -105,9 +106,12 @@ def _oracle_worker(sf_dir: str, sql: str, runs: int, out_q) -> None:
         c.execute("SET threads TO 32")
         c.execute("SET memory_limit='40GB'")
         for t in TABLES:
-            c.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-            )
+            # table-subset scale slices (tools/scale_rung.py) omit
+            # tables no measured query reads — register what exists
+            if os.path.exists(f"{sf_dir}/{t}.parquet"):
+                c.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+                )
         c.execute(sql).df()  # warm (parquet metadata, buffers)
         global RUNS
         RUNS = runs
