@@ -47,11 +47,22 @@ QUERIES = (
     # r10: q4's only fact join is on orderkey — co-bucketed layout
     # removes both exchanges
     "q4_order_priority",
+    # r11: q13's wall is the groupBy(o_custkey) fact aggregation — a
+    # CUSTKEY-bucketed orders removes that exchange (BASELINE §14)
+    "q13_customer_distribution",
 )
 BUCKET_SPEC = {
     # table -> (bucket/sort column, registered table name)
     "lineitem": ("l_orderkey", "bkt_lineitem"),
     "orders": ("o_orderkey", "bkt_orders"),
+}
+# per-query redirects that want a DIFFERENT bucket key than the default
+EXTRA_TABLES = {
+    # registered table -> (source table, bucket/sort column)
+    "bkt_orders_cust": ("orders", "o_custkey"),
+}
+QUERY_OVERRIDES = {
+    "q13_customer_distribution": {"orders": "bkt_orders_cust"},
 }
 N_BUCKETS = 64
 
@@ -73,10 +84,20 @@ def main() -> None:
         df = catalog.load_table(spark, sf_dir, src)
         sink.write_bucketed(df, tbl, [col], n_buckets=N_BUCKETS, sort_cols=[col])
         print(f"#   {tbl}: {src} bucketed x{N_BUCKETS} by {col}", flush=True)
+    for tbl, (src, col) in EXTRA_TABLES.items():
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(f"spark-warehouse/{tbl}", ignore_errors=True)
+        df = catalog.load_table(spark, sf_dir, src)
+        sink.write_bucketed(df, tbl, [col], n_buckets=N_BUCKETS, sort_cols=[col])
+        print(f"#   {tbl}: {src} bucketed x{N_BUCKETS} by {col}", flush=True)
 
     flat_load = catalog.load_table
+    current_query = {"name": None}
 
     def bucketed_load(spark, sf_dir_, name):
+        override = QUERY_OVERRIDES.get(current_query["name"], {})
+        if name in override:
+            return spark.table(override[name])
         if name in BUCKET_SPEC:
             return spark.table(BUCKET_SPEC[name][1])
         return flat_load(spark, sf_dir_, name)
@@ -90,6 +111,7 @@ def main() -> None:
     rows = []
     for qname in QUERIES:
         q = qs[qname]
+        current_query["name"] = qname
         timings = {}
         plans = {}
         for mode, loader in (("flat", flat_load), ("bucketed", bucketed_load)):

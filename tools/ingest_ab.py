@@ -52,6 +52,14 @@ LAYOUTS: dict[str, dict[str, str] | None] = {
     "uncompressed": {"compression": "none"},
     "snappy_nodict": {"compression": "snappy", "parquet.enable.dictionary": "false"},
     "snappy_page8m": {"compression": "snappy", "parquet.page.size": str(8 << 20)},
+    # composed winner: zstd-3 (best q1) + 8 MB pages (best q5) + 32 MB
+    # row groups (the rg knob's whole gain came at 32 MB)
+    "combo_zstd3_pg8m_rg32m": {
+        "compression": "zstd",
+        "parquet.compression.codec.zstd.level": "3",
+        "parquet.page.size": str(8 << 20),
+        "parquet.block.size": str(32 << 20),
+    },
 }
 OUT_ROOT = "spark-warehouse/ingest_ab"
 N_FILES = 32  # constant file count across layouts (one per core)
@@ -61,6 +69,9 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "localdata/sf10"
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     cdb.RUNS = runs
+    global LAYOUTS
+    if len(sys.argv) > 3:  # subset: layout names as extra args
+        LAYOUTS = {k: LAYOUTS[k] for k in ["original", *sys.argv[3:]]}
 
     spark = get_spark("ingest-ab")
     qs = all_queries()
