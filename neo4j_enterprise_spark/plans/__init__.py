@@ -174,14 +174,17 @@ def register(
 #          — the r10 duplicate-registration fix; register() now raises
 #          on collision); then the oldest-evidence rotation: the full
 #          r5 cohort (8) and the r6 cohort in name order. No no_oracle
-#          re-drives this window (r10 VERDICT ask). 12 r6-evidenced
-#          queries did not fit and rotate first in r12:
-#          property_projection_default, q10_returned_items,
-#          q1_pricing_summary, record_counts_per_table,
-#          record_model_validation, rel_counts_by_type,
-#          round_robin_assignment, snapshot_branch_divergence,
-#          top_orders_per_customer, traverse_dfs_preorder,
-#          traverse_pruned_2hop, violations_summary.
+#          re-drives this window (r10 VERDICT ask). These r6-evidenced
+#          queries did not fit and rotate first in r12 (count grew to
+#          16 when the four NULL-ts contract fixes took head slots):
+#          node_point_lookup, orders_cube_pricing, pattern_2hop_paths,
+#          priority_take_k, property_projection_default,
+#          q10_returned_items, q1_pricing_summary,
+#          record_counts_per_table, record_model_validation,
+#          rel_counts_by_type, round_robin_assignment,
+#          snapshot_branch_divergence, top_orders_per_customer,
+#          traverse_dfs_preorder, traverse_pruned_2hop,
+#          violations_summary.
 #          STANDING RULE (r10 VERDICT ask #1): any plan/oracle that
 #          changes AFTER this window's driver run leads the r12 window
 #          automatically — late-round changes re-earn their green the
@@ -198,6 +201,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- renamed this round (duplicate-registration fix): first rows ---
     "graph_label_propagation_derived",
     "docs_dup_rate_within_source",
+    # -- NULL-ts contract stated this round (plans+oracles changed;
+    #    events_path_trigrams also changed and already sits below in the
+    #    r5-cohort rotation) --------------------------------------------
+    "events_session_windows",
+    "events_stream_sessions_append",
+    "events_asof_attribution",
+    "events_user_sessions",
     # -- oldest evidence: last checked r5 -------------------------------
     "emb_label_centroids",
     "nation_supplier_hhi",
@@ -239,10 +249,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "index_lookup_by_kind",
     "neighborhood_1hop",
     "node_counts_by_kind",
-    "node_point_lookup",
-    "orders_cube_pricing",
-    "pattern_2hop_paths",
-    "priority_take_k",
 )
 
 

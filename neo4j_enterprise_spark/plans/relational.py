@@ -1453,7 +1453,8 @@ def events_stream_hourly_append(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN LAG(ts) OVER w IS NULL
                        OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
-      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), g AS (
       SELECT user_id, ts,
              SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -1507,8 +1508,11 @@ def run_events_sessions_append(
         )
     elif ts_type == "timestamp_ntz":
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    # same NULL-ts contract as the batch twin: session_window() would
+    # silently drop NULL ts - filter explicitly, mirrored in the oracle
     sessions = (
-        stream.withWatermark("ts", "2 hours")
+        stream.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", "2 hours")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"))
         .select(
@@ -1552,7 +1556,8 @@ def run_events_sessions_append(
              CASE WHEN LAG(ts) OVER w IS NULL
                        OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
-      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), g AS (
       SELECT user_id, ts,
              SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -1569,7 +1574,12 @@ def run_events_sessions_append(
     "feed `streaming.feeds.session_windows`; SURVEY §2.10 extension).",
 )
 def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-ts contract (r11, stated not accidental): rows without a
+    # timestamp cannot be time-ordered - both sides drop them explicitly
+    # (Spark and DuckDB disagree on NULL sort position and on NULL
+    # comparisons inside window/asof logic, so an unstated contract
+    # diverges the moment real data contains one NULL ts).
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"))
@@ -1590,8 +1600,10 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
            v.event_id AS view_id,
            v.value AS view_value,
            epoch_us(v.ts) AS view_ts_us
-    FROM (SELECT * FROM events WHERE event_type = 'click') c
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+    FROM (SELECT * FROM events
+          WHERE event_type = 'click' AND ts IS NOT NULL) c
+    ASOF LEFT JOIN (SELECT * FROM events
+                    WHERE event_type = 'view' AND ts IS NOT NULL) v
       ON c.user_id = v.user_id AND v.ts <= c.ts
     ORDER BY click_id
     """,
@@ -1604,7 +1616,12 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.asof import asof_join
 
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-ts contract (r11, stated not accidental): rows without a
+    # timestamp cannot be time-ordered - both sides drop them explicitly
+    # (Spark and DuckDB disagree on NULL sort position and on NULL
+    # comparisons inside window/asof logic, so an unstated contract
+    # diverges the moment real data contains one NULL ts).
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     clicks = ev.filter(F.col("event_type") == "click")
     views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id", "value")
     return asof_join(
@@ -1719,7 +1736,7 @@ def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                        > INTERVAL 30 MINUTE OR
                        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
-      FROM events)
+      FROM events WHERE ts IS NOT NULL)
     GROUP BY user_id
     HAVING SUM(new_session) > 0
     ORDER BY user_id
@@ -1730,7 +1747,12 @@ def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-ts contract (r11, stated not accidental): rows without a
+    # timestamp cannot be time-ordered - both sides drop them explicitly
+    # (Spark and DuckDB disagree on NULL sort position and on NULL
+    # comparisons inside window/asof logic, so an unstated contract
+    # diverges the moment real data contains one NULL ts).
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
     new_session = (
@@ -3119,7 +3141,7 @@ def store_upgrade_read(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type AS e1,
              LEAD(event_type, 1) OVER w AS e2,
              LEAD(event_type, 2) OVER w AS e3
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
     SELECT e1, e2, e3, COUNT(*) AS n_paths
     FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
@@ -3135,7 +3157,12 @@ def store_upgrade_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-ts contract (r11, stated not accidental): rows without a
+    # timestamp cannot be time-ordered - both sides drop them explicitly
+    # (Spark and DuckDB disagree on NULL sort position and on NULL
+    # comparisons inside window/asof logic, so an unstated contract
+    # diverges the moment real data contains one NULL ts).
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         F.col("event_type").alias("e1"),
