@@ -72,10 +72,12 @@ def plan_file_count(df: DataFrame, target_file_mb: int = 128) -> int:
 
 # Default at-rest parquet layout for every sink in this module — the
 # measured winner of the r11 ingest A/B (BASELINE.md §14): zstd-3 +
-# 8 MB pages + 32 MB row groups scanned ~25% faster than snappy
-# defaults AND halved the at-rest bytes on the TPC-H facts; no knob
-# beyond these moved the needle. Pass ``layout=None`` to a writer to
-# fall back to the engine defaults, or a dict to override per-write.
+# 8 MB pages + 32 MB row groups. Primarily a STORAGE lever (2.8×
+# smaller at rest than the snappy/PLAIN source at sf30) at roughly
+# scan-neutral cost (sf10: ~25% faster; sf30: q5 −13%, q1 +12% — the
+# zstd decode tax on wide scans can offset the row-group gain). Pass
+# ``layout=None`` to a writer to fall back to the engine defaults, or
+# a dict to override per-write.
 INGEST_LAYOUT: dict[str, str] = {
     "compression": "zstd",
     "parquet.compression.codec.zstd.level": "3",
