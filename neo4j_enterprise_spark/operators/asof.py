@@ -9,9 +9,16 @@ Scale design — union + sort + forward-fill, NOT a range join:
 
 1. tag right rows 0, left rows 1;
 2. union and window-partition by key, ordered by (ts, tag);
-3. forward-fill the right payload with ``last(..., ignorenulls=True)``
-   over rows UNBOUNDED PRECEDING..CURRENT;
+3. forward-fill the right payload as ONE struct with
+   ``last(struct, ignorenulls=True)`` over rows UNBOUNDED
+   PRECEDING..CURRENT (struct-not-columns so a matched row's
+   legitimately-NULL field is carried, never skipped for an older
+   row's value);
 4. keep the left rows.
+
+NULL semantics match SQL ``ASOF JOIN ... ON l.k = r.k``: NULL keys
+never match (NULL-key right rows are dropped before the union;
+NULL-key left rows pass through unmatched).
 
 One shuffle on the key, linear work per partition, no candidate-pair
 explosion — a ``left.ts >= right.ts`` range join would be O(|L|·|R|)
@@ -47,27 +54,55 @@ def asof_join(
     non-key, non-ts right column); payload columns arrive suffixed.
     ``tolerance_seconds`` voids matches older than the window.
     """
+    from pyspark.sql.types import StructField, StructType
+
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in keys and c != right_ts]
     payload = [f"{c}{suffix}" for c in right_cols]
     matched_ts = f"__asof_ts{suffix}"
 
+    # SQL equality semantics (r12 NULL sweep): a NULL key never matches —
+    # Spark windows would otherwise gather all NULL-key rows into ONE
+    # partition and "match" them to each other, where DuckDB's
+    # ASOF ... ON l.k = r.k leaves the left row unmatched. Dropping
+    # NULL-key RIGHT rows reproduces that exactly: NULL-key left rows
+    # still flow through (their partition simply has nothing to fill).
+    null_key = None
+    for k in keys:
+        cond = F.col(k).isNull()
+        null_key = cond if null_key is None else (null_key | cond)
+    right = right.filter(~null_key)
+
+    # The forward-filled unit is ONE struct, not per-column last():
+    # last(col, ignorenulls=True) per column skips a matched row whose
+    # field is legitimately NULL and steals an OLDER row's value — and
+    # different payload columns could even come from DIFFERENT right
+    # rows (r12 NULL sweep caught this on view_value). The struct is
+    # NULL for left rows and non-NULL (fields may be NULL) for right
+    # rows, so one last(ignorenulls) picks exactly the latest right ROW.
+    fill = "__asof_fill"
+    fill_type = StructType(
+        [StructField(p, right.schema[c].dataType) for c, p in zip(right_cols, payload)]
+        + [StructField(matched_ts, right.schema[right_ts].dataType)]
+    )
+
     left_cols = list(left.columns)
     l_tagged = left.select(
         *left_cols,
         F.col(left_ts).alias("__asof_ts"),
         F.lit(1).alias("__asof_tag"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(p) for c, p in zip(right_cols, payload)],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias(matched_ts),
+        F.lit(None).cast(fill_type).alias(fill),
     )
     r_tagged = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in keys],
         *keys,
         F.col(right_ts).alias("__asof_ts"),
         F.lit(0).alias("__asof_tag"),
-        *[F.col(c).alias(p) for c, p in zip(right_cols, payload)],
-        F.col(right_ts).alias(matched_ts),
+        F.struct(
+            *[F.col(c).alias(p) for c, p in zip(right_cols, payload)],
+            F.col(right_ts).alias(matched_ts),
+        ).alias(fill),
     ).select(*l_tagged.columns)
 
     w = (
@@ -78,10 +113,16 @@ def asof_join(
     filled = l_tagged.unionByName(r_tagged).select(
         *left_cols,
         "__asof_tag",
-        *[F.last(p, ignorenulls=True).over(w).alias(p) for p in payload],
-        F.last(matched_ts, ignorenulls=True).over(w).alias(matched_ts),
+        F.last(fill, ignorenulls=True).over(w).alias(fill),
     )
-    out = filled.filter(F.col("__asof_tag") == 1).drop("__asof_tag")
+    out = (
+        filled.filter(F.col("__asof_tag") == 1)
+        .select(
+            *left_cols,
+            *[F.col(f"{fill}.{p}").alias(p) for p in payload],
+            F.col(f"{fill}.{matched_ts}").alias(matched_ts),
+        )
+    )
     if tolerance_seconds is not None:
         stale = (
             F.col(left_ts).cast("double") - F.col(matched_ts).cast("double")

@@ -471,9 +471,13 @@ def span_dedup(
             idxs: list = []
             blocks: list = []
             for did, text in zip(pdf["doc_id"], pdf[text_col]):
-                # null-tolerant like the Catalyst split() it replaced:
-                # a NULL text yields one empty block, not a crashed job
-                toks = (text or "").split(" ")
+                # NULL-text contract (r12 sweep): no content -> no spans
+                # -> doc absent from the report, matching the oracle's
+                # explicit filter. Empty text still yields one '' block
+                # (split-on-space semantics). Never crashes on NULL.
+                if text is None:
+                    continue
+                toks = text.split(" ")
                 nb = max((len(toks) + block - 1) // block, 1)
                 for i in range(nb):
                     ids.append(did)

@@ -41,6 +41,10 @@ def attach_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
     deterministically. Real pipelines read (path, bytes) from object
     storage with exactly this schema."""
     h = F.abs(F.xxhash64(F.col(text_col)))
+    # NULL-text contract (r12 sweep): no content -> no media row. Stated
+    # here AND defensively at each decode stage (a NULL payload must
+    # never abort a 100 TB job inside the Arrow worker).
+    docs = docs.filter(F.col(text_col).isNotNull())
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col(text_col), "UTF-8").alias("payload"),
@@ -89,7 +93,13 @@ def decode_image(media: DataFrame, deterministic_fake: bool = False) -> DataFram
                 }
             )
 
-    return media.select("media_id", "payload").mapInPandas(_decode, DECODED_SCHEMA)
+    # NULL payloads are undecodable by definition; drop them JVM-side
+    # (scan-fused filter) so a stray NULL can never crash the Arrow stage
+    return (
+        media.select("media_id", "payload")
+        .filter(F.col("payload").isNotNull())
+        .mapInPandas(_decode, DECODED_SCHEMA)
+    )
 
 
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
@@ -118,7 +128,11 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
                 }
             )
 
-    return media.select("media_id", "payload").mapInPandas(_feat, FEATURES_SCHEMA)
+    return (
+        media.select("media_id", "payload")
+        .filter(F.col("payload").isNotNull())
+        .mapInPandas(_feat, FEATURES_SCHEMA)
+    )
 
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4) -> DataFrame:
@@ -139,7 +153,11 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4
                 {"media_id": ids, "frame_idx": idxs, "frame_payload": payloads}
             )
 
-    return media.select("media_id", "payload").mapInPandas(_frames, FRAMES_SCHEMA)
+    return (
+        media.select("media_id", "payload")
+        .filter(F.col("payload").isNotNull())
+        .mapInPandas(_frames, FRAMES_SCHEMA)
+    )
 
 
 RESIZED_SCHEMA = "media_id long, width int, height int, payload binary"
@@ -176,7 +194,11 @@ def resize_image(
                 }
             )
 
-    return media.select("media_id", "payload").mapInPandas(_resize, RESIZED_SCHEMA)
+    return (
+        media.select("media_id", "payload")
+        .filter(F.col("payload").isNotNull())
+        .mapInPandas(_resize, RESIZED_SCHEMA)
+    )
 
 
 def dedup_by_payload(media: DataFrame) -> DataFrame:

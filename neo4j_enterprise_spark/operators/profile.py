@@ -85,8 +85,13 @@ def equidepth_histogram(
 
     order = [F.col(col)] + ([F.col(id_col)] if id_col else [])
     w = Window.orderBy(*order)
+    # NULL-value contract (r12 sweep): a histogram describes the VALUES;
+    # NULLs are a separate statistic (null_frac), not a bucket member —
+    # and engines disagree on NULL sort position (Spark NULLS FIRST vs
+    # DuckDB NULLS LAST ascending), so including them diverges anyway.
     return (
-        df.withColumn("__b", F.ntile(buckets).over(w))
+        df.filter(F.col(col).isNotNull())
+        .withColumn("__b", F.ntile(buckets).over(w))
         .groupBy(F.col("__b").alias("bucket"))
         .agg(
             F.min(col).alias("lo"),

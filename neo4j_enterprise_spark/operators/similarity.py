@@ -25,6 +25,13 @@ from pyspark.sql.window import Window
 
 from ..functions.vectors import QUANT, dot as _dot, dot_double as _dot_d, quantize
 
+# Quadratic-hot-spot guard for the hyperplane-LSH family (mirrors
+# dedup.MAX_BUCKET_DEFAULT for the minhash/simhash family): a (band,
+# bucket) whose membership exceeds this is dropped before any pair/
+# candidate join. Oracles interpolate this constant (never a literal)
+# so plan and oracle cannot silently diverge if it changes.
+MAX_BUCKET_DEFAULT = 4096
+
 
 def _np_quantize(mat: np.ndarray, scale: int = 1000) -> np.ndarray:
     """Numpy twin of ``functions.vectors.quantize`` — EXACTLY Spark's
@@ -401,14 +408,27 @@ def lsh_ann_topk(
     bands: int = 16,
     dims: int = 64,
     seed: int = 42,
+    max_bucket_size: int | None = MAX_BUCKET_DEFAULT,
 ) -> DataFrame:
     """Approximate top-k: score only pairs sharing an LSH bucket.
 
     At scale this is a shuffle join on (band, bucket) — candidate count
     scales with collision rate, not corpus². Output schema matches the
     brute-force operator (recall measured against it in tests).
+
+    ``max_bucket_size`` drops oversized (band, bucket) groups before the
+    candidate join (same guard as ``embedding_near_dup_lsh``): a hot
+    bucket contributes |seeds_in_bucket| x |bucket| candidate rows, and
+    a bucket that large carries almost no locality signal anyway — a
+    seed in a dropped bucket still gets candidates from its other
+    ``bands - 1`` bands.
     """
-    buckets = lsh_buckets(embeddings, planes_per_band, bands, dims, seed)
+    from .dedup import drop_oversized_buckets
+
+    buckets = drop_oversized_buckets(
+        lsh_buckets(embeddings, planes_per_band, bands, dims, seed),
+        max_bucket_size,
+    )
     seed_buckets = buckets.join(
         seeds.select(F.col("vec_id")), "vec_id"
     ).withColumnRenamed("vec_id", "seed")
@@ -482,7 +502,7 @@ def embedding_near_dup_lsh(
     bands: int = 16,
     dims: int = 64,
     seed: int = 42,
-    max_bucket_size: int | None = 4096,
+    max_bucket_size: int | None = MAX_BUCKET_DEFAULT,
 ) -> DataFrame:
     """Embedding near-dup at scale: LSH-bucket candidate generation, then
     the same exact-cosine verify as ``embedding_near_dup``.

@@ -327,7 +327,10 @@ def chunk_documents(
     n_chunks = F.floor((n - 1).cast("double") / stride).cast("int") + 1
     starts = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
     chunks = F.transform(starts, lambda i: F.slice(tokens, i * stride + 1, window))
-    out = docs.select(
+    # NULL-text contract (r12 sweep): no tokens -> no chunks. Without the
+    # filter, greatest(NULL - 1, 0) SKIPS the NULL and yields start 0, so
+    # every NULL doc emitted one garbage (NULL-token) chunk.
+    out = docs.filter(F.col(text_col).isNotNull()).select(
         "doc_id", F.posexplode(chunks).alias("chunk_id", "chunk_tokens")
     )
     return out.select(
@@ -357,7 +360,10 @@ def _merge_pair(sym, a: str, b: str):
     )
 
 
-def _release_checkpoint_blocks(df: DataFrame) -> None:
+_WARNED_NO_PROMPT_RELEASE = False
+
+
+def _release_checkpoint_blocks(df: DataFrame, expect_rdd: bool = True) -> None:
     """Free a retired round-table's materialized blocks NOW.
 
     ``DataFrame.unpersist()`` only clears CacheManager entries; a
@@ -371,12 +377,31 @@ def _release_checkpoint_blocks(df: DataFrame) -> None:
     reclaims blocks on GC — correct, just not prompt.
     """
     df.unpersist()
+    prompt_release = False
     try:
         node = df._jdf.queryExecution().logical()
         if node.getClass().getSimpleName() == "LogicalRDD":
             node.rdd().unpersist(False)
+            prompt_release = True
     except Exception:
         pass  # best-effort: ContextCleaner remains the backstop
+    if expect_rdd and not prompt_release:
+        # Spark-version canary (ADVICE r11): the py4j plan-node probe is
+        # internal API; if an upgrade renames LogicalRDD or the accessor
+        # chain, prompt release silently degrades to GC-paced cleanup.
+        # Say so once per session instead of hiding it in except-pass.
+        global _WARNED_NO_PROMPT_RELEASE
+        if not _WARNED_NO_PROMPT_RELEASE:
+            _WARNED_NO_PROMPT_RELEASE = True
+            import warnings
+
+            warnings.warn(
+                "bpe_train: localCheckpoint block release fell back to "
+                "GC-paced cleanup (LogicalRDD probe failed — Spark "
+                "internals changed?); long trains may hold extra blocks",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
 
 def bpe_train(
@@ -443,6 +468,8 @@ def bpe_train(
     )
     merges: list[tuple[str, str]] = []
     prev: DataFrame | None = None
+    prev_is_ckpt = False  # round 0's parent is the persist()ed seed
+    words_is_ckpt = False
     k_horizon = max(2 * max_batch, 32)
     while len(merges) < n_merges:
         # the round's SINGLE action: the top-K scan also materializes
@@ -465,8 +492,11 @@ def bpe_train(
             .collect()
         )
         if prev is not None:
-            # ``words`` is cached now; its parent can go
-            _release_checkpoint_blocks(prev)
+            # ``words`` is cached now; its parent can go. Round 0's
+            # parent is the plain persist()ed seed frame (no LogicalRDD
+            # — unpersist alone IS the full release); only checkpointed
+            # parents should trip the version canary.
+            _release_checkpoint_blocks(prev, expect_rdd=prev_is_ckpt)
             prev = None
         if not top or top[0]["n"] < 2:
             break
@@ -507,6 +537,7 @@ def bpe_train(
         # materializes it (one action per round, as before).
         nxt = words.withColumn("syms", sym).localCheckpoint(eager=False)
         prev, words = words, nxt
+        prev_is_ckpt, words_is_ckpt = words_is_ckpt, True
     return merges, words
 
 
@@ -767,7 +798,10 @@ def bm25_rank(
     c_tf = k1d * bd
     c_tl = k1n * (bd - bn)
     c_dl = k1n * bn
-    toks = docs.select(
+    # NULL-text contract (r12 sweep): a NULL doc is not part of the
+    # retrieval corpus — it must not inflate n_docs (idf) or appear in
+    # per-doc stats. Mirrored by WHERE text IS NOT NULL in the oracles.
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
         key_col,
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("t"),
     )

@@ -191,65 +191,115 @@ def register(
 #          NEXT round, no exceptions.
 # bench.py and the local parity tests are order-independent.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- late-r10 plan changes: re-earn the stale green ----------------
-    "q5_local_supplier_volume",
-    "events_sliding_rollup",
-    # -- plans+oracles changed this round (LSH bucket cap) -------------
-    "docs_minhash_md5_candidates",
-    "docs_minhash_calibration",
+    # ================= r12 window =================
+    # Stale-green detection is now MECHANIZED (VERDICT r11 ask #2):
+    # plans/_query_hashes.json snapshots sha256(plan source + oracle)
+    # per query — self hash (registered fn) and deep hash (transitive
+    # package-function closure incl. in-body imports). Regenerate ONLY
+    # at window rotation: `python tools/window_manifest.py --write`.
+    # tests/test_window_staleness.py goes red if a changed/new query is
+    # missing from this window (deep-only changes may instead be named
+    # in _DEEP_CHANGE_ACK below with a reason).
+    #
+    # -- the r11 stale green leads (VERDICT r11 "what's wrong" #1): its
+    #    NULL-ts plan+oracle change missed the r11 window and the old
+    #    comment here wrongly claimed it sat in the rotation ------------
+    "events_path_trigrams",
+    # -- r12 NULL-contract sweeps (tests/test_null_contract_sweep.py:
+    #    NULL/empty text, NULL user_id, NULL value; VERDICT r11 ask #4)
+    #    found 10 real divergences — every fixed plan/oracle re-earns:
+    "docs_bigram_counts",          # CRASH: sequence(1,0) is DESCENDING on 1-token docs
+    "events_asof_attribution",     # asof_join: struct forward-fill (NULL payload row-mixing) + NULL keys never match
+    "events_equidepth_histogram",  # NTILE NULL order differs across engines; NULLs excluded by contract
+    "docs_bloom_contamination",    # DuckDB greatest() NULL-skip manufactured ''-shingles
+    "docs_train_eval_contamination",
+    "docs_chunk_windows",          # Spark greatest(NULL-1,0) emitted a garbage chunk per NULL doc
+    "docs_incremental_dedup",      # NOT IN + one NULL md5 = 0-row oracle (3-valued logic)
+    "docs_span_dedup",             # _spanify emitted an empty block per NULL doc
+    "docs_bm25_search",            # corpus stats counted NULL docs (prior green was VACUOUS on fixture vocab)
+    "docs_rrf_fusion",             # same idf drift through the shared bm25_rank
+    "media_decode_pipeline",       # CRASH: bytes(None) in the Arrow worker; NULL payloads filtered JVM-side
+    # -- LSH-cap consistency (ADVICE r11): lsh_ann_topk gained the same
+    #    oversized-bucket guard as the rest of the family; the md5 twin's
+    #    oracle mirrors it via QUALIFY (cap never fires on shipped data:
+    #    <=2000 embeddings) ---------------------------------------------
+    "ann_lsh_md5_top5",
+    # -- oracle now interpolates dedup.MAX_BUCKET_DEFAULT instead of a
+    #    literal 1024 (ADVICE r11; SQL byte-identical, decorator changed)
     "docs_simhash_neardup_pairs",
-    # -- renamed this round (duplicate-registration fix): first rows ---
-    "graph_label_propagation_derived",
-    "docs_dup_rate_within_source",
-    # -- NULL-ts contract stated this round (plans+oracles changed;
-    #    events_path_trigrams also changed and already sits below in the
-    #    r5-cohort rotation) --------------------------------------------
-    "events_session_windows",
-    "events_stream_sessions_append",
-    "events_asof_attribution",
-    "events_user_sessions",
-    # -- oldest evidence: last checked r5 -------------------------------
-    "emb_label_centroids",
-    "nation_supplier_hhi",
-    "orders_incremental_join_view",
-    "orders_salted_join_rollup",
-    "parts_association_rules",
-    "parts_frequent_triples",
-    "supplier_pareto_share",
-    "txlog_as_of_read",
-    # -- oldest evidence: last checked r6 (name order) ------------------
-    "adjacency_out_typed",
-    "bfs_2hop_reach",
-    "chain_neighbors",
-    "check_fixture_graph_props",
-    "check_fixture_summary",
-    "cluster_member_rollup",
-    "connected_components",
-    "customer_props_unpivot",
-    "cypher_region_supply_paths",
-    "cypher_var_length_reach",
-    "degree_by_type",
-    "degree_histogram",
-    "degree_pivot_by_type",
-    "docs_curriculum_phases",
-    "docs_epoch_shuffle",
-    "docs_exact_k_sample",
-    "docs_hash_split_counts",
-    "docs_heavy_hitter_mg",
-    "docs_source_interleave",
-    "docs_stratified_sample",
-    "docs_token_budget_sample",
-    "endpoints_not_in_use",
-    "events_activity_streaks",
-    "events_hourly_leaderboard",
-    "events_rolling_hour_counts",
-    "events_time_profile",
-    "first_in_chain",
-    "graph_schema_summary",
-    "index_lookup_by_kind",
-    "neighborhood_1hop",
-    "node_counts_by_kind",
+    # -- deep-hash catch: _release_checkpoint_blocks gained a warn-once
+    #    canary (ADVICE r11); behavior-equivalent, re-earned anyway -----
+    "docs_bpe_merges",
+    # -- the three _ensure_symlink-refactored streaming twins re-certify
+    #    (VERDICT r11 ask #6) -------------------------------------------
+    "events_stream_dedup_rollup",
+    "events_stream_hourly_rollup",
+    "events_stream_pushk_parity",
+    # -- oldest evidence: last checked r6 (VERDICT r11 ask #3) ----------
+    "node_point_lookup",
+    "orders_cube_pricing",
+    "pattern_2hop_paths",
+    "priority_take_k",
+    "property_projection_default",
+    "q10_returned_items",
+    "q1_pricing_summary",
+    "record_counts_per_table",
+    "record_model_validation",
+    "rel_counts_by_type",
+    "round_robin_assignment",
+    "snapshot_branch_divergence",
+    "top_orders_per_customer",
+    "traverse_dfs_preorder",
+    "traverse_pruned_2hop",
+    "violations_summary",
+    # -- oldest evidence: last checked r7, name order (window filler;
+    #    the remaining r7 cohort rotates in r13) ------------------------
+    "bfs_shortest_hops",
+    "cypher_optional_match",
+    "cypher_property_map_match",
+    "cypher_return_distinct",
+    "cypher_skip_page",
+    "cypher_string_predicates",
+    "cypher_where_aggregate",
+    "docs_bigram_fluency",
+    "docs_collocations",
+    "docs_dsir_importance",
+    "docs_embedding_near_dup",
+    "docs_exact_dup_groups",
+    "docs_lang_source_rollup",
+    "docs_nb_lang_classifier",
+    "docs_repetition_stats",
+    "docs_winnow_overlap",
 )
+
+# Deep-only changes (shared-helper edits) acknowledged OUT of the window,
+# with the evidence that stands in for a driver slot — audited by
+# tests/test_window_staleness.py (a reason string is REQUIRED).
+_DEEP_CHANGE_ACK: dict[str, str] = {
+    "ann_lsh_top5": (
+        "rows-only query (no oracle); lsh_ann_topk gained the family "
+        "bucket cap but the cap cannot fire on shipped data (<=2000 "
+        "embeddings vs cap 4096) so output is bit-identical; the cap "
+        "semantics are tested at tests/test_lsh_bucket_cap.py::"
+        "test_ann_lsh_cap and the md5 oracle twin ann_lsh_md5_top5 "
+        "re-earns in this window on the capped plan"
+    ),
+    "docs_embedding_near_dup_lsh": (
+        "rows-only query (no oracle); same cap-cannot-fire argument "
+        "(<=2000 embeddings vs cap 4096, unchanged output) and the "
+        "capped path is tested at tests/test_lsh_bucket_cap.py::"
+        "test_embedding_lsh_cap; local rows/schema evidence recorded "
+        "in COVERAGE.md"
+    ),
+    "media_feature_neighbors": (
+        "rows-only query (no oracle); reaches the r12 multimodal "
+        "NULL-payload contract through attach_media/extract_features — "
+        "shipped testdata has no NULL text so output is bit-identical; "
+        "the contract itself is driver-checked via media_decode_pipeline "
+        "(in this window) and the NULL sweep covers the family; local "
+        "rows/schema evidence recorded in COVERAGE.md"
+    ),
+}
 
 
 def all_queries() -> dict[str, Query]:

@@ -193,10 +193,14 @@ def _lsh_oracle_sql(bands: int, planes_per_band: int, dims: int, seed: int) -> s
       SELECT q.vec_id, p.plane,
              CASE WHEN list_dot_product(q.qv, p.signs) >= 0 THEN 1 ELSE 0 END AS bit
       FROM q CROSS JOIN planes p),
-    buckets AS (
+    buckets_all AS (
       SELECT vec_id, plane // {planes_per_band} AS band,
              CAST(SUM(bit << (plane % {planes_per_band})) AS INTEGER) AS bucket
       FROM sig GROUP BY vec_id, plane // {planes_per_band}),
+    buckets AS (
+      -- mirror the engine's oversized-bucket drop (quadratic guard)
+      SELECT vec_id, band, bucket FROM buckets_all
+      QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= {similarity.MAX_BUCKET_DEFAULT}),
     seedb AS (SELECT vec_id AS seed, band, bucket FROM buckets WHERE vec_id < 20),
     cand AS (SELECT DISTINCT s.seed, b.vec_id AS neighbor
              FROM seedb s JOIN buckets b
@@ -459,9 +463,12 @@ def docs_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_md5_60(docs).orderBy("doc_id")
 
 
-@register(
-    "docs_simhash_neardup_pairs",
-    r"""
+def _simhash_pairs_oracle_sql() -> str:
+    """Banded-hamming oracle with the bucket cap interpolated from the
+    engine constant (ADVICE r11: a literal 1024 here would silently
+    diverge from the plan if dedup.MAX_BUCKET_DEFAULT ever changed; the
+    minhash oracles already interpolate it via _minhash_oracle_sql)."""
+    return rf"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
       FROM documents WHERE doc_id < 200),
@@ -483,7 +490,7 @@ def docs_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded AS (
       -- mirror the engine's oversized-bucket drop (quadratic guard)
       SELECT doc_id, simhash, band, chunk FROM banded_all
-      QUALIFY COUNT(*) OVER (PARTITION BY band, chunk) <= 1024),
+      QUALIFY COUNT(*) OVER (PARTITION BY band, chunk) <= {dedup.MAX_BUCKET_DEFAULT}),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.simhash AS sa, b.simhash AS sb
@@ -495,7 +502,12 @@ def docs_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cand
     WHERE bit_count(xor(sa, sb)) <= 3
     ORDER BY doc_a, doc_b
-    """,
+    """
+
+
+@register(
+    "docs_simhash_neardup_pairs",
+    _simhash_pairs_oracle_sql(),
     doc="SimHash ladder step 3 RETRIEVAL: banded hamming-ball lookup over "
     "the portable md5 60-bit signatures — 4×15-bit bands, equi-join on "
     "any band, verify bit_count(xor) <= 3. Exact by pigeonhole (3 < 4 "
@@ -515,14 +527,23 @@ def docs_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "docs_incremental_dedup",
     """
+    -- NULL-text contract (r12 sweep): content dedup is over docs WITH
+    -- content, explicit on both sides. Also defuses the classic SQL
+    -- trap this sweep exposed: one NULL md5 in the corpus made
+    -- `NOT IN (corpus)` three-valued-NULL for EVERY row (0-row output)
+    -- while Spark's left_anti kept 80 — explicit filters on both sides
+    -- make the anti-join semantics identical.
     WITH corpus AS (SELECT DISTINCT md5(text) AS content_hash
-                    FROM documents WHERE doc_id < 400),
+                    FROM documents WHERE doc_id < 400 AND text IS NOT NULL),
     newb AS (
-      SELECT doc_id, text FROM documents WHERE doc_id >= 400
+      SELECT doc_id, text FROM documents
+      WHERE doc_id >= 400 AND text IS NOT NULL
       UNION ALL
-      SELECT doc_id + 1000, text FROM documents WHERE doc_id < 5
+      SELECT doc_id + 1000, text FROM documents
+      WHERE doc_id < 5 AND text IS NOT NULL
       UNION ALL
-      SELECT doc_id + 2000, text FROM documents WHERE doc_id = 400),
+      SELECT doc_id + 2000, text FROM documents
+      WHERE doc_id = 400 AND text IS NOT NULL),
     hashed AS (SELECT doc_id, md5(text) AS content_hash FROM newb),
     in_batch AS (
       SELECT h.doc_id, h.content_hash
@@ -544,7 +565,12 @@ def docs_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "duplicate must both be rejected.",
 )
 def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL-text contract (r12 sweep): content dedup only sees docs with
+    # content (mirrors the oracle's explicit filters; a NULL content_hash
+    # would be un-joinable noise in the persisted index)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     corpus_index = (
         docs.filter(F.col("doc_id") < 400)
         .select(F.md5("text").alias("content_hash"))
@@ -575,8 +601,11 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_chunk_windows",
     r"""
     WITH base AS (
+      -- NULL-text contract (r12 sweep): no tokens -> no chunks, stated
+      -- explicitly on both sides (Spark's greatest(NULL-1, 0) otherwise
+      -- emitted one garbage chunk per NULL doc)
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-      FROM documents),
+      FROM documents WHERE text IS NOT NULL),
     starts AS (
       SELECT doc_id, t,
              unnest(range(0, CAST(floor((len(t) - 1) / 48.0) AS BIGINT) + 1)) AS i
@@ -642,9 +671,10 @@ def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_decode_pipeline",
     """
     WITH m AS (
+      -- NULL-text contract (r12 sweep): no content -> no media row
       SELECT doc_id AS media_id,
              ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
-      FROM documents WHERE doc_id < 100)
+      FROM documents WHERE doc_id < 100 AND text IS NOT NULL)
     SELECT media_id,
            CAST(h % 1920 + 1 AS INT) AS width,
            CAST(h % 1080 + 1 AS INT) AS height,
@@ -757,10 +787,13 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_train_eval_contamination",
     rf"""
     WITH toks AS (
+      -- NULL-text contract (r12 sweep): a NULL doc has NO shingles and is
+      -- absent from the report — DuckDB's greatest() skips NULLs, so
+      -- without the filter it manufactured one ''-shingle per NULL doc
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
                   THEN 'train' ELSE 'eval' END AS split
-      FROM documents),
+      FROM documents WHERE text IS NOT NULL),
     sh AS (
       SELECT DISTINCT doc_id, split, shingle FROM (
         SELECT doc_id, split,
@@ -1290,7 +1323,9 @@ def docs_term_lift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "docs_span_dedup",
     """
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    WITH t AS (-- NULL-text contract (r12 sweep): no content -> no spans
+               SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents WHERE text IS NOT NULL),
     b AS (SELECT doc_id, CAST(i AS INT) AS block_idx,
                  array_to_string(toks[(i*4+1):(i*4+4)], ' ') AS block
           FROM t, UNNEST(range(CAST(ceil(len(toks)/4.0) AS BIGINT))) AS u(i)),
@@ -2010,10 +2045,16 @@ def docs_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
         )
         .select(
+            # size(t) >= 2 guard (r12 NULL/empty-text sweep): Spark's
+            # sequence(1, 0) is DESCENDING [1, 0], not empty, so a
+            # single-token doc crashed the lambda with INVALID_ARRAY_INDEX
+            # (same guard as the text.py bigram sites)
             F.explode(
                 F.expr(
+                    "CASE WHEN size(t) >= 2 THEN "
                     "transform(sequence(1, size(t) - 1),"
-                    " i -> struct(t[i - 1] AS w1, t[i] AS w2))"
+                    " i -> struct(t[i - 1] AS w1, t[i] AS w2)) "
+                    "ELSE array() END"
                 )
             ).alias("p")
         )
@@ -2474,8 +2515,9 @@ def docs_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_bm25_search",
     r"""
     WITH toks AS (
+      -- NULL-text contract (r12 sweep): NULL docs are outside the corpus
       SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
-      FROM documents),
+      FROM documents WHERE text IS NOT NULL),
     u AS (SELECT doc_id, unnest(t) AS tok FROM toks),
     per AS (SELECT doc_id,
                    COUNT(*) FILTER (WHERE tok <> '') AS dl,
@@ -2549,10 +2591,13 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_bloom_contamination",
     r"""
     WITH toks AS (
+      -- NULL-text contract (r12 sweep): a NULL doc has NO shingles and is
+      -- absent from the report — DuckDB's greatest() skips NULLs, so
+      -- without the filter it manufactured one ''-shingle per NULL doc
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
                   THEN 'train' ELSE 'eval' END AS split
-      FROM documents),
+      FROM documents WHERE text IS NOT NULL),
     sh AS (
       SELECT DISTINCT doc_id, split, shingle FROM (
         SELECT doc_id, split,
@@ -3807,8 +3852,9 @@ def _rrf_fusion_oracle_sql() -> str:
     b = _bm25_ranked_cte(("merge", "window", "batch"), "b", 50)
     return rf"""
     WITH toks AS (
+      -- NULL-text contract (r12 sweep): NULL docs are outside the corpus
       SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
-      FROM documents),
+      FROM documents WHERE text IS NOT NULL),
     u AS (SELECT doc_id, unnest(t) AS tok FROM toks),{a},{b}
     SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
            a.rnk AS rank_a, b.rnk AS rank_b,

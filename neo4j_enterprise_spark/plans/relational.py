@@ -2577,10 +2577,13 @@ def customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_equidepth_histogram",
     """
     WITH t AS (
+      -- NULL-value contract (r12 sweep): histograms describe values;
+      -- NULLs are null_frac, not a bucket member (and NTILE NULL
+      -- ordering differs across engines anyway)
       SELECT CAST(ROUND(value * 1000) AS BIGINT) AS v, event_id,
              NTILE(8) OVER (ORDER BY CAST(ROUND(value * 1000) AS BIGINT),
                             event_id) AS bucket
-      FROM events)
+      FROM events WHERE value IS NOT NULL)
     SELECT bucket, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n_rows
     FROM t GROUP BY bucket ORDER BY bucket
     """,

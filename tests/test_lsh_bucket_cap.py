@@ -105,3 +105,32 @@ def test_embedding_lsh_cap(spark):
     buckets = similarity.lsh_buckets(emb, 4, 16, 64, 42)
     report = dedup.oversized_bucket_report(buckets, 8)
     assert report.count() >= 16
+
+
+def test_ann_lsh_cap(spark):
+    """lsh_ann_topk shares the guard (ADVICE r11): a degenerate bucket of
+    clones is dropped from candidate generation, so a seed inside it only
+    sees candidates from its other bands; seeds in healthy buckets are
+    unaffected."""
+    base = [1.0] * 64
+    rows = [(i, base) for i in range(30)]  # clone bucket, includes seed 0
+    # distinct, non-colliding vectors incl. seed 40
+    rows += [
+        (40 + j, [float(((i + j) * 7 + 3) % 5 - 2) for i in range(64)])
+        for j in range(6)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    seeds = emb.filter(F.col("vec_id").isin(0, 40))
+    uncapped = similarity.lsh_ann_topk(emb, seeds, k=3, max_bucket_size=None)
+    capped = similarity.lsh_ann_topk(emb, seeds, k=3, max_bucket_size=8)
+    un = {(r.seed, r.neighbor) for r in uncapped.collect()}
+    cp = {(r.seed, r.neighbor) for r in capped.collect()}
+    assert (0, 1) in un  # clones find each other uncapped
+    # NOT cp <= un: top-k RE-RANKS after the cap (clones out-rank the
+    # healthy vectors for seed 40 uncapped), so capped rows can be new —
+    # the cap bounds candidate WORK, it is not monotone on top-k output.
+    assert not any(s == 0 for s, _ in cp)  # seed 0's only bucket dropped
+    # the healthy seed still fills its top-k from its surviving buckets
+    # (its candidate set may shrink if a band bucket it shares with the
+    # clones is dropped — lost recall, never invented pairs)
+    assert len({n for s, n in cp if s == 40}) == 3

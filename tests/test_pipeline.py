@@ -540,13 +540,16 @@ def test_containment_catches_subset_that_jaccard_misses(spark):
 
 
 def test_span_dedup_null_text_tolerated(spark):
-    # a NULL text must not crash the Arrow span pass (ADVICE r4): it
-    # contributes one empty block and flows through like empty text
-    rows = [(0, "a b c d a b c d"), (1, None)]
+    # a NULL text must not crash the Arrow span pass (ADVICE r4), and per
+    # the r12 NULL-text contract it contributes NO spans — the doc is
+    # absent from the report, matching the oracle's explicit filter.
+    # Empty text still yields one '' block (split-on-space semantics).
+    rows = [(0, "a b c d a b c d"), (1, None), (2, "")]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in dedup.span_dedup(docs, block=4).collect()}
     assert out[0]["n_blocks"] == 2 and out[0]["n_removed"] == 2
-    assert out[1]["n_blocks"] == 1 and out[1]["n_removed"] == 0
+    assert 1 not in out
+    assert out[2]["n_blocks"] == 1 and out[2]["n_removed"] == 0
 
 
 def test_cosine_topk_zero_norm_vectors_excluded(spark):

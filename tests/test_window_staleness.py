@@ -47,10 +47,10 @@ def test_manifest_exists_and_covers_registry():
 def test_changed_queries_sit_in_driver_window():
     live = window_manifest.live_hashes()
     manifest = window_manifest.load_manifest()
-    changed, new, removed = window_manifest.diff(live, manifest)
+    self_changed, deep_changed, new, removed = window_manifest.diff(live, manifest)
     window = set(window_manifest.window_names())
 
-    stale = [n for n in changed if n not in window]
+    stale = [n for n in self_changed if n not in window]
     assert not stale, (
         f"plan/oracle changed since the manifest snapshot but NOT in the "
         f"driver window (first {window_manifest.WINDOW_SIZE} of queries()): "
@@ -64,6 +64,24 @@ def test_changed_queries_sit_in_driver_window():
         f"driver window: {lagged}. The r8 no-lag rule: anything registered "
         f"this round sits inside the window."
     )
+
+    # Helper-only changes (the plan calls a package function whose source
+    # changed, e.g. the r12 LSH-cap edit to similarity.lsh_ann_topk that
+    # never touched the registered ann_lsh_top5 body): window it, or
+    # acknowledge it by name + reason in plans._DEEP_CHANGE_ACK — a broad
+    # helper refactor can flag more queries than one window holds, and
+    # the ack is an explicit diffable record instead of a silent miss.
+    ack = window_manifest.deep_change_ack()
+    unacked = [n for n in deep_changed if n not in window and n not in ack]
+    assert not unacked, (
+        f"shared-helper change reaches these queries' plans but they are "
+        f"neither in the driver window nor acknowledged in "
+        f"plans._DEEP_CHANGE_ACK: {unacked}"
+    )
+    for name, reason in ack.items():
+        assert isinstance(reason, str) and len(reason) >= 20, (
+            f"_DEEP_CHANGE_ACK[{name!r}] needs a real reason string"
+        )
 
     # Renames/deletes leave a dangling manifest key; the rename's new name
     # is forced in-window above.  Cap the drift so the manifest cannot rot.

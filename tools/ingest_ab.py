@@ -100,7 +100,17 @@ def main() -> None:
         )
         paths[name] = out
         print(f"#   wrote {name}: {size / 1e9:.2f} GB", flush=True)
-    orig_size = os.path.getsize(paths["original"])
+    # the original may be a Spark-written DIRECTORY dataset (ADVICE r11:
+    # getsize on a dir returns the inode size, not the data size)
+    orig = paths["original"]
+    if os.path.isdir(orig):
+        orig_size = sum(
+            os.path.getsize(os.path.join(orig, f))
+            for f in os.listdir(orig)
+            if f.endswith(".parquet")
+        )
+    else:
+        orig_size = os.path.getsize(orig)
     print(f"#   original: {orig_size / 1e9:.2f} GB", flush=True)
 
     flat_load = catalog.load_table
