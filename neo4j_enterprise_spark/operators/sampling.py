@@ -348,6 +348,12 @@ def token_budget_sample(
     one doc over budget per stratum). One window per stratum; the
     100 TB path pre-filters each stratum with a hash threshold above
     budget/avg_tokens before ranking, like ``mixture_resample``.
+
+    NULL-stratum contract (r12 NULL-input sweep): budgets are keyed by
+    stratum VALUE, and a NULL stratum matches no key (``col == lit(x)``
+    is NULL, like any SQL equi-match) — NULL-stratum docs are excluded
+    from the sample, even if the budgets dict carries a ``None`` entry.
+    Oracles mirror with ``stratum IS NOT NULL``.
     """
     from pyspark.sql.window import Window
 
@@ -429,9 +435,19 @@ def source_interleave(
     (sources permute independently); the source-index window runs on
     the DISTINCT-sources dimension (a handful of rows). No global
     window touches the fact table.
+
+    NULL-source contract (r12 NULL-input sweep): a NULL source can
+    never join the source-index dimension (SQL equi-join), so before
+    this filter NULL-source docs silently vanished FROM THE OUTPUT
+    while NULL still held a rotation slot in ``n_sources`` — leaving
+    unfillable holes in the position sequence, and the slot's INDEX
+    differed across engines (Spark orders NULL first, DuckDB last).
+    NULL-source docs are excluded up front on both sides: the
+    interleave covers attributable docs only, positions are dense.
     """
     from pyspark.sql import Window
 
+    df = df.filter(F.col(source_col).isNotNull())
     key = F.col(key_col)
     src_idx = (
         df.select(source_col)

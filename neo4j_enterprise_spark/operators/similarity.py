@@ -33,6 +33,47 @@ from ..functions.vectors import QUANT, dot as _dot, dot_double as _dot_d, quanti
 MAX_BUCKET_DEFAULT = 4096
 
 
+def drop_null_embeddings(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """NULL-embedding contract (r12 NULL-input sweep): a NULL vector is
+    unsearchable and unindexable — it has no norm, no bucket, no cell,
+    no codes — and a None row inside an Arrow batch crashes the numpy
+    matmul paths outright (``np.array(batch.tolist())`` goes
+    inhomogeneous). Every SEARCH/INDEX-class operator in this module
+    drops NULL vectors JVM-side at entry, so no Arrow worker ever sees
+    one, and the SQL oracles mirror with ``embedding IS NOT NULL``.
+    AGGREGATE-class operators (``label_centroids``,
+    ``centroid_similarity_matrix``, ``sq8_quantization_error``) instead
+    inherit SQL aggregate semantics, where a NULL array contributes no
+    exploded rows on either engine — the same split as the events
+    NULL-ts contract (rollups keep NULL groups; ordered/keyed ops drop
+    NULL keys)."""
+    return df.filter(F.col(col).isNotNull())
+
+
+def drop_unsearchable(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """Cosine-family entry contract: drop NULL vectors (see
+    ``drop_null_embeddings``) AND quantized-zero-norm vectors — cosine
+    is undefined for the zero vector, and under ANSI mode the JVM-side
+    ``/ sqrt(qn·cn)`` THROWS DIVIDE_BY_ZERO instead of producing the
+    NaN the Arrow paths already mask out. Excluding them at entry (not
+    per division site) is what keeps the fixed-pipeline oracles exact:
+    candidate CUTS (``refine·k``, ``n_probe``) happen before the final
+    re-rank, so a zero vector holding a candidate slot on one engine
+    but not the other would shift the survivors.
+
+    Zero-norm test, exact vs the engine-wide quantize (round
+    half-away-from-zero of x·1000): every component rounds to 0 ⟺
+    max|x|·1000 < 0.5. ``array_max``/``array_min`` are plain collection
+    expressions (codegen), not interpreted lambda HOFs, so the check
+    adds no per-element lambda tax on the hot path; IEEE multiply by a
+    positive constant is monotone, so max-then-scale equals
+    scale-then-max bit-exactly. Oracles mirror with
+    ``embedding IS NOT NULL AND list_dot_product(qv, qv) > 0``."""
+    c = F.col(col)
+    mx = F.greatest(F.array_max(c), -F.array_min(c)).cast("double") * 1000.0
+    return df.filter(c.isNotNull() & (mx >= 0.5))
+
+
 def _np_quantize(mat: np.ndarray, scale: int = 1000) -> np.ndarray:
     """Numpy twin of ``functions.vectors.quantize`` — EXACTLY Spark's
     ``round(CAST(x AS DOUBLE) * scale, 0)`` (BigDecimal HALF_UP = half
@@ -79,6 +120,8 @@ def cosine_topk_bruteforce(
     this query's 1.2 s wall at sf1 (58%) — the numpy form is free
     inside the batch the scorer already owns.
     """
+    embeddings = drop_unsearchable(embeddings)
+    seeds = drop_unsearchable(seeds)
     seed_rows = seeds.select(F.col("vec_id"), "embedding").collect()
     sid = np.array([r["vec_id"] for r in seed_rows], dtype=np.int64)
     smat = _np_quantize(
@@ -157,6 +200,7 @@ def ivf_assign(
     corpus size. The K-row window that numbers cells runs on K rows
     only.
     """
+    embeddings = drop_unsearchable(embeddings)
     sel = (
         embeddings.select(
             "vec_id",
@@ -181,7 +225,14 @@ def ivf_assign(
 
 def _assign_to_centroids(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, cell_id): nearest centroid by quantized cosine — one
-    broadcast join + per-vector argmin window (partitioned by vec_id)."""
+    broadcast join + per-vector argmin window (partitioned by vec_id).
+
+    Zero-norm defense in depth: entry guards (``drop_unsearchable``)
+    keep zero vectors out of every caller's corpus, but a degenerate
+    Lloyd mean could still yield a zero-norm CENTROID — filter both
+    sides here so the ANSI division can never see a zero divisor."""
+    vecs = vecs.filter(F.col("qn") > 0)
+    centroids = centroids.filter(F.col("ccn") > 0)
     scored = vecs.join(F.broadcast(centroids)).select(
         "vec_id",
         "cell_id",
@@ -215,6 +266,7 @@ def ivf_train_kmeans(
     Returns centroids(cell_id, ccv array<double>, ccn) compatible with
     ``ivf_ann_topk``'s probe flow.
     """
+    embeddings = drop_unsearchable(embeddings)
     centroids, _ = ivf_assign(embeddings, n_cells)
     vecs = embeddings.select(
         "vec_id", quantize(F.col("embedding")).alias("qv")
@@ -258,7 +310,7 @@ def ivf_fixed_centroids(embeddings: DataFrame, n_cells: int) -> DataFrame:
     whole IVF pipeline (assign → probe → verify) SQL-expressible so the
     oracle can replay it end-to-end."""
     return (
-        embeddings.filter(F.col("vec_id") < n_cells)
+        drop_unsearchable(embeddings).filter(F.col("vec_id") < n_cells)
         .select(
             F.col("vec_id").cast("int").alias("cell_id"),
             quantize(F.col("embedding")).alias("ccv"),
@@ -285,6 +337,8 @@ def ivf_ann_topk(
     (cell_id, ccv, ccn) overrides selection entirely (e.g. the portable
     ``ivf_fixed_centroids``, or offline-trained centroids).
     """
+    embeddings = drop_unsearchable(embeddings)
+    seeds = drop_unsearchable(seeds)
     if centroids is not None:
         vecs = embeddings.select(
             "vec_id", quantize(F.col("embedding")).alias("qv")
@@ -378,6 +432,8 @@ def lsh_buckets(
     engine-wide contract (round(x·1000), exact in float64)."""
     from pyspark.sql.functions import pandas_udf
 
+    embeddings = drop_null_embeddings(embeddings)
+
     n_planes = bands * planes_per_band
     S = np.array(
         [_plane_signs(p, dims, seed) for p in range(n_planes)], dtype="float64"
@@ -425,6 +481,8 @@ def lsh_ann_topk(
     """
     from .dedup import drop_oversized_buckets
 
+    embeddings = drop_unsearchable(embeddings)
+    seeds = drop_unsearchable(seeds)
     buckets = drop_oversized_buckets(
         lsh_buckets(embeddings, planes_per_band, bands, dims, seed),
         max_bucket_size,
@@ -475,6 +533,7 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.9) -> DataFra
     Quantized integer dot products keep scores order-independent and
     engine-exact.
     """
+    embeddings = drop_unsearchable(embeddings)
     q = embeddings.select(
         F.col("vec_id").alias("a"), quantize(F.col("embedding")).alias("qa")
     ).withColumn("na", _dot(F.col("qa"), F.col("qa")))
@@ -522,6 +581,7 @@ def embedding_near_dup_lsh(
     """
     from .dedup import drop_oversized_buckets
 
+    embeddings = drop_unsearchable(embeddings)
     buckets = drop_oversized_buckets(
         lsh_buckets(embeddings, planes_per_band, bands, dims, seed),
         max_bucket_size,
@@ -592,6 +652,7 @@ def pq_train(
     territory: the per-round shuffle is n·m rows, never on the query
     path.
     """
+    embeddings = drop_unsearchable(embeddings)
     sampled = (
         embeddings.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(codes_k)
@@ -661,7 +722,7 @@ def pq_encode(
 ) -> DataFrame:
     """Encode every vector as m small codes (vec_id, codes array<int>) —
     the 8-byte-per-vector form a 100 TB corpus actually keeps in memory."""
-    sub = _subvectors(embeddings, m, dims)
+    sub = _subvectors(drop_unsearchable(embeddings), m, dims)
     return (
         _pq_assign(sub, codebook)
         .groupBy("vec_id")
@@ -700,6 +761,8 @@ def pq_ann_topk(
     """
     import numpy as np
 
+    embeddings = drop_unsearchable(embeddings)
+    seeds = drop_unsearchable(seeds)
     codebook = pq_train(embeddings, m=m, codes_k=codes_k, dims=dims, iters=iters)
     codes = pq_encode(embeddings, codebook, m=m, dims=dims)
 
@@ -802,6 +865,8 @@ def ivf_pq_ann_topk(
     """
     import numpy as np
 
+    embeddings = drop_unsearchable(embeddings)
+    seeds = drop_unsearchable(seeds)
     centroids, assignments = ivf_assign(embeddings, n_cells)
     codebook = pq_train(embeddings, m=m, codes_k=codes_k, dims=dims, iters=iters)
     codes = pq_encode(embeddings, codebook, m=m, dims=dims).join(
@@ -988,6 +1053,12 @@ def hard_negatives(
     the brute-force scan swaps for the LSH/IVF candidate paths with
     the identical mask-and-rank tail.
     """
+    # NULL labels can never satisfy the different-label predicate (SQL
+    # `clabel <> slabel` is NULL-unknown on either side), and a None in
+    # the numpy int64 label array crashes the Arrow batch — filter
+    # JVM-side; the oracle's <> drops the same rows without a filter.
+    embeddings = drop_unsearchable(embeddings).filter(F.col("label").isNotNull())
+    seeds = drop_unsearchable(seeds).filter(F.col("label").isNotNull())
     seed_rows = seeds.select(
         F.col("vec_id"), quantize(F.col("embedding")).alias("qv"), "label"
     ).collect()
@@ -1057,6 +1128,7 @@ def _semdedup_scored_pairs(
     (a < b) scored by quantized cosine, filtered to >= threshold.
     Returns (cell_id, a, b, score). Candidate pairs are bounded per
     cell — the IVF bucketed-candidates contract; no all-pairs."""
+    embeddings = drop_unsearchable(embeddings)
     cent = ivf_fixed_centroids(embeddings, n_cells)
     vecs = embeddings.select(
         "vec_id", quantize(F.col("embedding")).alias("qv")
@@ -1244,6 +1316,8 @@ def pq_fixed_ann_topk(
     once for the candidate-only re-rank equi-join. Same memory/IO
     shape as the production LUT scan, rendered relationally.
     """
+    embeddings = drop_unsearchable(embeddings)
+    seeds = drop_unsearchable(seeds)
     cb = _subvectors(
         embeddings.filter(F.col("vec_id") < codes_k), m, dims
     ).select(
@@ -1347,6 +1421,8 @@ def ivf_pq_fixed_ann_topk(
     partitioned BY CELL, so a probe reads n_probe/K of it — the
     billion-scale memory/IO shape, here rendered relationally.
     """
+    embeddings = drop_unsearchable(embeddings)
+    seeds = drop_unsearchable(seeds)
     cent = ivf_fixed_centroids(embeddings, n_cells)
     vecs = embeddings.select(
         "vec_id", quantize(F.col("embedding")).alias("qv")
@@ -1469,8 +1545,12 @@ def norm_outliers(embeddings: DataFrame) -> DataFrame:
     measured 30.3 s vs DuckDB's 1.4 s; the batch form is one numpy
     expression (BASELINE sec 11 — the ann_cosine lesson applied).
 
-    Returns (vec_id, norm2, lo_fence, hi_fence, is_outlier), all rows.
+    Returns (vec_id, norm2, lo_fence, hi_fence, is_outlier) — one row
+    per NON-NULL vector (``drop_null_embeddings``: a NULL vector has no
+    norm to screen, and its null_frac belongs to a profiling query, not
+    a fence flag).
     """
+    embeddings = drop_null_embeddings(embeddings)
 
     def _norm_batches(batches):
         for pdf in batches:

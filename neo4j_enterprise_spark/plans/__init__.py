@@ -224,6 +224,29 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     #    oracle mirrors it via QUALIFY (cap never fires on shipped data:
     #    <=2000 embeddings) ---------------------------------------------
     "ann_lsh_md5_top5",
+    # -- r12 NULL-embedding / NULL-grouping-key sweeps (the sweep's
+    #    second wave: 10%-NULL embedding+label with zero vectors, and
+    #    NULL lang/source keys) found 12 more divergences, two of them
+    #    crash classes: Arrow matmuls die on a None row
+    #    (np.array inhomogeneous), and ANSI-mode cosine division
+    #    throws DIVIDE_BY_ZERO on quantized-zero-norm vectors.
+    #    Contract (similarity.drop_unsearchable): search/index-class
+    #    embedding ops drop NULL + zero-norm vectors at entry, oracles
+    #    mirror; aggregate-class ops (label_centroids, sq8) keep SQL
+    #    NULL-skip semantics. NULL sampling keys: no quota match /
+    #    no rotation slot (sampling.token_budget_sample,
+    #    source_interleave) --------------------------------------------
+    "ann_cosine_top5",
+    "ann_ivf_fixed_top5",
+    "ann_ivf_pq_fixed_top5",
+    "ann_pq_fixed_top5",
+    "docs_embedding_near_dup",
+    "emb_hard_negatives",          # + NULL labels crash the int64 label array
+    "emb_norm_outliers",           # NULL-only drop: norm 0 IS the outlier it screens
+    "emb_semdedup",
+    "emb_semdedup_greedy",
+    "docs_source_interleave",      # NULL src_idx ordered FIRST on Spark, LAST on DuckDB
+    "docs_token_budget_sample",    # NULL stratum matches no budget key; oracle kept the group
     # -- oracle now interpolates dedup.MAX_BUCKET_DEFAULT instead of a
     #    literal 1024 (ADVICE r11; SQL byte-identical, decorator changed)
     "docs_simhash_neardup_pairs",
@@ -259,17 +282,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cypher_property_map_match",
     "cypher_return_distinct",
     "cypher_skip_page",
-    "cypher_string_predicates",
-    "cypher_where_aggregate",
-    "docs_bigram_fluency",
-    "docs_collocations",
-    "docs_dsir_importance",
-    "docs_embedding_near_dup",
-    "docs_exact_dup_groups",
-    "docs_lang_source_rollup",
-    "docs_nb_lang_classifier",
-    "docs_repetition_stats",
-    "docs_winnow_overlap",
 )
 
 # Deep-only changes (shared-helper edits) acknowledged OUT of the window,
@@ -290,6 +302,26 @@ _DEEP_CHANGE_ACK: dict[str, str] = {
         "capped path is tested at tests/test_lsh_bucket_cap.py::"
         "test_embedding_lsh_cap; local rows/schema evidence recorded "
         "in COVERAGE.md"
+    ),
+    "ann_ivf_top5": (
+        "rows-only production IVF (xxhash centroids, no SQL twin); the "
+        "r12 drop_unsearchable entry guard is a provable no-op on "
+        "shipped data (0 NULL / 0 quantized-zero-norm vectors at every "
+        "sf, verified via DuckDB scan) so output is bit-identical; the "
+        "guard's semantics are driver-checked via the fixed twin "
+        "ann_ivf_fixed_top5 in this window and the NULL sweep "
+        "(tests/test_null_contract_sweep.py) covers the family"
+    ),
+    "ann_pq_top5": (
+        "rows-only production PQ (Lloyd-trained float codebook); same "
+        "no-op-guard argument as ann_ivf_top5 (0 NULL / 0 zero-norm "
+        "vectors on shipped data); fixed twin ann_pq_fixed_top5 "
+        "re-earns in this window on the guarded plan"
+    ),
+    "ann_ivf_pq_top5": (
+        "rows-only production IVF-PQ; same no-op-guard argument; fixed "
+        "twin ann_ivf_pq_fixed_top5 re-earns in this window on the "
+        "guarded plan"
     ),
     "media_feature_neighbors": (
         "rows-only query (no oracle); reaches the r12 multimodal "

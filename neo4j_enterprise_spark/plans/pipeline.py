@@ -88,10 +88,14 @@ def docs_lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH q AS (SELECT vec_id AS seed,
                       list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-               FROM embeddings WHERE vec_id < 20),
+               FROM embeddings
+               WHERE vec_id < 20 AND embedding IS NOT NULL
+                 AND list_dot_product(qv, qv) > 0),
          c AS (SELECT vec_id AS neighbor,
                       list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS cv
-               FROM embeddings),
+               FROM embeddings
+               WHERE embedding IS NOT NULL
+                 AND list_dot_product(cv, cv) > 0),
          s AS (SELECT seed, neighbor,
                       list_dot_product(qv, cv)
                       / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)) AS score
@@ -126,7 +130,9 @@ def ann_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH q AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-               FROM embeddings)
+               FROM embeddings
+               WHERE embedding IS NOT NULL
+                 AND list_dot_product(qv, qv) > 0)
     SELECT a.vec_id AS a, b.vec_id AS b,
            list_dot_product(a.qv, b.qv)
            / sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(b.qv, b.qv)) AS score
@@ -186,7 +192,9 @@ def _lsh_oracle_sql(bands: int, planes_per_band: int, dims: int, seed: int) -> s
     return f"""
     WITH q AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-               FROM embeddings),
+               FROM embeddings
+               WHERE embedding IS NOT NULL
+                 AND list_dot_product(qv, qv) > 0),
     planes AS (SELECT * FROM (VALUES
       {rows}) AS t(plane, signs)),
     sig AS (
@@ -245,7 +253,9 @@ def ann_lsh_md5_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH q AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-               FROM embeddings),
+               FROM embeddings
+               WHERE embedding IS NOT NULL
+                 AND list_dot_product(qv, qv) > 0),
     cent AS (SELECT CAST(vec_id AS INTEGER) AS cell_id, qv AS ccv
              FROM q WHERE vec_id < 8),
     assign AS (
@@ -1665,7 +1675,7 @@ def docs_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source,
              len(string_split_regex(trim(text), '\s+')) AS n_tok,
              md5(CAST(doc_id AS VARCHAR)) AS h
-      FROM documents),
+      FROM documents WHERE source IS NOT NULL),
     c AS (
       SELECT doc_id, source, n_tok,
              COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
@@ -1919,7 +1929,8 @@ def docs_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH si AS (
       SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 AS src_idx
-      FROM (SELECT DISTINCT source FROM documents)),
+      FROM (SELECT DISTINCT source FROM documents
+            WHERE source IS NOT NULL)),
     ns AS (SELECT COUNT(*) AS n_sources FROM si),
     r AS (
       SELECT doc_id, source,
@@ -1927,7 +1938,7 @@ def docs_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY source
                ORDER BY md5('11|' || CAST(doc_id AS VARCHAR)), doc_id) - 1
                AS rn
-      FROM documents)
+      FROM documents WHERE source IS NOT NULL)
     SELECT r.doc_id, r.source, CAST(r.rn AS BIGINT) AS rn,
            CAST(r.rn * ns.n_sources + si.src_idx AS BIGINT) AS interleave_pos
     FROM r JOIN si USING (source), ns ORDER BY interleave_pos
@@ -2370,10 +2381,14 @@ def docs_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH q AS (SELECT vec_id AS seed, label AS slabel,
                       list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-               FROM embeddings WHERE vec_id < 20),
+               FROM embeddings
+               WHERE vec_id < 20 AND embedding IS NOT NULL
+                 AND list_dot_product(qv, qv) > 0),
          c AS (SELECT vec_id AS negative, label AS clabel,
                       list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS cv
-               FROM embeddings),
+               FROM embeddings
+               WHERE embedding IS NOT NULL
+                 AND list_dot_product(cv, cv) > 0),
          s AS (SELECT seed, negative,
                       list_dot_product(qv, cv)
                       / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)) AS score
@@ -3044,7 +3059,9 @@ def docs_phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH q AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-               FROM embeddings),
+               FROM embeddings
+               WHERE embedding IS NOT NULL
+                 AND list_dot_product(qv, qv) > 0),
     cent AS (SELECT CAST(vec_id AS INTEGER) AS cell_id, qv AS ccv
              FROM q WHERE vec_id < 8),
     assign AS (
@@ -3092,7 +3109,9 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE
     q AS (SELECT vec_id,
                  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-          FROM embeddings),
+          FROM embeddings
+          WHERE embedding IS NOT NULL
+            AND list_dot_product(qv, qv) > 0),
     cent AS (SELECT CAST(vec_id AS INTEGER) AS cell_id, qv AS ccv
              FROM q WHERE vec_id < 8),
     assign AS (
@@ -3178,7 +3197,9 @@ def emb_semdedup_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH q AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-               FROM embeddings),
+               FROM embeddings
+               WHERE embedding IS NOT NULL
+                 AND list_dot_product(qv, qv) > 0),
     subs AS (SELECT unnest(generate_series(0, 7)) AS sub_id),
     sub AS (SELECT q.vec_id, s.sub_id,
                    qv[s.sub_id * 8 + 1 : s.sub_id * 8 + 8] AS sv
@@ -3298,7 +3319,9 @@ def docs_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH q AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-               FROM embeddings),
+               FROM embeddings
+               WHERE embedding IS NOT NULL
+                 AND list_dot_product(qv, qv) > 0),
     cent AS (SELECT CAST(vec_id AS INTEGER) AS cell_id, qv AS ccv
              FROM q WHERE vec_id < 8),
     assign AS (
@@ -3615,7 +3638,7 @@ def docs_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
                         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
                         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
                       ) AS norm2
-               FROM embeddings),
+               FROM embeddings WHERE embedding IS NOT NULL),
     q AS (SELECT quantile_cont(norm2, 0.25) AS q1,
                  quantile_cont(norm2, 0.75) AS q3 FROM n),
     f AS (SELECT q1 - 1.5 * (q3 - q1) AS lo_fence,

@@ -11,6 +11,13 @@ same class is now tested for every other nullable input):
   and count(DISTINCT) treat it differently across plans.
 - NULL ``value`` in cent-quantized sums: SUM skips NULLs on both
   engines, but AVG/count interplay and COALESCE boundaries can drift.
+- NULL ``embedding`` arrays in the ANN family: the Arrow matmul path
+  (``np.stack`` over a batch) crashes on a None row unless filtered
+  JVM-side; quantize/norm expressions must agree on NULL propagation.
+- NULL ``lang``/``source`` grouping keys in the docs family: NULL forms
+  its own GROUP BY group on both engines, but stratified sampling,
+  interleaving, and per-source dup rates route the key through window
+  PARTITION BY and joins where NULL semantics differ.
 
 Each sweep feeds a 10%-NULL synthetic table (full production schema) to
 every oracle-bearing query of the family that reads ONLY that table and
@@ -51,6 +58,18 @@ EVENTS_USER = sorted(
     and "stream" not in n
     and _refs(q.oracle) == {"events"}
     and re.search(r"\buser_id\b", q.oracle)
+)
+EMB_ONLY = sorted(
+    n
+    for n, q in QUERIES.items()
+    if q.oracle is not None and _refs(q.oracle) == {"embeddings"}
+)
+DOCS_LANG_SOURCE = sorted(
+    n
+    for n, q in QUERIES.items()
+    if q.oracle is not None
+    and _refs(q.oracle) == {"documents"}
+    and re.search(r"\blang\b|\bsource\b", q.oracle)
 )
 EVENTS_VALUE = sorted(
     n
@@ -169,9 +188,69 @@ def test_null_text_parity(spark, null_docs_dir, name):
     _assert_parity(spark, QUERIES[name], null_docs_dir, "documents", name)
 
 
+@pytest.fixture(scope="module")
+def null_emb_dir(spark, tmp_path_factory):
+    """300 vectors: 10% NULL embedding, a few zero vectors, labels with
+    10% NULL — the ANN family's Arrow matmuls (np.stack over a batch)
+    must never see a None row."""
+    import math
+
+    rows = []
+    for i in range(300):
+        if i % 10 == 0:
+            vec = None
+        elif i % 30 == 5:
+            vec = [0.0] * 64
+        else:
+            vec = [math.sin(0.1 * i * (j + 1)) for j in range(64)]
+        rows.append((i, vec, None if i % 10 == 3 else i % 5))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    assert df.filter("embedding IS NULL").count() == 30
+    out = str(tmp_path_factory.mktemp("null_emb"))
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+    return out
+
+
 @pytest.mark.parametrize("name", EVENTS_USER)
 def test_null_user_id_parity(spark, null_user_dir, name):
     _assert_parity(spark, QUERIES[name], null_user_dir, "events", name)
+
+
+@pytest.mark.parametrize("name", EMB_ONLY)
+def test_null_embedding_parity(spark, null_emb_dir, name):
+    _assert_parity(spark, QUERIES[name], null_emb_dir, "embeddings", name)
+
+
+@pytest.mark.parametrize("name", DOCS_LANG_SOURCE)
+def test_null_lang_source_parity(spark, null_docs_lang_dir, name):
+    _assert_parity(spark, QUERIES[name], null_docs_lang_dir, "documents", name)
+
+
+@pytest.fixture(scope="module")
+def null_docs_lang_dir(spark, tmp_path_factory):
+    """Docs with NULL lang / NULL source (text all present): NULL
+    grouping keys form their own group on both engines, but stratified
+    sampling, interleaving, and per-source rates route them through
+    window PARTITION BY and join keys where engines can drift."""
+    rows = []
+    for i in range(400):
+        n = 8 + (i * 7) % 40
+        text = " ".join(_WORDS[(i * 13 + j * j) % len(_WORDS)] for j in range(n))
+        lang = None if i % 10 == 0 else ("en", "de", "fr")[i % 3]
+        source = None if i % 10 == 7 else f"src{i % 4}"
+        rows.append((i, text, lang, source, len(text)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path_factory.mktemp("null_docs_lang"))
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    return out
 
 
 @pytest.mark.parametrize("name", EVENTS_VALUE)
