@@ -33,45 +33,92 @@ from ..functions.vectors import QUANT, dot as _dot, dot_double as _dot_d, quanti
 MAX_BUCKET_DEFAULT = 4096
 
 
-def drop_null_embeddings(df: DataFrame, col: str = "embedding") -> DataFrame:
-    """NULL-embedding contract (r12 NULL-input sweep): a NULL vector is
-    unsearchable and unindexable — it has no norm, no bucket, no cell,
-    no codes — and a None row inside an Arrow batch crashes the numpy
-    matmul paths outright (``np.array(batch.tolist())`` goes
-    inhomogeneous). Every SEARCH/INDEX-class operator in this module
-    drops NULL vectors JVM-side at entry, so no Arrow worker ever sees
-    one, and the SQL oracles mirror with ``embedding IS NOT NULL``.
+def _finite_vector(c: Column) -> Column:
+    """True iff the array has no NULL components and every component is
+    finite. Built ONLY from codegen collection expressions — no
+    interpreted lambda HOFs on the hot path:
+
+    - NULL components: ``size(array_compact(c)) == size(c)``
+      (array_compact strips NULLs).
+    - NaN / ±Inf: ``mx = greatest(array_max(c), -array_min(c))`` is the
+      max absolute component; any NaN makes array_max (and greatest)
+      NaN because Spark orders NaN ABOVE every value — so ``mx < +Inf``
+      is False for both a NaN component (NaN compares greater than Inf
+      in Spark SQL, unlike IEEE) and a ±Inf one, and NULL for an empty
+      array (array_max of [] is NULL) — dropped either way.
+    """
+    mx = F.greatest(F.array_max(c), -F.array_min(c)).cast("double")
+    return (F.size(F.array_compact(c)) == F.size(c)) & (mx < F.lit(float("inf")))
+
+
+def drop_invalid_embeddings(
+    df: DataFrame, col: str = "embedding", dims: int | None = None
+) -> DataFrame:
+    """Invalid-vector contract (r12 NULL-input sweep, waves 2-3): drop
+    rows whose vector is NULL, has NULL components, has non-finite
+    (NaN/±Inf) components, or (when ``dims`` is given) has the wrong
+    length.
+
+    Each class is a CRASH, not a wrong answer, somewhere in this
+    module: a None row or a ragged row inside an Arrow batch blows up
+    ``np.array(batch.tolist())`` (inhomogeneous shape); a NaN/Inf
+    component blows up the engine-wide quantize on BOTH engines
+    (ANSI-mode ``CAST(NaN AS BIGINT)`` throws in Spark, the same
+    conversion errors in DuckDB) — so "keep them" is not even
+    SQL-expressible, and dropping at entry is the only portable
+    contract. Oracles mirror with ``embedding IS NOT NULL AND
+    len(embedding) = <dims> AND list_bool_and(list_transform(embedding,
+    x -> x IS NOT NULL AND isfinite(CAST(x AS DOUBLE))))``.
+
     AGGREGATE-class operators (``label_centroids``,
-    ``centroid_similarity_matrix``, ``sq8_quantization_error``) instead
-    inherit SQL aggregate semantics, where a NULL array contributes no
-    exploded rows on either engine — the same split as the events
-    NULL-ts contract (rollups keep NULL groups; ordered/keyed ops drop
-    NULL keys)."""
-    return df.filter(F.col(col).isNotNull())
+    ``centroid_similarity_matrix``, ``sq8_quantization_error``) use
+    ``drop_nonfinite_embeddings`` instead: NULL rows stay (they count
+    as members but explode to nothing — SQL-natural on both engines,
+    the wave-2 contract) and ragged rows stay (per-dim explode
+    semantics are well-defined at any length); only the crash-class
+    non-finite rows go — the same split as the events NULL-ts contract
+    (rollups keep NULL groups; ordered/keyed ops drop NULL keys)."""
+    c = F.col(col)
+    keep = c.isNotNull() & _finite_vector(c)
+    if dims is not None:
+        keep = keep & (F.size(c) == dims)
+    return df.filter(keep)
 
 
-def drop_unsearchable(df: DataFrame, col: str = "embedding") -> DataFrame:
-    """Cosine-family entry contract: drop NULL vectors (see
-    ``drop_null_embeddings``) AND quantized-zero-norm vectors — cosine
-    is undefined for the zero vector, and under ANSI mode the JVM-side
-    ``/ sqrt(qn·cn)`` THROWS DIVIDE_BY_ZERO instead of producing the
-    NaN the Arrow paths already mask out. Excluding them at entry (not
-    per division site) is what keeps the fixed-pipeline oracles exact:
-    candidate CUTS (``refine·k``, ``n_probe``) happen before the final
-    re-rank, so a zero vector holding a candidate slot on one engine
-    but not the other would shift the survivors.
+def drop_nonfinite_embeddings(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """Aggregate-class guard (see ``drop_invalid_embeddings``): drop
+    ONLY rows whose vector is present but carries a NULL or non-finite
+    component — the class that crashes the quantize cast on both
+    engines. NULL rows and ragged rows pass through. Oracles mirror
+    with ``embedding IS NULL OR (len-and-finite check)``."""
+    c = F.col(col)
+    return df.filter(c.isNull() | _finite_vector(c))
+
+
+def drop_unsearchable(
+    df: DataFrame, col: str = "embedding", dims: int | None = None
+) -> DataFrame:
+    """Cosine-family entry contract: ``drop_invalid_embeddings`` PLUS
+    quantized-zero-norm vectors — cosine is undefined for the zero
+    vector, and under ANSI mode the JVM-side ``/ sqrt(qn·cn)`` THROWS
+    DIVIDE_BY_ZERO instead of producing the NaN the Arrow paths
+    already mask out. Excluding them at entry (not per division site)
+    is what keeps the fixed-pipeline oracles exact: candidate CUTS
+    (``refine·k``, ``n_probe``) happen before the final re-rank, so a
+    zero vector holding a candidate slot on one engine but not the
+    other would shift the survivors.
 
     Zero-norm test, exact vs the engine-wide quantize (round
     half-away-from-zero of x·1000): every component rounds to 0 ⟺
-    max|x|·1000 < 0.5. ``array_max``/``array_min`` are plain collection
-    expressions (codegen), not interpreted lambda HOFs, so the check
-    adds no per-element lambda tax on the hot path; IEEE multiply by a
-    positive constant is monotone, so max-then-scale equals
-    scale-then-max bit-exactly. Oracles mirror with
-    ``embedding IS NOT NULL AND list_dot_product(qv, qv) > 0``."""
+    max|x|·1000 < 0.5. ``array_max``/``array_min``/``greatest`` are
+    plain codegen expressions, not interpreted lambda HOFs, so the
+    check adds no per-element lambda tax on the hot path; IEEE multiply
+    by a positive constant is monotone, so max-then-scale equals
+    scale-then-max bit-exactly. Oracles additionally mirror with
+    ``list_dot_product(qv, qv) > 0`` on the already-guarded subquery."""
     c = F.col(col)
     mx = F.greatest(F.array_max(c), -F.array_min(c)).cast("double") * 1000.0
-    return df.filter(c.isNotNull() & (mx >= 0.5))
+    return drop_invalid_embeddings(df, col, dims).filter(mx >= 0.5)
 
 
 def _np_quantize(mat: np.ndarray, scale: int = 1000) -> np.ndarray:
@@ -123,6 +170,18 @@ def cosine_topk_bruteforce(
     embeddings = drop_unsearchable(embeddings)
     seeds = drop_unsearchable(seeds)
     seed_rows = seeds.select(F.col("vec_id"), "embedding").collect()
+    # The scorer is dims-agnostic (media features are 8-dim, the
+    # embeddings table 64), so the scoring dimensionality is inferred
+    # from the seeds: modal length, ties to the smaller. Seeds and
+    # corpus rows of any other length (schema corruption) are dropped
+    # so a ragged row can never reach the Arrow matmul; oracles mirror
+    # with len(embedding) = <dims>.
+    from collections import Counter
+
+    lens = Counter(len(r["embedding"]) for r in seed_rows)
+    dims = max(lens, key=lambda d: (lens[d], -d)) if lens else 0
+    seed_rows = [r for r in seed_rows if len(r["embedding"]) == dims]
+    embeddings = embeddings.filter(F.size("embedding") == dims)
     sid = np.array([r["vec_id"] for r in seed_rows], dtype=np.int64)
     smat = _np_quantize(
         np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
@@ -181,7 +240,7 @@ def cosine_topk_bruteforce(
 
 
 def ivf_assign(
-    embeddings: DataFrame, n_cells: int = 16
+    embeddings: DataFrame, n_cells: int = 16, dims: int = 64
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: deterministic centroids (every (n/K)-th
     vector by id — a seeded sample stand-in for k-means; swap in real
@@ -200,7 +259,7 @@ def ivf_assign(
     corpus size. The K-row window that numbers cells runs on K rows
     only.
     """
-    embeddings = drop_unsearchable(embeddings)
+    embeddings = drop_unsearchable(embeddings, dims=dims)
     sel = (
         embeddings.select(
             "vec_id",
@@ -250,7 +309,7 @@ def _assign_to_centroids(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
 
 
 def ivf_train_kmeans(
-    embeddings: DataFrame, n_cells: int = 16, iters: int = 2
+    embeddings: DataFrame, n_cells: int = 16, iters: int = 2, dims: int = 64
 ) -> DataFrame:
     """Lloyd refinement of the hash-sampled IVF centroids, as pure
     DataFrame ops (the offline training job a real IVF index runs):
@@ -266,8 +325,8 @@ def ivf_train_kmeans(
     Returns centroids(cell_id, ccv array<double>, ccn) compatible with
     ``ivf_ann_topk``'s probe flow.
     """
-    embeddings = drop_unsearchable(embeddings)
-    centroids, _ = ivf_assign(embeddings, n_cells)
+    embeddings = drop_unsearchable(embeddings, dims=dims)
+    centroids, _ = ivf_assign(embeddings, n_cells, dims)
     vecs = embeddings.select(
         "vec_id", quantize(F.col("embedding")).alias("qv")
     ).withColumn("qn", _dot(F.col("qv"), F.col("qv"))).persist()
@@ -303,14 +362,16 @@ def ivf_train_kmeans(
     return centroids
 
 
-def ivf_fixed_centroids(embeddings: DataFrame, n_cells: int) -> DataFrame:
+def ivf_fixed_centroids(
+    embeddings: DataFrame, n_cells: int, dims: int = 64
+) -> DataFrame:
     """PORTABLE centroid selection: the first ``n_cells`` vectors by id,
     cell_id = vec_id. Hash-sampling (``ivf_assign``) is the production
     default, but xxhash64 has no DuckDB twin — this variant makes the
     whole IVF pipeline (assign → probe → verify) SQL-expressible so the
     oracle can replay it end-to-end."""
     return (
-        drop_unsearchable(embeddings).filter(F.col("vec_id") < n_cells)
+        drop_unsearchable(embeddings, dims=dims).filter(F.col("vec_id") < n_cells)
         .select(
             F.col("vec_id").cast("int").alias("cell_id"),
             quantize(F.col("embedding")).alias("ccv"),
@@ -327,6 +388,7 @@ def ivf_ann_topk(
     n_probe: int = 4,
     kmeans_iters: int = 0,
     centroids: DataFrame | None = None,
+    dims: int = 64,
 ) -> DataFrame:
     """IVF probe: score each seed only against vectors in its ``n_probe``
     closest cells. Same output contract as the brute-force/LSH variants;
@@ -337,21 +399,21 @@ def ivf_ann_topk(
     (cell_id, ccv, ccn) overrides selection entirely (e.g. the portable
     ``ivf_fixed_centroids``, or offline-trained centroids).
     """
-    embeddings = drop_unsearchable(embeddings)
-    seeds = drop_unsearchable(seeds)
+    embeddings = drop_unsearchable(embeddings, dims=dims)
+    seeds = drop_unsearchable(seeds, dims=dims)
     if centroids is not None:
         vecs = embeddings.select(
             "vec_id", quantize(F.col("embedding")).alias("qv")
         ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))
         assignments = _assign_to_centroids(vecs, centroids)
     elif kmeans_iters > 0:
-        centroids = ivf_train_kmeans(embeddings, n_cells, kmeans_iters)
+        centroids = ivf_train_kmeans(embeddings, n_cells, kmeans_iters, dims)
         vecs = embeddings.select(
             "vec_id", quantize(F.col("embedding")).alias("qv")
         ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))
         assignments = _assign_to_centroids(vecs, centroids)
     else:
-        centroids, assignments = ivf_assign(embeddings, n_cells)
+        centroids, assignments = ivf_assign(embeddings, n_cells, dims)
     q = seeds.select(
         F.col("vec_id").alias("seed"), quantize(F.col("embedding")).alias("qv")
     ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))
@@ -432,7 +494,7 @@ def lsh_buckets(
     engine-wide contract (round(x·1000), exact in float64)."""
     from pyspark.sql.functions import pandas_udf
 
-    embeddings = drop_null_embeddings(embeddings)
+    embeddings = drop_invalid_embeddings(embeddings, dims=dims)
 
     n_planes = bands * planes_per_band
     S = np.array(
@@ -481,8 +543,8 @@ def lsh_ann_topk(
     """
     from .dedup import drop_oversized_buckets
 
-    embeddings = drop_unsearchable(embeddings)
-    seeds = drop_unsearchable(seeds)
+    embeddings = drop_unsearchable(embeddings, dims=dims)
+    seeds = drop_unsearchable(seeds, dims=dims)
     buckets = drop_oversized_buckets(
         lsh_buckets(embeddings, planes_per_band, bands, dims, seed),
         max_bucket_size,
@@ -522,7 +584,9 @@ def lsh_ann_topk(
     )
 
 
-def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
+def embedding_near_dup(
+    embeddings: DataFrame, threshold: float = 0.9, dims: int = 64
+) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs: (a, b, score) with
     a < b and cosine ≥ threshold.
 
@@ -533,7 +597,7 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.9) -> DataFra
     Quantized integer dot products keep scores order-independent and
     engine-exact.
     """
-    embeddings = drop_unsearchable(embeddings)
+    embeddings = drop_unsearchable(embeddings, dims=dims)
     q = embeddings.select(
         F.col("vec_id").alias("a"), quantize(F.col("embedding")).alias("qa")
     ).withColumn("na", _dot(F.col("qa"), F.col("qa")))
@@ -581,7 +645,7 @@ def embedding_near_dup_lsh(
     """
     from .dedup import drop_oversized_buckets
 
-    embeddings = drop_unsearchable(embeddings)
+    embeddings = drop_unsearchable(embeddings, dims=dims)
     buckets = drop_oversized_buckets(
         lsh_buckets(embeddings, planes_per_band, bands, dims, seed),
         max_bucket_size,
@@ -652,7 +716,7 @@ def pq_train(
     territory: the per-round shuffle is n·m rows, never on the query
     path.
     """
-    embeddings = drop_unsearchable(embeddings)
+    embeddings = drop_unsearchable(embeddings, dims=dims)
     sampled = (
         embeddings.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(codes_k)
@@ -722,7 +786,7 @@ def pq_encode(
 ) -> DataFrame:
     """Encode every vector as m small codes (vec_id, codes array<int>) —
     the 8-byte-per-vector form a 100 TB corpus actually keeps in memory."""
-    sub = _subvectors(drop_unsearchable(embeddings), m, dims)
+    sub = _subvectors(drop_unsearchable(embeddings, dims=dims), m, dims)
     return (
         _pq_assign(sub, codebook)
         .groupBy("vec_id")
@@ -761,8 +825,8 @@ def pq_ann_topk(
     """
     import numpy as np
 
-    embeddings = drop_unsearchable(embeddings)
-    seeds = drop_unsearchable(seeds)
+    embeddings = drop_unsearchable(embeddings, dims=dims)
+    seeds = drop_unsearchable(seeds, dims=dims)
     codebook = pq_train(embeddings, m=m, codes_k=codes_k, dims=dims, iters=iters)
     codes = pq_encode(embeddings, codebook, m=m, dims=dims)
 
@@ -865,9 +929,9 @@ def ivf_pq_ann_topk(
     """
     import numpy as np
 
-    embeddings = drop_unsearchable(embeddings)
-    seeds = drop_unsearchable(seeds)
-    centroids, assignments = ivf_assign(embeddings, n_cells)
+    embeddings = drop_unsearchable(embeddings, dims=dims)
+    seeds = drop_unsearchable(seeds, dims=dims)
+    centroids, assignments = ivf_assign(embeddings, n_cells, dims)
     codebook = pq_train(embeddings, m=m, codes_k=codes_k, dims=dims, iters=iters)
     codes = pq_encode(embeddings, codebook, m=m, dims=dims).join(
         assignments, "vec_id"
@@ -961,6 +1025,7 @@ def label_centroids(embeddings: DataFrame, label_col: str = "label") -> DataFram
     division per dim), so the result is engine-portable. Returns
     (label, n_members, centroid array<double> ordered by dim).
     """
+    embeddings = drop_nonfinite_embeddings(embeddings)
     per_dim = embeddings.select(
         label_col, F.posexplode(quantize(F.col("embedding"))).alias("d", "q")
     )
@@ -996,7 +1061,7 @@ def centroid_similarity_matrix(
     to the data; the inter-class confusion structure used for
     cluster-balanced curation and label-noise auditing.
     """
-    per_dim = embeddings.select(
+    per_dim = drop_nonfinite_embeddings(embeddings).select(
         label_col, F.posexplode(quantize(F.col("embedding"))).alias("d", "q")
     )
     sums = per_dim.groupBy(label_col, "d").agg(F.sum("q").alias("s"))
@@ -1062,6 +1127,14 @@ def hard_negatives(
     seed_rows = seeds.select(
         F.col("vec_id"), quantize(F.col("embedding")).alias("qv"), "label"
     ).collect()
+    # seed-modal dims inference + corpus length filter, exactly as in
+    # cosine_topk_bruteforce (same Arrow matmul, same ragged hazard)
+    from collections import Counter
+
+    lens = Counter(len(r["qv"]) for r in seed_rows)
+    dims = max(lens, key=lambda d: (lens[d], -d)) if lens else 0
+    seed_rows = [r for r in seed_rows if len(r["qv"]) == dims]
+    embeddings = embeddings.filter(F.size("embedding") == dims)
     sid = np.array([r["vec_id"] for r in seed_rows], dtype=np.int64)
     smat = np.array([r["qv"] for r in seed_rows], dtype=np.int64)
     slab = np.array([r["label"] for r in seed_rows], dtype=np.int64)
@@ -1121,15 +1194,15 @@ def hard_negatives(
 
 
 def _semdedup_scored_pairs(
-    embeddings: DataFrame, n_cells: int, threshold: float
+    embeddings: DataFrame, n_cells: int, threshold: float, dims: int = 64
 ) -> DataFrame:
     """Shared SemDeDup candidate stage: portable fixed centroids →
     exact quantized-cosine assignment → cell-keyed pair equi-join
     (a < b) scored by quantized cosine, filtered to >= threshold.
     Returns (cell_id, a, b, score). Candidate pairs are bounded per
     cell — the IVF bucketed-candidates contract; no all-pairs."""
-    embeddings = drop_unsearchable(embeddings)
-    cent = ivf_fixed_centroids(embeddings, n_cells)
+    embeddings = drop_unsearchable(embeddings, dims=dims)
+    cent = ivf_fixed_centroids(embeddings, n_cells, dims)
     vecs = embeddings.select(
         "vec_id", quantize(F.col("embedding")).alias("qv")
     ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))
@@ -1166,6 +1239,7 @@ def semdedup(
     embeddings: DataFrame,
     n_cells: int = 8,
     threshold: float = 0.4,
+    dims: int = 64,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication — cluster the embedding space coarsely, then drop
@@ -1201,7 +1275,7 @@ def semdedup(
     Returns (cell_id, kept, dropped, score) — one row per dropped
     vector, ordered by ``dropped`` upstream of the caller's sort.
     """
-    scored = _semdedup_scored_pairs(embeddings, n_cells, threshold)
+    scored = _semdedup_scored_pairs(embeddings, n_cells, threshold, dims)
     wdrop = Window.partitionBy("b").orderBy("a")
     return (
         scored.withColumn("rk", F.row_number().over(wdrop))
@@ -1219,6 +1293,7 @@ def semdedup_greedy(
     embeddings: DataFrame,
     n_cells: int = 8,
     threshold: float = 0.4,
+    dims: int = 64,
 ) -> DataFrame:
     """SemDeDup with the PAPER-EXACT sequential-greedy drop rule
     (Abbas et al. 2023 §3): scan each cluster's vectors in ascending
@@ -1246,7 +1321,7 @@ def semdedup_greedy(
     Returns (cell_id, kept, dropped, score) — one row per dropped
     vector; score = the kept-representative pair's cosine.
     """
-    scored = _semdedup_scored_pairs(embeddings, n_cells, threshold)
+    scored = _semdedup_scored_pairs(embeddings, n_cells, threshold, dims)
 
     def _cell_greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         in_edges: dict[int, list[tuple[int, float]]] = {}
@@ -1316,8 +1391,8 @@ def pq_fixed_ann_topk(
     once for the candidate-only re-rank equi-join. Same memory/IO
     shape as the production LUT scan, rendered relationally.
     """
-    embeddings = drop_unsearchable(embeddings)
-    seeds = drop_unsearchable(seeds)
+    embeddings = drop_unsearchable(embeddings, dims=dims)
+    seeds = drop_unsearchable(seeds, dims=dims)
     cb = _subvectors(
         embeddings.filter(F.col("vec_id") < codes_k), m, dims
     ).select(
@@ -1421,9 +1496,9 @@ def ivf_pq_fixed_ann_topk(
     partitioned BY CELL, so a probe reads n_probe/K of it — the
     billion-scale memory/IO shape, here rendered relationally.
     """
-    embeddings = drop_unsearchable(embeddings)
-    seeds = drop_unsearchable(seeds)
-    cent = ivf_fixed_centroids(embeddings, n_cells)
+    embeddings = drop_unsearchable(embeddings, dims=dims)
+    seeds = drop_unsearchable(seeds, dims=dims)
+    cent = ivf_fixed_centroids(embeddings, n_cells, dims)
     vecs = embeddings.select(
         "vec_id", quantize(F.col("embedding")).alias("qv")
     ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))
@@ -1520,7 +1595,7 @@ def ivf_pq_fixed_ann_topk(
     )
 
 
-def norm_outliers(embeddings: DataFrame) -> DataFrame:
+def norm_outliers(embeddings: DataFrame, dims: int = 64) -> DataFrame:
     """Embedding hygiene screen: flag vectors whose QUANTIZED squared
     norm falls outside the Tukey fences [q1 − 1.5·IQR, q3 + 1.5·IQR] —
     the cheap first check of an embedding pipeline (near-zero norms =
@@ -1546,11 +1621,14 @@ def norm_outliers(embeddings: DataFrame) -> DataFrame:
     expression (BASELINE sec 11 — the ann_cosine lesson applied).
 
     Returns (vec_id, norm2, lo_fence, hi_fence, is_outlier) — one row
-    per NON-NULL vector (``drop_null_embeddings``: a NULL vector has no
-    norm to screen, and its null_frac belongs to a profiling query, not
-    a fence flag).
+    per NON-NULL vector of the table's dimensionality (a NULL vector
+    has no norm to screen — its null_frac belongs to a profiling query,
+    not a fence flag; non-finite and ragged rows are dropped by
+    ``drop_invalid_embeddings`` — a NaN norm is a crash on both
+    engines, not a screen result). Zero vectors stay: norm 0 IS the
+    outlier this screen exists to flag.
     """
-    embeddings = drop_null_embeddings(embeddings)
+    embeddings = drop_invalid_embeddings(embeddings, dims=dims)
 
     def _norm_batches(batches):
         for pdf in batches:
@@ -1617,7 +1695,7 @@ def sq8_quantization_error(embeddings: DataFrame) -> DataFrame:
     one vec-keyed combinable aggregate. No corpus-sized join or window
     at any scale.
     """
-    per = embeddings.select(
+    per = drop_nonfinite_embeddings(embeddings).select(
         "vec_id", F.posexplode(quantize(F.col("embedding"))).alias("d", "q")
     )
     stats = per.groupBy("d").agg(F.min("q").alias("mn"), F.max("q").alias("mx"))

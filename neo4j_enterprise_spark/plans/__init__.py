@@ -275,13 +275,19 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "traverse_dfs_preorder",
     "traverse_pruned_2hop",
     "violations_summary",
+    # -- r12 sweep wave 3 (non-finite / ragged / NULL-component
+    #    vectors): a NaN or Inf component crashes the quantize cast on
+    #    BOTH engines (ANSI CAST(NaN AS BIGINT) throws; DuckDB
+    #    conversion error), so even the aggregate-class embedding ops
+    #    need the finite guard (`drop_nonfinite_embeddings`; NULL and
+    #    ragged rows still pass through there per the wave-2 contract) -
+    "emb_label_centroids",
+    "emb_centroid_similarity",
+    "emb_sq8_error",
     # -- oldest evidence: last checked r7, name order (window filler;
     #    the remaining r7 cohort rotates in r13) ------------------------
     "bfs_shortest_hops",
     "cypher_optional_match",
-    "cypher_property_map_match",
-    "cypher_return_distinct",
-    "cypher_skip_page",
 )
 
 # Deep-only changes (shared-helper edits) acknowledged OUT of the window,
@@ -305,17 +311,18 @@ _DEEP_CHANGE_ACK: dict[str, str] = {
     ),
     "ann_ivf_top5": (
         "rows-only production IVF (xxhash centroids, no SQL twin); the "
-        "r12 drop_unsearchable entry guard is a provable no-op on "
-        "shipped data (0 NULL / 0 quantized-zero-norm vectors at every "
-        "sf, verified via DuckDB scan) so output is bit-identical; the "
+        "r12 drop_unsearchable entry guard (NULL / zero-norm / "
+        "non-finite / ragged) is a provable no-op on shipped data (0 "
+        "such vectors at every sf, DuckDB-verified) so output is "
+        "bit-identical; the "
         "guard's semantics are driver-checked via the fixed twin "
         "ann_ivf_fixed_top5 in this window and the NULL sweep "
         "(tests/test_null_contract_sweep.py) covers the family"
     ),
     "ann_pq_top5": (
         "rows-only production PQ (Lloyd-trained float codebook); same "
-        "no-op-guard argument as ann_ivf_top5 (0 NULL / 0 zero-norm "
-        "vectors on shipped data); fixed twin ann_pq_fixed_top5 "
+        "no-op-guard argument as ann_ivf_top5 (0 invalid vectors on "
+        "shipped data); fixed twin ann_pq_fixed_top5 "
         "re-earns in this window on the guarded plan"
     ),
     "ann_ivf_pq_top5": (

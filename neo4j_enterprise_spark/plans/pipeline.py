@@ -15,6 +15,26 @@ from ..catalog import load_table
 from ..operators import dedup, similarity, text
 from . import register
 
+# Oracle twin of ``similarity.drop_invalid_embeddings(dims=64)`` — the
+# r12 invalid-vector contract (NULL row / NULL component / NaN / ±Inf /
+# wrong length). Interpolated, never inlined as a literal, so plan and
+# oracle cannot silently diverge; the zero-norm clause of
+# ``drop_unsearchable`` is applied as ``list_dot_product(qv, qv) > 0``
+# on a NESTED subquery because SQL does not guarantee conjunct order —
+# evaluating the quantize cast on a NaN row would crash DuckDB before
+# the finite guard runs.
+_EMB_OK = (
+    "embedding IS NOT NULL AND len(embedding) = 64 AND "
+    "list_bool_and(list_transform(embedding, "
+    "x -> x IS NOT NULL AND isfinite(CAST(x AS DOUBLE))))"
+)
+# Aggregate-class twin of ``similarity.drop_nonfinite_embeddings``:
+# NULL rows and ragged rows stay, crash-class non-finite rows go.
+_EMB_FINITE_OR_NULL = (
+    "(embedding IS NULL OR list_bool_and(list_transform(embedding, "
+    "x -> x IS NOT NULL AND isfinite(CAST(x AS DOUBLE)))))"
+)
+
 
 @register(
     "docs_exact_dup_groups",
@@ -85,17 +105,17 @@ def docs_lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_cosine_top5",
-    """
-    WITH q AS (SELECT vec_id AS seed,
-                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-               FROM embeddings
-               WHERE vec_id < 20 AND embedding IS NOT NULL
-                 AND list_dot_product(qv, qv) > 0),
-         c AS (SELECT vec_id AS neighbor,
-                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS cv
-               FROM embeddings
-               WHERE embedding IS NOT NULL
-                 AND list_dot_product(cv, cv) > 0),
+    f"""
+    WITH q AS (SELECT seed, qv FROM (
+                 SELECT vec_id AS seed,
+                        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+                 FROM embeddings WHERE vec_id < 20 AND {_EMB_OK})
+               WHERE list_dot_product(qv, qv) > 0),
+         c AS (SELECT neighbor, cv FROM (
+                 SELECT vec_id AS neighbor,
+                        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS cv
+                 FROM embeddings WHERE {_EMB_OK})
+               WHERE list_dot_product(cv, cv) > 0),
          s AS (SELECT seed, neighbor,
                       list_dot_product(qv, cv)
                       / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)) AS score
@@ -127,12 +147,12 @@ def ann_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "docs_embedding_near_dup",
-    """
-    WITH q AS (SELECT vec_id,
-                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-               FROM embeddings
-               WHERE embedding IS NOT NULL
-                 AND list_dot_product(qv, qv) > 0)
+    f"""
+    WITH q AS (SELECT vec_id, qv FROM (
+                 SELECT vec_id,
+                        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+                 FROM embeddings WHERE {_EMB_OK})
+               WHERE list_dot_product(qv, qv) > 0)
     SELECT a.vec_id AS a, b.vec_id AS b,
            list_dot_product(a.qv, b.qv)
            / sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(b.qv, b.qv)) AS score
@@ -190,11 +210,11 @@ def _lsh_oracle_sql(bands: int, planes_per_band: int, dims: int, seed: int) -> s
         f"({p}, {_plane_signs(p, dims, seed)})" for p in range(n_planes)
     )
     return f"""
-    WITH q AS (SELECT vec_id,
-                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-               FROM embeddings
-               WHERE embedding IS NOT NULL
-                 AND list_dot_product(qv, qv) > 0),
+    WITH q AS (SELECT vec_id, qv FROM (
+                 SELECT vec_id,
+                        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+                 FROM embeddings WHERE {_EMB_OK})
+               WHERE list_dot_product(qv, qv) > 0),
     planes AS (SELECT * FROM (VALUES
       {rows}) AS t(plane, signs)),
     sig AS (
@@ -250,12 +270,12 @@ def ann_lsh_md5_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_fixed_top5",
-    """
-    WITH q AS (SELECT vec_id,
-                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-               FROM embeddings
-               WHERE embedding IS NOT NULL
-                 AND list_dot_product(qv, qv) > 0),
+    f"""
+    WITH q AS (SELECT vec_id, qv FROM (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+            FROM embeddings WHERE {_EMB_OK})
+          WHERE list_dot_product(qv, qv) > 0),
     cent AS (SELECT CAST(vec_id AS INTEGER) AS cell_id, qv AS ccv
              FROM q WHERE vec_id < 8),
     assign AS (
@@ -1830,14 +1850,15 @@ def docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_label_centroids",
-    """
+    f"""
     WITH q AS (
       SELECT label,
              generate_subscripts(embedding, 1) - 1 AS d,
              CAST(ROUND(unnest(embedding) * 1000) AS BIGINT) AS qv
-      FROM embeddings),
+      FROM embeddings WHERE {_EMB_FINITE_OR_NULL}),
     s AS (SELECT label, d, SUM(qv) AS sq FROM q GROUP BY label, d),
-    c AS (SELECT label, COUNT(*) AS n_members FROM embeddings GROUP BY label)
+    c AS (SELECT label, COUNT(*) AS n_members FROM embeddings
+          WHERE {_EMB_FINITE_OR_NULL} GROUP BY label)
     SELECT s.label, c.n_members, CAST(s.d AS INT) AS d,
            CAST(s.sq AS DOUBLE) / CAST(c.n_members AS DOUBLE) AS centroid_v
     FROM s JOIN c USING (label)
@@ -2168,11 +2189,11 @@ def docs_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_centroid_similarity",
-    """
+    f"""
     WITH q AS (
       SELECT label, generate_subscripts(embedding, 1) AS d,
              CAST(ROUND(unnest(embedding) * 1000) AS BIGINT) AS qv
-      FROM embeddings),
+      FROM embeddings WHERE {_EMB_FINITE_OR_NULL}),
     s AS (SELECT label, d, SUM(qv) AS s FROM q GROUP BY label, d),
     ip AS (SELECT a.label AS label_a, b.label AS label_b,
                   SUM(a.s * b.s) AS ip_num
@@ -2378,17 +2399,17 @@ def docs_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_hard_negatives",
-    """
-    WITH q AS (SELECT vec_id AS seed, label AS slabel,
-                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-               FROM embeddings
-               WHERE vec_id < 20 AND embedding IS NOT NULL
-                 AND list_dot_product(qv, qv) > 0),
-         c AS (SELECT vec_id AS negative, label AS clabel,
-                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS cv
-               FROM embeddings
-               WHERE embedding IS NOT NULL
-                 AND list_dot_product(cv, cv) > 0),
+    f"""
+    WITH q AS (SELECT seed, slabel, qv FROM (
+                 SELECT vec_id AS seed, label AS slabel,
+                        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+                 FROM embeddings WHERE vec_id < 20 AND {_EMB_OK})
+               WHERE list_dot_product(qv, qv) > 0),
+         c AS (SELECT negative, clabel, cv FROM (
+                 SELECT vec_id AS negative, label AS clabel,
+                        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS cv
+                 FROM embeddings WHERE {_EMB_OK})
+               WHERE list_dot_product(cv, cv) > 0),
          s AS (SELECT seed, negative,
                       list_dot_product(qv, cv)
                       / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)) AS score
@@ -3056,12 +3077,12 @@ def docs_phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_semdedup",
-    """
-    WITH q AS (SELECT vec_id,
-                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-               FROM embeddings
-               WHERE embedding IS NOT NULL
-                 AND list_dot_product(qv, qv) > 0),
+    f"""
+    WITH q AS (SELECT vec_id, qv FROM (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+            FROM embeddings WHERE {_EMB_OK})
+          WHERE list_dot_product(qv, qv) > 0),
     cent AS (SELECT CAST(vec_id AS INTEGER) AS cell_id, qv AS ccv
              FROM q WHERE vec_id < 8),
     assign AS (
@@ -3105,13 +3126,13 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_semdedup_greedy",
-    """
+    f"""
     WITH RECURSIVE
-    q AS (SELECT vec_id,
-                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-          FROM embeddings
-          WHERE embedding IS NOT NULL
-            AND list_dot_product(qv, qv) > 0),
+    q AS (SELECT vec_id, qv FROM (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+            FROM embeddings WHERE {_EMB_OK})
+          WHERE list_dot_product(qv, qv) > 0),
     cent AS (SELECT CAST(vec_id AS INTEGER) AS cell_id, qv AS ccv
              FROM q WHERE vec_id < 8),
     assign AS (
@@ -3194,12 +3215,12 @@ def emb_semdedup_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_pq_fixed_top5",
-    """
-    WITH q AS (SELECT vec_id,
-                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-               FROM embeddings
-               WHERE embedding IS NOT NULL
-                 AND list_dot_product(qv, qv) > 0),
+    f"""
+    WITH q AS (SELECT vec_id, qv FROM (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+            FROM embeddings WHERE {_EMB_OK})
+          WHERE list_dot_product(qv, qv) > 0),
     subs AS (SELECT unnest(generate_series(0, 7)) AS sub_id),
     sub AS (SELECT q.vec_id, s.sub_id,
                    qv[s.sub_id * 8 + 1 : s.sub_id * 8 + 8] AS sv
@@ -3316,12 +3337,12 @@ def docs_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_pq_fixed_top5",
-    """
-    WITH q AS (SELECT vec_id,
-                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-               FROM embeddings
-               WHERE embedding IS NOT NULL
-                 AND list_dot_product(qv, qv) > 0),
+    f"""
+    WITH q AS (SELECT vec_id, qv FROM (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+            FROM embeddings WHERE {_EMB_OK})
+          WHERE list_dot_product(qv, qv) > 0),
     cent AS (SELECT CAST(vec_id AS INTEGER) AS cell_id, qv AS ccv
              FROM q WHERE vec_id < 8),
     assign AS (
@@ -3632,13 +3653,13 @@ def docs_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_norm_outliers",
-    """
+    f"""
     WITH n AS (SELECT vec_id,
                       list_dot_product(
                         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
                         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
                       ) AS norm2
-               FROM embeddings WHERE embedding IS NOT NULL),
+               FROM embeddings WHERE {_EMB_OK}),
     q AS (SELECT quantile_cont(norm2, 0.25) AS q1,
                  quantile_cont(norm2, 0.75) AS q3 FROM n),
     f AS (SELECT q1 - 1.5 * (q3 - q1) AS lo_fence,
@@ -3910,12 +3931,12 @@ def docs_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_sq8_error",
-    r"""
+    rf"""
     WITH p AS (
       SELECT vec_id,
              generate_subscripts(embedding, 1) - 1 AS d,
              CAST(ROUND(unnest(embedding) * 1000) AS BIGINT) AS q
-      FROM embeddings),
+      FROM embeddings WHERE {_EMB_FINITE_OR_NULL}),
     s AS (SELECT d, MIN(q) AS mn, MAX(q) AS mx FROM p GROUP BY d),
     j AS (SELECT p.vec_id, p.q, s.mn,
                  GREATEST(s.mx - s.mn, 1) AS span

@@ -225,6 +225,60 @@ def test_null_embedding_parity(spark, null_emb_dir, name):
     _assert_parity(spark, QUERIES[name], null_emb_dir, "embeddings", name)
 
 
+@pytest.fixture(scope="module")
+def invalid_emb_dir(spark, tmp_path_factory):
+    """Wave 3: vectors that are PRESENT but invalid — NaN / ±Inf
+    components (crash the quantize cast on BOTH engines), ragged
+    lengths (crash the Arrow ``np.array`` batch), NULL components —
+    on top of wave 2's NULL rows, zero vectors, and NULL labels.
+    Search/index ops must drop them all at entry
+    (``similarity.drop_invalid_embeddings``); aggregate ops drop only
+    the non-finite class and keep NULL + ragged rows."""
+    import math
+
+    rows = []
+    for i in range(300):
+        vec = [math.sin(0.1 * i * (j + 1)) for j in range(64)]
+        if i % 10 == 0:
+            vec = None
+        elif i % 30 == 5:
+            vec = [0.0] * 64
+        elif i % 25 == 21:
+            vec = vec[:32]  # ragged short
+        elif i % 25 == 22:
+            vec = vec + [0.25]  # ragged long (65)
+        elif i % 30 == 17:
+            vec[3] = float("nan")
+        elif i % 30 == 27:
+            vec[5] = float("inf")
+        elif i % 30 == 11:
+            vec[7] = None  # NULL component
+        elif i % 30 == 23:
+            vec[9] = float("-inf")
+        rows.append((i, vec, None if i % 10 == 3 else i % 5))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    for pred, lo in [
+        ("embedding IS NULL", 25),
+        ("size(embedding) <> 64", 15),
+        ("exists(embedding, x -> isnan(x))", 5),
+        ("exists(embedding, x -> abs(x) = double('Infinity'))", 10),
+        ("exists(embedding, x -> x IS NULL)", 5),
+    ]:
+        assert df.filter(pred).count() >= lo, pred
+    out = str(tmp_path_factory.mktemp("invalid_emb"))
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+    return out
+
+
+@pytest.mark.parametrize("name", EMB_ONLY)
+def test_invalid_embedding_parity(spark, invalid_emb_dir, name):
+    _assert_parity(spark, QUERIES[name], invalid_emb_dir, "embeddings", name)
+
+
 @pytest.mark.parametrize("name", DOCS_LANG_SOURCE)
 def test_null_lang_source_parity(spark, null_docs_lang_dir, name):
     _assert_parity(spark, QUERIES[name], null_docs_lang_dir, "documents", name)

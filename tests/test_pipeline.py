@@ -1126,7 +1126,7 @@ def test_semdedup_hand_computed(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = {
         r["dropped"]: (r["cell_id"], r["kept"])
-        for r in similarity.semdedup(emb, n_cells=2, threshold=0.9).collect()
+        for r in similarity.semdedup(emb, n_cells=2, threshold=0.9, dims=2).collect()
     }
     # cell 0 members: 0,2,3 — cos(0,2)≈0.994, cos(0,3)≈0.999, cos(2,3)≈0.999
     # cell 1 members: 1,4,5 — cos(1,4)≈0.994, cos(1,5)≈0.196, cos(4,5)≈0.08
@@ -1154,12 +1154,12 @@ def test_semdedup_greedy_resolves_chain(spark):
     greedy = {
         r["dropped"]: (r["cell_id"], r["kept"])
         for r in similarity.semdedup_greedy(
-            emb, n_cells=1, threshold=0.9
+            emb, n_cells=1, threshold=0.9, dims=2
         ).collect()
     }
     onepass = {
         r["dropped"]: r["kept"]
-        for r in similarity.semdedup(emb, n_cells=1, threshold=0.9).collect()
+        for r in similarity.semdedup(emb, n_cells=1, threshold=0.9, dims=2).collect()
     }
     assert greedy == {1: (0, 0)}          # 2 survives: its only >=t
     assert set(onepass) == {1, 2}          # neighbor (1) was dropped
@@ -1182,12 +1182,12 @@ def test_semdedup_greedy_matches_onepass_without_chains(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     a = sorted(
         (r["cell_id"], r["kept"], r["dropped"], r["score"])
-        for r in similarity.semdedup(emb, n_cells=2, threshold=0.9).collect()
+        for r in similarity.semdedup(emb, n_cells=2, threshold=0.9, dims=2).collect()
     )
     b = sorted(
         (r["cell_id"], r["kept"], r["dropped"], r["score"])
         for r in similarity.semdedup_greedy(
-            emb, n_cells=2, threshold=0.9
+            emb, n_cells=2, threshold=0.9, dims=2
         ).collect()
     )
     assert a == b and len(a) == 3
@@ -1219,7 +1219,7 @@ def test_semdedup_cell_budget_bounds_pairs(spark):
         vecs = emb.select(
             "vec_id", quantize(F.col("embedding")).alias("qv")
         ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))
-        assign = _assign_to_centroids(vecs, ivf_fixed_centroids(emb, nc))
+        assign = _assign_to_centroids(vecs, ivf_fixed_centroids(emb, nc, dims=8))
         sizes = {
             r["cell_id"]: r["n"]
             for r in assign.groupBy("cell_id")
@@ -1229,7 +1229,7 @@ def test_semdedup_cell_budget_bounds_pairs(spark):
         # threshold=-1 keeps every scored pair: counts the join fanout
         pc = {
             r["cell_id"]: r["p"]
-            for r in _semdedup_scored_pairs(emb, nc, -1.0)
+            for r in _semdedup_scored_pairs(emb, nc, -1.0, dims=8)
             .groupBy("cell_id")
             .agg(F.count("*").alias("p"))
             .collect()
@@ -1250,7 +1250,7 @@ def test_semdedup_plan_broadcast_assign_no_cartesian(spark):
         "vec_id long, embedding array<float>",
     )
     plan = (
-        similarity.semdedup(emb, n_cells=2)
+        similarity.semdedup(emb, n_cells=2, dims=2)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -1544,7 +1544,7 @@ def test_norm_outliers_tukey_fences(spark):
 
     rows = [(i, [0.001, 0.0]) for i in range(4)] + [(9, [10.0, 0.0])]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    out = {r["vec_id"]: r for r in similarity.norm_outliers(emb).collect()}
+    out = {r["vec_id"]: r for r in similarity.norm_outliers(emb, dims=2).collect()}
     assert all(not out[i]["is_outlier"] for i in range(4))
     assert out[9]["is_outlier"]
     assert out[0]["norm2"] == 1 and out[9]["norm2"] == 10000 ** 2
