@@ -576,6 +576,36 @@ def test_cosine_topk_zero_norm_vectors_excluded(spark):
     assert by_seed[1] == {2, 4}
 
 
+def test_bruteforce_modal_dims_inference(spark):
+    """cosine_topk_bruteforce infers the scoring dimensionality from
+    the seeds (modal length, ties to the smaller): a minority
+    wrong-length seed is dropped, and corpus rows of any other length
+    never reach the Arrow matmul — the media-vs-embeddings dual-width
+    contract from the r12 invalid-vector sweep."""
+    from neo4j_enterprise_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [0.5, 0.5]),        # ragged corpus row: must not crash, never a neighbor
+            (4, [0.5, 0.5, 0.1]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    seeds = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (4, [0.5, 0.5, 0.1]), (9, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = similarity.cosine_topk_bruteforce(emb, seeds, k=4).collect()
+    by_seed = {}
+    for r in got:
+        by_seed.setdefault(r["seed"], set()).add(r["neighbor"])
+    assert set(by_seed) == {1, 4}, "2-dim minority seed must be dropped"
+    assert 3 not in by_seed[1] and 3 not in by_seed[4], "ragged corpus row scored"
+    assert by_seed[1] == {2, 4} and by_seed[4] == {1, 2}
+
+
 def test_hard_negatives_zero_norm_excluded(spark):
     emb = spark.createDataFrame(
         [
