@@ -1,10 +1,11 @@
 #!/usr/bin/env python
 """Spark-vs-DuckDB wall-clock comparison for the oracle-bearing bench
-queries: runs each declared bench query on a warmed Spark session
-(median of 5) and its oracle SQL on warmed DuckDB (median of 5, same
-thread count), prints a ratio table sorted worst-first plus the
-aggregate. This is the measurement loop behind BASELINE.md's appendix —
-rerun it after perf work instead of guessing.
+queries: each query is measured in its own FRESH CHILD PROCESS on both
+sides (fresh JVM for Spark, fresh DuckDB for the oracle — see
+_spark_worker/_oracle_worker for why), warm un-timed first run then a
+steal-clean median, printed as a ratio table sorted worst-first plus
+the aggregate. This is the measurement loop behind BASELINE.md's
+appendix — rerun it after perf work instead of guessing.
 
 Usage: PYTHONPATH=. python tools/compare_duckdb.py [sf_dir] [runs]
   runs: steal-clean samples per query per engine (default 5; the sf10
@@ -21,7 +22,7 @@ import duckdb
 
 sys.path.insert(0, ".")
 
-from neo4j_enterprise_spark.catalog import TABLES, load_table
+from neo4j_enterprise_spark.catalog import TABLES
 from neo4j_enterprise_spark.plans import all_queries
 from neo4j_enterprise_spark.session import get_spark
 
@@ -145,69 +146,100 @@ def _oracle_median(sf_dir: str, sql: str, runs: int):
         return ("err", f"oracle subprocess died (exitcode {p.exitcode})")
 
 
+def _spark_worker(sf_dir: str, name: str, runs: int, out_q) -> None:
+    """Measure one Spark query inside a CHILD process — a fresh JVM.
+
+    r12 lesson: within one long compare session the Spark side drifts
+    badly even with per-query clearCache/unpersist/System.gc hygiene —
+    events_sliding_rollup measured 6.11 s late in a 2 h sf30 sweep and
+    1.36 s in a fresh session minutes later on the same head and data
+    (BASELINE §15: the §8 grown-heap page-fault-storm class; the JVM's
+    RSS had reached ~70 GB). `spark.stop()` cannot fix it — a new
+    getOrCreate reuses the same JVM and its heap. Process isolation is
+    the only real reset, and it makes the two sides methodologically
+    SYMMETRIC: every oracle already ran in a fresh child (OOM
+    isolation); now every Spark measurement does too. Cost: one JVM
+    startup (~10 s, un-timed) per query — noise against a multi-hour
+    sweep. Full materialization via each engine's NATIVE columnar path
+    (Spark toPandas() Arrow batches vs DuckDB .df() C-native — the r5
+    transfer-equalization lesson) is unchanged, as is the warm un-timed
+    first run and the steal-clean median.
+    """
+    try:
+        global RUNS
+        RUNS = runs
+        spark = get_spark("compare")
+        q = all_queries()[name]
+        warm = q.spark(spark, sf_dir).toPandas()  # warm codegen + IO
+        jgc = spark.sparkContext._jvm.System.gc
+        s = median5(lambda: q.spark(spark, sf_dir).toPandas(), pre=jgc)
+        se = None
+        if len(warm) > 1_000_000:
+            # transfer-heavy row (degree_by_type lesson, VERDICT r7 ask
+            # #7): ALSO report engine-only time — COUNT lets both
+            # engines prune the payload symmetrically
+            se = median5(lambda: q.spark(spark, sf_dir).count(), pre=jgc)
+        out_q.put(("ok", (s, len(warm), se)))
+    except Exception as exc:  # noqa: BLE001 — disclosed, like the oracle side
+        out_q.put(("err", repr(exc)))
+
+
+def _spark_median(sf_dir: str, name: str, runs: int):
+    """(status, (median_s, payload_rows, engine_only_s) | err_str),
+    subprocess-isolated — the Spark twin of ``_oracle_median``."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    out_q = ctx.Queue()
+    p = ctx.Process(target=_spark_worker, args=(sf_dir, name, runs, out_q))
+    p.start()
+    p.join(3600)
+    if p.is_alive():
+        p.terminate()
+        p.join()
+        return ("err", "spark timeout (1h)")
+    import queue as _queue
+
+    try:
+        return out_q.get(timeout=10)
+    except _queue.Empty:
+        return ("err", f"spark subprocess died (exitcode {p.exitcode})")
+
+
 def main() -> None:
     global RUNS
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     if len(sys.argv) > 2:
         RUNS = int(sys.argv[2])
-    spark = get_spark("compare")
     qs = {n: q for n, q in all_queries().items() if q.bench and q.oracle}
-    for t in TABLES:
-        load_table(spark, sf_dir, t).count()
     rows = []
     dnf = []  # (name, spark_s, err): oracle failed — disclosed, not ratioed
     for n, q in sorted(qs.items()):
-        # Full materialization on both sides (count() lets Catalyst
-        # prune payload columns — VERDICT r4 nit), via each engine's
-        # NATIVE columnar path: Spark toPandas() (Arrow batches) vs
-        # DuckDB .df() (C-native). The r5 pairing collect()/fetchall()
-        # put py4j row-pickle on the Spark side only — degree_by_type's
-        # 4.3× "gap" was ~80% that transfer tax, engine-side at parity
-        # (VERDICT r5 "What's wrong" #2). Transfer is now equalized,
-        # so the ratio measures the engines.
-        warm = q.spark(spark, sf_dir).toPandas()  # warm codegen
-        jgc = spark.sparkContext._jvm.System.gc
-        s = median5(lambda: q.spark(spark, sf_dir).toPandas(), pre=jgc)
+        sstatus, sres = _spark_median(sf_dir, n, RUNS)
+        if sstatus != "ok":
+            print(f"# {n}: spark DNF ({sres})", flush=True)
+            dnf.append((n, float("nan"), f"spark failed: {sres}"))
+            continue
+        s, payload_rows, se = sres
         status, d = _oracle_median(sf_dir, q.oracle, RUNS)
         if status != "ok":  # oracle DNF (e.g. span-dedup OOMs at sf30
             # while Spark spills and completes) — record the Spark
             # time, exclude the row from ratio totals, disclose loudly
             print(f"# {n}: spark {s:.2f}s duckdb DNF ({d})", flush=True)
             dnf.append((n, s, str(d)))
-            import gc
-
-            gc.collect()
-            spark.catalog.clearCache()
             continue
         rows.append((n, s, d))
         extra = ""
-        if len(warm) > 1_000_000:
-            # transfer-heavy row (degree_by_type lesson, VERDICT r7 ask
-            # #7): ALSO report engine-only time on both sides — COUNT
-            # lets both engines prune the payload symmetrically, so the
-            # pair isolates plan cost from steal-sensitive Arrow/C
-            # materialization of the multi-million-row result.
-            se = median5(lambda: q.spark(spark, sf_dir).count(), pre=jgc)
+        if se is not None:
             st2, de = _oracle_median(
                 sf_dir, f"SELECT COUNT(*) FROM ({q.oracle})", RUNS
             )
             extra = (
                 f" [engine-only: spark {se:.2f}s duckdb "
                 f"{de if st2 != 'ok' else f'{de:.3f}s'}"
-                f" over {len(warm)} payload rows]"
+                f" over {payload_rows} payload rows]"
             )
         print(f"# {n}: spark {s:.2f}s duckdb {d:.3f}s{extra}", flush=True)
-        # drop cached/checkpointed blocks the query left behind
-        # (iterative queries localCheckpoint; at sf1+ the pinned blocks
-        # measurably contaminate every query that follows)
-        import gc
-
-        gc.collect()
-        spark.catalog.clearCache()
-        for rdd in list(
-            spark.sparkContext._jsc.getPersistentRDDs().values()
-        ):
-            rdd.unpersist()
     rows.sort(key=lambda r: -(r[1] / max(r[2], 1e-9)))
     for n, s, d in rows:
         tag = " †" if n in MACHINERY_ROWS else ""
@@ -225,8 +257,7 @@ def main() -> None:
             if any(r[0] == n for r in rows):
                 print(f"# † {n}: {MACHINERY_ROWS[n]}")
     for n, s, err in dnf:
-        print(f"| {n} | {s:.2f} | DNF | — | oracle failed: {err[:80]} |")
-    spark.stop()
+        print(f"| {n} | {s:.2f} | DNF | — | {err[:80]} |")
 
 
 if __name__ == "__main__":
