@@ -7,9 +7,11 @@ steal-clean median, printed as a ratio table sorted worst-first plus
 the aggregate. This is the measurement loop behind BASELINE.md's
 appendix — rerun it after perf work instead of guessing.
 
-Usage: PYTHONPATH=. python tools/compare_duckdb.py [sf_dir] [runs]
+Usage: PYTHONPATH=. python tools/compare_duckdb.py [sf_dir] [runs] [name ...]
   runs: steal-clean samples per query per engine (default 5; the sf10
   trend runs use 3 to bound wall-clock — disclosed in BASELINE.md §10).
+  name ...: optional subset of bench-query names (attribution re-runs);
+  default = every bench query that carries an oracle.
 """
 
 from __future__ import annotations
@@ -212,6 +214,12 @@ def main() -> None:
     if len(sys.argv) > 2:
         RUNS = int(sys.argv[2])
     qs = {n: q for n, q in all_queries().items() if q.bench and q.oracle}
+    if len(sys.argv) > 3:
+        subset = set(sys.argv[3:])
+        unknown = subset - set(qs)
+        if unknown:
+            raise SystemExit(f"not bench+oracle queries: {sorted(unknown)}")
+        qs = {n: q for n, q in qs.items() if n in subset}
     rows = []
     dnf = []  # (name, spark_s, err): oracle failed — disclosed, not ratioed
     for n, q in sorted(qs.items()):
