@@ -1743,3 +1743,43 @@ def test_bpe_train_releases_round_tables(spark):
     # at most the final round-table and its immediate parent survive;
     # without the fix all 8 rounds' tables linger here
     assert len(added) <= 3, f"{len(added)} round tables left cached"
+
+
+def test_embedding_guard_edge_semantics(spark):
+    """Pin `similarity._finite_vector`-derived guards row by row: NULL
+    row, NULL component, NaN, +Inf, -Inf, empty array, ragged, zero
+    vector, sub-quantization vector (max|x|*1000 < 0.5 rounds to the
+    zero vector) — which guard keeps what."""
+    from neo4j_enterprise_spark.operators.similarity import (
+        drop_invalid_embeddings,
+        drop_nonfinite_embeddings,
+        drop_unsearchable,
+    )
+
+    rows = [
+        (0, [1.0, 2.0]),                 # clean
+        (1, None),                       # NULL row
+        (2, [1.0, None]),                # NULL component
+        (3, [float("nan"), 1.0]),        # NaN
+        (4, [float("inf"), 1.0]),        # +Inf
+        (5, [-float("inf"), 1.0]),       # -Inf (caught via -array_min)
+        (6, []),                         # empty
+        (7, [1.0, 2.0, 3.0]),            # ragged vs dims=2
+        (8, [0.0, 0.0]),                 # zero vector
+        (9, [0.0004, -0.0004]),          # quantizes to the zero vector
+        (10, [0.0005, 0.0]),             # 0.5 rounds half-AWAY -> q=[1,0]
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def ids(out):
+        return sorted(r["vec_id"] for r in out.collect())
+
+    # invalid: NULL/NULL-comp/non-finite/empty go; zero + sub-q stay
+    assert ids(drop_invalid_embeddings(df)) == [0, 7, 8, 9, 10]
+    # + dims: ragged goes too
+    assert ids(drop_invalid_embeddings(df, dims=2)) == [0, 8, 9, 10]
+    # nonfinite (aggregate class): NULL row and ragged STAY
+    assert ids(drop_nonfinite_embeddings(df)) == [0, 1, 7, 8, 9, 10]
+    # unsearchable: zero-norm (true zero AND sub-quantization) goes;
+    # 0.0005 * 1000 = 0.5 rounds half-away-from-zero to 1 -> kept
+    assert ids(drop_unsearchable(df, dims=2)) == [0, 10]
