@@ -518,8 +518,19 @@ def lsh_buckets(
         buckets = (per_band * weights).sum(axis=2).astype("int32")  # (n, bands)
         return pd.Series(list(buckets))
 
+    # asNondeterministic (r12, guide §4.4): posexplode's inferred
+    # `size(bks) > 0 AND isnotnull(bks)` filter was pushed BELOW the
+    # projection, duplicating the ArrowEvalPython node — every corpus
+    # vector crossed the Python boundary and paid the signature matmul
+    # TWICE per bucket derivation (plan receipt:
+    # plans/r12/ann_lsh_top5_before.txt nodes (3)+(6)). The UDF is in
+    # fact deterministic; the marker only forbids the optimizer from
+    # cloning it. The filter is redundant anyway: _buckets always
+    # returns exactly `bands` entries.
+    _buckets_once = _buckets.asNondeterministic()
+
     return (
-        embeddings.select("vec_id", _buckets(F.col("embedding")).alias("bks"))
+        embeddings.select("vec_id", _buckets_once(F.col("embedding")).alias("bks"))
         .select("vec_id", F.posexplode("bks").alias("band", "bucket"))
     )
 
@@ -551,12 +562,22 @@ def lsh_ann_topk(
 
     embeddings = drop_unsearchable(embeddings, dims=dims)
     seeds = drop_unsearchable(seeds, dims=dims)
+    # localCheckpoint (r12, guide §2.4): ``buckets`` feeds BOTH sides of
+    # the candidate join; left lazy, the whole signature subtree
+    # (corpus scan → ArrowEvalPython matmul → posexplode → window cap)
+    # was planned twice (plans/r12/ann_lsh_top5_before.txt nodes 3-14 vs
+    # 23-34) — two full Arrow passes over the corpus per query. One
+    # eager materialization runs the signature exactly once; the stored
+    # rows are 16 B × bands per vector, far smaller than the embeddings
+    # they index, so this is the cheaper side at any scale.
     buckets = drop_oversized_buckets(
         lsh_buckets(embeddings, planes_per_band, bands, dims, seed),
         max_bucket_size,
-    )
+    ).localCheckpoint(eager=True)
+    # seed ids are planner-sized by contract (same as the codebook
+    # collects) — broadcast them instead of shuffling the bucket table
     seed_buckets = buckets.join(
-        seeds.select(F.col("vec_id")), "vec_id"
+        F.broadcast(seeds.select(F.col("vec_id"))), "vec_id"
     ).withColumnRenamed("vec_id", "seed")
     cand = (
         seed_buckets.join(buckets, ["band", "bucket"])
@@ -564,6 +585,10 @@ def lsh_ann_topk(
         .select("seed", F.col("vec_id").alias("neighbor"))
         .distinct()
     )
+    # Quantization stays on the per-vector corpus side, before the
+    # candidate join (measured r12: per-candidate evaluation regressed —
+    # a vector participates in many candidate pairs, so per-vector
+    # quantize+norm is the cheaper side; see embedding_near_dup_lsh).
     q = seeds.select(
         F.col("vec_id").alias("seed"), quantize(F.col("embedding")).alias("qv")
     ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))
@@ -652,10 +677,13 @@ def embedding_near_dup_lsh(
     from .dedup import drop_oversized_buckets
 
     embeddings = drop_unsearchable(embeddings, dims=dims)
+    # One signature pass, materialized (r12) — same receipt as
+    # ``lsh_ann_topk``: the lazy ``buckets`` fed both sides of the pair
+    # self-join, planning the corpus ArrowEvalPython subtree twice.
     buckets = drop_oversized_buckets(
         lsh_buckets(embeddings, planes_per_band, bands, dims, seed),
         max_bucket_size,
-    )
+    ).localCheckpoint(eager=True)
     cand = (
         buckets.join(
             buckets.withColumnRenamed("vec_id", "other"), ["band", "bucket"]
@@ -664,6 +692,12 @@ def embedding_near_dup_lsh(
         .select(F.col("vec_id").alias("a"), F.col("other").alias("b"))
         .distinct()
     )
+    # Quantization stays on the per-vector sides, BEFORE the pair join
+    # (measured r12: moving it after the join looked like "compute only
+    # for candidates" but candidate pairs outnumber corpus vectors
+    # ~100:1 here — per-pair HOF evaluation regressed this query 6.9 s
+    # → 59.9 s at sf0.1 before being reverted). Per-vector quantize+norm
+    # amortizes across every pair the vector participates in.
     q = embeddings.select(
         F.col("vec_id").alias("a"), quantize(F.col("embedding")).alias("qa")
     ).withColumn("na", _dot(F.col("qa"), F.col("qa")))

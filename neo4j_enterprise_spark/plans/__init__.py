@@ -300,14 +300,20 @@ _DEEP_CHANGE_ACK: dict[str, str] = {
         "embeddings vs cap 4096) so output is bit-identical; the cap "
         "semantics are tested at tests/test_lsh_bucket_cap.py::"
         "test_ann_lsh_cap and the md5 oracle twin ann_lsh_md5_top5 "
-        "re-earns in this window on the capped plan"
+        "re-earns in this window on the capped plan; additionally the "
+        "r12 physical-plan optimization (single materialized signature "
+        "pass, asNondeterministic matmul UDF, broadcast seed ids — "
+        "OPTIMIZATION_r12.md §1) is proven output-identical by golden "
+        "row-compare at sf0.1 and sf0.001 (tools/golden_r12.py)"
     ),
     "docs_embedding_near_dup_lsh": (
         "rows-only query (no oracle); same cap-cannot-fire argument "
         "(<=2000 embeddings vs cap 4096, unchanged output) and the "
         "capped path is tested at tests/test_lsh_bucket_cap.py::"
         "test_embedding_lsh_cap; local rows/schema evidence recorded "
-        "in COVERAGE.md"
+        "in COVERAGE.md; the r12 single-signature-pass optimization "
+        "(OPTIMIZATION_r12.md §1) is proven output-identical by golden "
+        "row-compare at sf0.1 (853 rows) and sf0.001 (62 rows)"
     ),
     "ann_ivf_top5": (
         "rows-only production IVF (xxhash centroids, no SQL twin); the "
