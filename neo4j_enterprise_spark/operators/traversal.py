@@ -69,8 +69,19 @@ def bfs_reachable(
             .groupBy("seed", "node_id")
             .agg(F.min("hops").alias("hops"))
         )
-        if depth % CHECKPOINT_EVERY == 0:
-            nxt = nxt.localCheckpoint(eager=True)
+        # Every-round materialization (r12, guide §2.4/§3.3): each
+        # round's frontier feeds THREE consumers (the next round's
+        # expand join, its anti-join visited set, and the final union)
+        # — left lazy, round d's subtree is re-planned AND re-executed
+        # by every later round, an O(k²) recomputation the 1965-line
+        # bfs_2hop_reach before-plan shows as 297 InMemoryTableScans
+        # (plans/r12/bfs_2hop_reach_before.txt). The frontier rows are
+        # (seed, node_id, hops) — tiny next to the edge set — so one
+        # eager cut per round is strictly less work than one re-join
+        # per later round. Measured same-session: bfs_2hop_reach
+        # 2.45 → 1.77s, graph_harmonic_centrality (k=3) 4.83 → 1.85s,
+        # traverse_pruned_2hop 2.61 → 1.79s.
+        nxt = nxt.localCheckpoint(eager=True)
         reached = reached.unionByName(nxt)
         frontier = nxt
     return reached
@@ -127,8 +138,9 @@ def traverse(
             .groupBy("seed", "node_id")
             .agg(F.min("hops").alias("hops"))
         )
-        if depth % CHECKPOINT_EVERY == 0:
-            nxt = nxt.localCheckpoint(eager=True)
+        # same every-round cut as bfs_reachable (three consumers per
+        # frontier; see the receipt there)
+        nxt = nxt.localCheckpoint(eager=True)
         reached = reached.unionByName(nxt)
         frontier = nxt
     if emit is not None:

@@ -346,6 +346,52 @@ _DEEP_CHANGE_ACK: dict[str, str] = {
     ),
 }
 
+# r12 OPTIMIZATION round: traversal.bfs_reachable/traverse now cut the
+# frontier's lineage EVERY round instead of every third round
+# (OPTIMIZATION_r12.md §2) — a checkpoint-cadence-only change;
+# localCheckpoint is semantically transparent, so no query's output can
+# move. Receipts: golden row-compare identical at sf0.1 AND sf0.001 for
+# every query that executes the changed functions (bfs_2hop_reach 21
+# rows, traverse_pruned_2hop 520/413, bfs_shortest_hops 1013/978,
+# graph_harmonic_centrality 21, cypher_shortest_path 1000/10 —
+# tools/golden_r12.py). The cypher_* names below never call the changed
+# functions at all (only shortestPath compiles to bfs_reachable); they
+# are flagged because the deep hash folds the pattern module's import
+# graph three levels down.
+_TRAVERSAL_CADENCE_ACK = (
+    "r12 optimization: every-round lineage cut in traversal.bfs_reachable/"
+    "traverse (checkpoint cadence only — semantically transparent); golden "
+    "row-compare identical at sf0.1+sf0.001 for all executors of the "
+    "changed code (OPTIMIZATION_r12.md §2); this query reaches traversal "
+    "only through the pattern-module import graph or is itself "
+    "golden-verified"
+)
+_DEEP_CHANGE_ACK.update(
+    {
+        name: _TRAVERSAL_CADENCE_ACK
+        for name in (
+            "bfs_2hop_reach",
+            "graph_harmonic_centrality",
+            "cypher_shortest_path",
+            "cypher_case_classify",
+            "cypher_collect_unwind",
+            "cypher_exists_inactive",
+            "cypher_rel_var_counts",
+            "cypher_return_distinct",
+            "cypher_set_tier",
+            "cypher_skip_page",
+            "cypher_string_predicates",
+            "cypher_type_alternation",
+            "cypher_union_dedup",
+            "cypher_where_aggregate",
+            "cypher_where_or",
+            "cypher_with_collect",
+            "cypher_with_having",
+            "cypher_with_topk_expand",
+        )
+    }
+)
+
 
 def all_queries() -> dict[str, Query]:
     # import side-effect populates REGISTRY
