@@ -38,15 +38,32 @@ def endpoints_not_in_use(rels: DataFrame, nodes: DataFrame) -> DataFrame:
     ``RelationshipNodeField``), violations ``sourceNodeNotInUse`` /
     ``targetNodeNotInUse`` (`RelationshipRecordCheckTest.java:147`).
 
-    Plan: two left-anti joins of rels against live nodes. The anti-join
-    side (live node ids) is a 1-column projection — at 100 TB the join
-    keys shuffle-partition cleanly and the projection is pruned at scan.
+    Plan (r12, guide §2.4): ONE left-anti join of the unpivoted endpoint
+    set against live nodes. The old two-join form (src anti-join ∪ dst
+    anti-join) let Catalyst push the anti-join below the 5-branch rels
+    union — 10 join branches, each rebuilding the live-node build side
+    (plans/r12/endpoints_not_in_use_before.txt: 10 BroadcastExchanges of
+    the same id set, 0 reuse in the initial plan). Stacking (src, dst)
+    into (rule, node) rows above the union blocks that pushdown: the
+    probe volume is identical (2 rows per rel vs each rel probed twice)
+    but the live side is built/shuffled ONCE — at 100 TB that is one
+    shuffle of the node-id set instead of ten. Measured same-session
+    interleaved at sf0.1: 2.93 → 1.67 s, rows bit-identical (23 761).
     """
     live = nodes.filter(F.col("in_use")).select("id")
-    src_bad = rels.join(live, rels["src"] == live["id"], "left_anti")
-    dst_bad = rels.join(live, rels["dst"] == live["id"], "left_anti")
-    return _violation(src_bad, "RELATIONSHIP", "sourceNodeNotInUse", "id", F.col("src")).unionByName(
-        _violation(dst_bad, "RELATIONSHIP", "targetNodeNotInUse", "id", F.col("dst"))
+    ep = rels.select(
+        "id",
+        F.expr(
+            "stack(2, 'sourceNodeNotInUse', src, 'targetNodeNotInUse', dst) "
+            "AS (rule, node)"
+        ),
+    )
+    bad = ep.join(live, ep["node"] == live["id"], "left_anti")
+    return bad.select(
+        F.lit("RELATIONSHIP").alias("record_type"),
+        F.col("rule"),
+        F.col("id").cast("long").alias("entity_id"),
+        F.col("node").cast("string").alias("detail"),
     )
 
 

@@ -285,9 +285,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "emb_centroid_similarity",
     "emb_sq8_error",
     # -- oldest evidence: last checked r7, name order (window filler;
-    #    the remaining r7 cohort rotates in r13) ------------------------
+    #    the remaining r7 cohort — incl. cypher_optional_match, displaced
+    #    by the endpoints re-earn below — rotates in r13) ---------------
     "bfs_shortest_hops",
-    "cypher_optional_match",
+    # -- r12 OPTIMIZATION: endpoints_not_in_use (= entry()) restructured
+    #    from two per-side anti-joins to ONE anti-join over the stacked
+    #    (src, dst) endpoint set (validation.py; OPTIMIZATION_r12.md §3)
+    #    — rows proven bit-identical (23 761 at sf0.1) but the flagship
+    #    re-earns its green in-window on the new plan -------------------
+    "endpoints_not_in_use",
 )
 
 # Deep-only changes (shared-helper edits) acknowledged OUT of the window,
@@ -388,6 +394,9 @@ _DEEP_CHANGE_ACK.update(
             "cypher_with_collect",
             "cypher_with_having",
             "cypher_with_topk_expand",
+            # displaced from the window by the endpoints re-earn; same
+            # import-graph-only reach as the other cypher_* names
+            "cypher_optional_match",
         )
     }
 )
