@@ -32,11 +32,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# ktruss_peel auto-broadcast bound (r12): adjacency = 2 rows x 16 B per
-# edge, so 2M edges is ~64 MB framed - comfortably under driver/executor
-# broadcast budgets while covering every bounded-slice truss workload.
-BROADCAST_EDGE_MAX = 2_000_000
-
 
 def neighborhood_jaccard(
     edges: DataFrame,
@@ -282,9 +277,7 @@ def partition_modularity(
     )
 
 
-def ktruss_peel(
-    edges: DataFrame, *, k: int, rounds: int = 2, broadcast_adj: bool | None = None
-) -> DataFrame:
+def ktruss_peel(edges: DataFrame, *, k: int, rounds: int = 2) -> DataFrame:
     """Bounded k-truss peeling (dense-subgraph mining): ``rounds`` times,
     delete every edge whose triangle support (common-neighbor count) is
     below k−2; return the surviving edges with their support recomputed
@@ -297,35 +290,16 @@ def ktruss_peel(
     it exactly; run more rounds for a fixpoint — convergence is reached
     when a round deletes nothing (the classic truss decomposition runs
     O(max support) rounds; sparse real graphs converge in a handful).
-
-    ``broadcast_adj`` (r12, guide §3.1): the checkpointed edge set has
-    no size statistics (LogicalRDD defaults to "huge"), so the wedge
-    joins always planned as SortMergeJoin — 6 sort+exchange pairs per
-    peel — even when the graph is a bounded slice. Default ``None``
-    decides at runtime from the MEASURED surviving-edge count (the
-    checkpointed RDD makes the count a trivial job, and peeling only
-    shrinks it): ≤ ``BROADCAST_EDGE_MAX`` edges (~32 MB framed)
-    broadcasts the adjacency side and the wedge joins run shuffle-free;
-    bigger graphs keep the shuffled plan — the same measured-size
-    adaptivity AQE applies to exchanges, which LogicalRDD inputs
-    otherwise never get. True/False force either path.
     """
     e = edges.select("a", "b").filter(F.col("a") < F.col("b")).distinct()
     e = e.localCheckpoint(eager=True)
 
     def support(cur: DataFrame) -> DataFrame:
-        small = (
-            broadcast_adj
-            if broadcast_adj is not None
-            else cur.count() <= BROADCAST_EDGE_MAX
-        )
         adj = cur.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
             cur.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
         x = adj.select(F.col("u").alias("a"), F.col("v").alias("c"))
         y = adj.select(F.col("u").alias("b"), F.col("v").alias("c"))
-        if small:
-            x, y = F.broadcast(x), F.broadcast(y)
         return (
             cur.join(x, "a")
             .join(y, ["b", "c"])

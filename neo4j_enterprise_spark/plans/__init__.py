@@ -401,20 +401,13 @@ _DEEP_CHANGE_ACK.update(
     }
 )
 
-# r12 OPTIMIZATION: ktruss_peel gained measured-size auto-broadcast of
-# the wedge-join adjacency side (checkpointed inputs have no stats, so
-# the bounded 500-part slice always planned SortMergeJoin). Join
-# strategy only — the support counts and surviving edges are unchanged;
-# proven by golden row-compare at sf0.01 (4 796 rows identical,
-# tools/golden_r12.py) and tests/test_community.py (30 passed).
-_DEEP_CHANGE_ACK["parts_ktruss_bounded"] = (
-    "r12 optimization: ktruss_peel auto-broadcasts the adjacency side "
-    "when the measured surviving-edge count is bounded "
-    "(community.BROADCAST_EDGE_MAX) - join strategy only, results "
-    "unchanged; golden row-compare identical at sf0.01 (4796 rows) and "
-    "the oracle-checked unrolled SQL twin re-verifies in the gate "
-    "(OPTIMIZATION_r12.md §4)"
-)
+# r12 OPTIMIZATION note: a ktruss_peel wedge-join auto-broadcast was
+# tried, golden-verified, measured at sf0.1 (apparent −0.4 s) — and
+# REVERTED when the sf10 rung showed a stable +0.6 s regression (the
+# extra count/broadcast jobs cost more than the SortMergeJoin they
+# replaced; the isolated join was a wash to begin with). The shipped
+# code is byte-identical to the pre-round state; receipt in
+# OPTIMIZATION_r12.md §4.
 
 
 def all_queries() -> dict[str, Query]:
