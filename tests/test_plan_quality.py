@@ -225,3 +225,45 @@ def test_semdedup_greedy_single_python_stage(spark, sf_dir):
     tree = _tree(plan)
     assert tree.count("FlatMapGroupsInPandas") == 1
     assert "CartesianProduct" not in tree
+
+
+def test_endpoints_single_anti_join(spark, sf_dir):
+    """r12 optimization pinned (OPTIMIZATION_r12.md §3): the endpoint
+    existence check is ONE left-anti join over the stacked (src, dst)
+    set. The old two-join form let Catalyst push the anti-join below
+    the 5-branch rels union — 10 join branches, each rebuilding the
+    identical live-node build side."""
+    import re
+
+    plan = _plan(spark, sf_dir, "endpoints_not_in_use")
+    # one anti-JOIN NODE in the tree ("LeftAnti" also appears once more
+    # in the node-details section, so count join operators, not the word)
+    nodes = re.findall(r"\w+Join LeftAnti", plan)
+    assert len(nodes) == 1, nodes
+
+
+def test_bfs_frontier_lineage_is_cut_every_round(spark, sf_dir):
+    """r12 optimization pinned (OPTIMIZATION_r12.md §2): each BFS
+    round's frontier has three consumers, so it must be materialized
+    (Scan ExistingRDD) rather than re-derived — without the per-round
+    cut the k=2 plan carried 297 InMemoryTableScans (O(k²)
+    recomputation of the frontier cascade)."""
+    plan = _plan(spark, sf_dir, "bfs_2hop_reach")
+    assert "Scan ExistingRDD" in plan
+    # the full 5-branch edge-union cache is scanned by the final
+    # union-aggregate only; the checkpointed frontiers must not
+    # re-derive it per round (297 scans before the fix)
+    assert plan.count("InMemoryTableScan") <= 30, plan.count("InMemoryTableScan")
+
+
+def test_lsh_signature_runs_once(spark, sf_dir):
+    """r12 optimization pinned (OPTIMIZATION_r12.md §1): the corpus
+    LSH-signature Arrow UDF is materialized exactly once (eager
+    checkpoint behind the capped bucket table); the downstream
+    candidate-join plan must contain ZERO ArrowEvalPython nodes (the
+    lazy form carried 8 — the optimizer cloned the matmul below
+    posexplode's inferred filter, then re-planned it on both join
+    sides)."""
+    plan = _plan(spark, sf_dir, "ann_lsh_top5")
+    assert "ArrowEvalPython" not in plan
+    assert "Scan ExistingRDD" in plan
