@@ -1,16 +1,19 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline declared queries and prints ONE
-JSON line:
+JSON line (the driver contract, and nothing else on stdout):
 
     {"metric": "headline_queries_wall_clock", "value": <total_sec>,
-     "unit": "sec", "queries": {name: sec}, "sf": <sf>,
-     "phases": [{"name", "elementCount", "time", "recordsPerSecond"}...],
-     "total": {...}}
+     "unit": "sec", "queries": {name: sec}, "sf": <sf>}
 
-The ``phases``/``total`` blocks mirror the reference harness's JSON
-report schema (`enterprise-performance-tests/.../JsonReportWriter.java:
-106-131`, `TimingProgress.java:31-100`: per-phase elementCount, time,
-recordsPerSecond) so runs are comparable across engine versions.
+The per-phase detail (elementCount, time, recordsPerSecond per query,
+mirroring the reference harness's JSON report schema,
+`enterprise-performance-tests/.../JsonReportWriter.java:106-131`,
+`TimingProgress.java:31-100`) is written to ``bench_report.json``
+(override with ``$SPARK_GRAFT_BENCH_OUT``). Until r12 the phases block
+was also inlined into the stdout line, which pushed it past the
+driver's 2000-char stdout tail; since r13 the stdout line is the
+compact contract schema only so any tail-bounded, last-line, or
+whole-stdout parser reads it (VERDICT r12 ask #3).
 
 Scale dir from ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
 cores from ``$SPARK_GRAFT_CPUS`` (default 32).
@@ -41,6 +44,14 @@ def _steal() -> float:
             return int(f.readline().split()[8]) / 100.0
     except (OSError, IndexError, ValueError):
         return 0.0
+
+
+def contract_line(report: dict) -> str:
+    """The single stdout line the driver parses: exactly the documented
+    contract keys, no phase detail, so the line stays well inside a
+    2000-char stdout tail (r13 hardening — see module docstring)."""
+    compact = {k: report[k] for k in ("metric", "value", "unit", "queries", "sf")}
+    return json.dumps(compact)
 
 
 def _timed_phase(spark, name, build, sf_dir, warm_s):
@@ -386,7 +397,16 @@ def main() -> None:
             f.write("\n")
     except OSError as exc:
         print(f"# bench_report write failed: {exc!r}", file=sys.stderr)
-    print(json.dumps(report))
+    # r13 contract hardening (VERDICT r12 ask #3): BENCH_r11 was lost to a
+    # parse failure, erasing a whole round of comparability. The stdout
+    # line is now the COMPACT contract schema only (metric/value/unit/
+    # queries/sf — exactly the documented one-line contract; ~1 KB), so
+    # it survives a 2000-char tail truncation AND stays a single JSON
+    # document for a whole-stdout parser (two concatenated documents —
+    # the "print it twice" option — would break json.loads). The bulky
+    # phases/total blocks stay in the committed bench_report.json above,
+    # unchanged in shape since r9.
+    print(contract_line(report))
     spark.stop()
 
 

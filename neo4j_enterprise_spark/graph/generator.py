@@ -222,6 +222,19 @@ def generate_graph(
 
 _FIXTURE_CACHE: dict[tuple, PropertyGraph] = {}
 
+# Size-derived partitioning for the persisted fixture (r13, guide §2/§6):
+# the generator's plans inherit spark.sql.shuffle.partitions (= core count
+# locally), which over-partitions small stores — the 100k fixture cached
+# 300k-row tables as 32 partitions of ~10k rows, so every check-family
+# scan paid 32 near-empty tasks per union branch (BENCH_r12 scaling block:
+# 8-core run FASTER than 32-core, ratio 0.52 = pure scheduling overhead).
+# ~250k records per partition keeps partitions in the tens-of-MB range for
+# these row widths and scales with the store: 100k nodes -> 1-2 partitions
+# per table, the 2M-node canonical -> 24-32 (still using every core). On a
+# real cluster the same policy holds: partition count follows data volume,
+# capped by available parallelism.
+_FIXTURE_ROWS_PER_PARTITION = 250_000
+
 
 def fixture_graph(spark: SparkSession, node_count: int, seed: int = 42) -> PropertyGraph:
     """Memoized, materialized benchmark fixture.
@@ -235,7 +248,24 @@ def fixture_graph(spark: SparkSession, node_count: int, seed: int = 42) -> Prope
     """
     key = (node_count, seed)
     if key not in _FIXTURE_CACHE:
-        g = generate_graph(spark, node_count=node_count, seed=seed).persist()
+        g = generate_graph(spark, node_count=node_count, seed=seed)
+        par = spark.sparkContext.defaultParallelism
+
+        def _sized(df, rows):
+            n = max(1, min(par, -(-rows // _FIXTURE_ROWS_PER_PARTITION)))
+            return df.repartition(n, "id")
+
+        # default specs: 3 rel slots + 4 prop slots per node (see
+        # generate_graph); dictionaries and the NeoStore chain are
+        # single-digit rows — one partition each.
+        g = PropertyGraph(
+            nodes=_sized(g.nodes, node_count),
+            relationships=_sized(g.relationships, node_count * 3),
+            properties=_sized(g.properties, node_count * 4),
+            relationship_types=g.relationship_types.repartition(1),
+            property_keys=g.property_keys.repartition(1),
+            graph_props=g.graph_props.repartition(1),
+        ).persist()
         for df in g.tables().values():
             df.count()  # materialize into executor storage
         _FIXTURE_CACHE[key] = g

@@ -106,35 +106,66 @@ def _rel_pointer_checks(rels: DataFrame) -> DataFrame:
 
 def check_relationships(g: PropertyGraph) -> DataFrame:
     """RELATIONSHIP store checks: label validity (J2/P6), endpoint
-    integrity (J4), chain pointer symmetry (J3)."""
+    integrity (J4), chain pointer symmetry (J3).
+
+    THREE passes over the store (r13, guide §2.4), down from five:
+    - both label rules in one scan — left join to the broadcast
+      dictionary, when-chain picks illegalLabel (type_id < 0, never a
+      dictionary hit) vs labelNotInUse (type_id >= 0, no live entry);
+    - both endpoint rules in one stacked anti-join (the same unpivoted
+      shape as validation.endpoints_not_in_use: probe volume identical,
+      the live-node build side built ONCE instead of twice);
+    - the pointer-symmetry join unchanged (already a single stacked join).
+    """
     rels = g.relationships
     live = rels.filter(F.col("in_use"))
-    out = []
-    # illegalLabel (`RelationshipRecordCheck.java:48-51`)
-    out.append(
-        _violation(live.filter(F.col("type_id") < 0), "RELATIONSHIP", "illegalLabel", "id", F.col("type_id"))
-    )
-    # labelNotInUse — broadcast anti-join to the dictionary (J2)
+    # label rules (`RelationshipRecordCheck.java:48-80`): one scan
     live_types = g.relationship_types.filter(F.col("in_use")).select(
-        F.col("id").alias("type_id")
+        F.col("id").alias("type_id"), F.lit(True).alias("__type_live")
     )
-    dangling = live.filter(F.col("type_id") >= 0).join(
-        F.broadcast(live_types), "type_id", "left_anti"
+    lbl_rule = F.when(F.col("type_id") < 0, F.lit("illegalLabel")).when(
+        (F.col("type_id") >= 0) & F.col("__type_live").isNull(), F.lit("labelNotInUse")
     )
-    out.append(_violation(dangling, "RELATIONSHIP", "labelNotInUse", "id", F.col("type_id")))
-    # endpoint integrity (J4)
+    label_v = (
+        live.join(F.broadcast(live_types), "type_id", "left")
+        .withColumn("__rule", lbl_rule)
+        .filter(F.col("__rule").isNotNull())
+        .select(
+            F.lit("RELATIONSHIP").alias("record_type"),
+            F.col("__rule").alias("rule"),
+            F.col("id").cast("long").alias("entity_id"),
+            F.col("type_id").cast("string").alias("detail"),
+        )
+    )
+    # endpoint integrity (J4): stacked (src, dst) single anti-join
     live_nodes = g.nodes.filter(F.col("in_use")).select("id")
-    for col, rule in (("src", "sourceNodeNotInUse"), ("dst", "targetNodeNotInUse")):
-        bad = live.join(live_nodes, live[col] == live_nodes["id"], "left_anti")
-        out.append(_violation(bad, "RELATIONSHIP", rule, "id", F.col(col)))
-    out.append(_rel_pointer_checks(rels))
-    return reduce(DataFrame.unionByName, out)
+    ep = live.select(
+        F.col("id").alias("rel_id"),
+        F.expr(
+            "stack(2, 'sourceNodeNotInUse', src, 'targetNodeNotInUse', dst) "
+            "AS (rule, node)"
+        ),
+    )
+    ep_v = ep.join(live_nodes, ep["node"] == live_nodes["id"], "left_anti").select(
+        F.lit("RELATIONSHIP").alias("record_type"),
+        F.col("rule"),
+        F.col("rel_id").cast("long").alias("entity_id"),
+        F.col("node").cast("string").alias("detail"),
+    )
+    return label_v.unionByName(ep_v).unionByName(_rel_pointer_checks(rels))
 
 
 def check_nodes(g: PropertyGraph) -> DataFrame:
     """NODE store checks: J1 — ``next_rel`` must exist, be in use, involve
     this node, and be first in its chain (`NodeRecordCheck.java:39-107`);
-    W1 first-in-chain = null prev pointer on the matching endpoint."""
+    W1 first-in-chain = null prev pointer on the matching endpoint.
+
+    ONE pass (r13, guide §2.4): the three rules are mutually exclusive
+    per node (missing / foreign / not-first), so they fold into one
+    when-chain over a single node⋈rel join instead of three union
+    branches that each re-scan both stores and re-execute the same join
+    (the r12 plan: 6 store scans, 3 joins, 3 broadcast builds for one
+    logical lookup)."""
     nodes = g.nodes.filter(F.col("in_use"))
     has_rel = nodes.filter(F.col("next_rel") != NO_POINTER)
     rel = g.relationships.filter(F.col("in_use")).select(
@@ -145,30 +176,29 @@ def check_nodes(g: PropertyGraph) -> DataFrame:
         F.col("dst_prev").alias("r_dst_prev"),
     )
     joined = has_rel.join(rel, has_rel["next_rel"] == rel["r_id"], "left")
-    out = [
-        _violation(
-            joined.filter(F.col("r_id").isNull()), "NODE", "relationshipNotInUse", "id", F.col("next_rel")
-        )
-    ]
-    present = joined.filter(F.col("r_id").isNotNull())
     involves = (F.col("r_src") == F.col("id")) | (F.col("r_dst") == F.col("id"))
-    out.append(
-        _violation(present.filter(~involves), "NODE", "relationshipForOtherNode", "id", F.col("next_rel"))
-    )
     # W1: first-in-chain — prev pointer on this node's side must be unset
     prev_here = F.when(F.col("r_src") == F.col("id"), F.col("r_src_prev")).otherwise(
         F.col("r_dst_prev")
     )
-    out.append(
-        _violation(
-            present.filter(involves & (prev_here != NO_POINTER)),
-            "NODE",
-            "relationshipNotFirstInChain",
-            "id",
-            F.col("next_rel"),
+    rule = (
+        F.when(F.col("r_id").isNull(), F.lit("relationshipNotInUse"))
+        .when(~involves, F.lit("relationshipForOtherNode"))
+        # `involves &` kept explicitly: with a NULL endpoint `involves`
+        # is NULL (neither branch above fires) and the r12 branch filter
+        # `involves & (...)` emitted nothing — preserve that exactly.
+        .when(involves & (prev_here != NO_POINTER), F.lit("relationshipNotFirstInChain"))
+    )
+    return (
+        joined.withColumn("__rule", rule)
+        .filter(F.col("__rule").isNotNull())
+        .select(
+            F.lit("NODE").alias("record_type"),
+            F.col("__rule").alias("rule"),
+            F.col("id").cast("long").alias("entity_id"),
+            F.col("next_rel").cast("string").alias("detail"),
         )
     )
-    return reduce(DataFrame.unionByName, out)
 
 
 def _owners(g: PropertyGraph) -> DataFrame:
@@ -186,7 +216,13 @@ def _owners(g: PropertyGraph) -> DataFrame:
 
 def check_primitive_first_property(g: PropertyGraph) -> DataFrame:
     """J5: owner.next_prop must exist, be in use, be first in chain
-    (prev == -1), and claim this owner (`PrimitiveRecordCheck.java:60-101`)."""
+    (prev == -1), and claim this owner (`PrimitiveRecordCheck.java:60-101`).
+
+    ONE pass (r13, guide §2.4): the r12 shape executed the owners⋈props
+    join THREE times (one union branch per rule). NotFirstInChain and
+    ForOtherOwner can co-occur on one record, so instead of a when-chain
+    the applicable rules are exploded from a per-row array (null entries
+    filtered) — same row multiset, one join."""
     owners = _owners(g).filter(F.col("next_prop") != NO_POINTER)
     props = g.properties.filter(F.col("in_use")).select(
         F.col("id").alias("p_id"),
@@ -195,31 +231,27 @@ def check_primitive_first_property(g: PropertyGraph) -> DataFrame:
         F.col("owner_kind").alias("p_owner_kind"),
     )
     j = owners.join(props, owners["next_prop"] == props["p_id"], "left")
-    rt = F.upper(F.col("o_kind"))
-    out = [
-        j.filter(F.col("p_id").isNull()).select(
-            rt.alias("record_type"),
-            F.lit("propertyNotInUse").alias("rule"),
-            F.col("o_id").cast("long").alias("entity_id"),
-            F.col("next_prop").cast("string").alias("detail"),
+    rules = F.array(
+        F.when(F.col("p_id").isNull(), F.lit("propertyNotInUse")),
+        F.when(
+            F.col("p_id").isNotNull() & (F.col("p_prev") != NO_POINTER),
+            F.lit("propertyNotFirstInChain"),
         ),
-        j.filter(F.col("p_id").isNotNull() & (F.col("p_prev") != NO_POINTER)).select(
-            rt.alias("record_type"),
-            F.lit("propertyNotFirstInChain").alias("rule"),
-            F.col("o_id").cast("long").alias("entity_id"),
-            F.col("next_prop").cast("string").alias("detail"),
-        ),
-        j.filter(
+        F.when(
             F.col("p_id").isNotNull()
-            & ((F.col("p_owner_id") != F.col("o_id")) | (F.col("p_owner_kind") != F.col("o_kind")))
-        ).select(
-            rt.alias("record_type"),
-            F.lit("propertyForOtherOwner").alias("rule"),
+            & ((F.col("p_owner_id") != F.col("o_id")) | (F.col("p_owner_kind") != F.col("o_kind"))),
+            F.lit("propertyForOtherOwner"),
+        ),
+    )
+    return (
+        j.select(
+            F.upper(F.col("o_kind")).alias("record_type"),
+            F.explode(rules).alias("rule"),
             F.col("o_id").cast("long").alias("entity_id"),
             F.col("next_prop").cast("string").alias("detail"),
-        ),
-    ]
-    return reduce(DataFrame.unionByName, out)
+        )
+        .filter(F.col("rule").isNotNull())
+    )
 
 
 def check_properties(g: PropertyGraph) -> DataFrame:
@@ -262,19 +294,13 @@ def check_properties(g: PropertyGraph) -> DataFrame:
             F.col("ptr").cast("string").alias("detail"),
         )
     )
-    # J7 key checks
-    out.append(
-        _violation(live.filter(F.col("key_id") < 0), "PROPERTY", "invalidPropertyKey", "id", F.col("key_id"))
-    )
-    live_keys = g.property_keys.filter(F.col("in_use")).select(F.col("id").alias("key_id"))
-    out.append(
-        _violation(
-            live.filter(F.col("key_id") >= 0).join(F.broadcast(live_keys), "key_id", "left_anti"),
-            "PROPERTY",
-            "keyNotInUse",
-            "id",
-            F.col("key_id"),
-        )
+    # J7 key checks + typed-value shape: ONE scan (r13, guide §2.4) —
+    # broadcast-dictionary left join replaces the anti-join branch, and
+    # the three (rule, detail) entries (which CAN co-occur on one
+    # record) explode from a per-row array instead of three union
+    # branches re-scanning the store.
+    live_keys = g.property_keys.filter(F.col("in_use")).select(
+        F.col("id").alias("key_id"), F.lit(True).alias("__key_live")
     )
     # typed-value shape: exactly the column matching vtype must be set
     bad_value = (
@@ -287,7 +313,40 @@ def check_properties(g: PropertyGraph) -> DataFrame:
         (F.col("vtype") == "ARRAY")
         & (F.col("value_array").isNull() | F.col("value_long").isNotNull() | F.col("value_string").isNotNull())
     )
-    out.append(_violation(live.filter(bad_value), "PROPERTY", "invalidPropertyValue", "id", F.col("vtype")))
+    entries = F.array(
+        F.when(
+            F.col("key_id") < 0,
+            F.struct(
+                F.lit("invalidPropertyKey").alias("r"),
+                F.col("key_id").cast("string").alias("d"),
+            ),
+        ),
+        F.when(
+            (F.col("key_id") >= 0) & F.col("__key_live").isNull(),
+            F.struct(
+                F.lit("keyNotInUse").alias("r"),
+                F.col("key_id").cast("string").alias("d"),
+            ),
+        ),
+        F.when(
+            bad_value,
+            F.struct(
+                F.lit("invalidPropertyValue").alias("r"),
+                F.col("vtype").cast("string").alias("d"),
+            ),
+        ),
+    )
+    out.append(
+        live.join(F.broadcast(live_keys), "key_id", "left")
+        .select(F.col("id"), F.explode(entries).alias("e"))
+        .filter(F.col("e").isNotNull())
+        .select(
+            F.lit("PROPERTY").alias("record_type"),
+            F.col("e.r").alias("rule"),
+            F.col("id").cast("long").alias("entity_id"),
+            F.col("e.d").alias("detail"),
+        )
+    )
     return reduce(DataFrame.unionByName, out)
 
 
@@ -298,16 +357,47 @@ def check_ownership(g: PropertyGraph) -> DataFrame:
 
     - multipleOwners: a head referenced by >1 primitives (group count).
     - orphanChain: a live chain head no primitive references (anti-join).
+
+    ONE join (r13, guide §2.4): both rules read off a single full-outer
+    join of the per-pointer claim counts against the live chain heads —
+    the r12 shape shuffled the 2-records-per-primitive owner set twice
+    (once for the group count, once more, ungrouped, as the anti-join
+    build side). The claims side arrives already partitioned by the
+    join key, so its exchange is reused.
     """
     owners = _owners(g).filter(F.col("next_prop") != NO_POINTER)
     claims = owners.groupBy("next_prop").agg(F.count("*").alias("n_owners"))
-    multi = claims.filter(F.col("n_owners") > 1)
-    heads = g.properties.filter(F.col("in_use") & (F.col("prev_prop") == NO_POINTER))
-    orphan = heads.join(
-        owners.select(F.col("next_prop").alias("id")), "id", "left_anti"
+    heads = g.properties.filter(F.col("in_use") & (F.col("prev_prop") == NO_POINTER)).select(
+        F.col("id").alias("head_id"), F.col("owner_id").alias("head_owner")
     )
-    return _violation(multi, "PROPERTY", "multipleOwners", "next_prop", F.col("n_owners")).unionByName(
-        _violation(orphan, "PROPERTY", "orphanChain", "id", F.col("owner_id"))
+    j = claims.join(heads, claims["next_prop"] == heads["head_id"], "full_outer")
+    entries = F.array(
+        F.when(
+            F.col("n_owners") > 1,
+            F.struct(
+                F.col("next_prop").cast("long").alias("e"),
+                F.lit("multipleOwners").alias("r"),
+                F.col("n_owners").cast("string").alias("d"),
+            ),
+        ),
+        F.when(
+            F.col("n_owners").isNull() & F.col("head_id").isNotNull(),
+            F.struct(
+                F.col("head_id").cast("long").alias("e"),
+                F.lit("orphanChain").alias("r"),
+                F.col("head_owner").cast("string").alias("d"),
+            ),
+        ),
+    )
+    return (
+        j.select(F.explode(entries).alias("x"))
+        .filter(F.col("x").isNotNull())
+        .select(
+            F.lit("PROPERTY").alias("record_type"),
+            F.col("x.r").alias("rule"),
+            F.col("x.e").alias("entity_id"),
+            F.col("x.d").alias("detail"),
+        )
     )
 
 
@@ -341,31 +431,20 @@ def check_graph_props(g: PropertyGraph) -> DataFrame:
     gp = g.graph_props
     live = gp.filter(F.col("in_use"))
     out = []
-    # chain head cardinality: != 1 head on a non-empty chain is corruption
-    heads = live.filter(F.col("prev_prop") == NO_POINTER)
-    n_heads = heads.agg(F.count("*").alias("n"))
-    n_live = live.agg(F.count("*").alias("m"))
-    bad_heads = (
-        n_heads.join(n_live)
-        .filter((F.col("m") > 0) & (F.col("n") != 1))
-        .select(
-            F.lit("NEO_STORE").alias("record_type"),
-            F.lit("propertyChainHeadCount").alias("rule"),
-            F.lit(0).cast("long").alias("entity_id"),
-            F.col("n").cast("string").alias("detail"),
-        )
+    # chain head cardinality: != 1 head on a non-empty chain is corruption.
+    # r13 (guide §2.4): both counts in ONE aggregate over one scan — the
+    # r12 shape ran two aggregation jobs and cross-joined the results.
+    stats = live.agg(
+        F.count("*").alias("m"),
+        F.count(F.when(F.col("prev_prop") == NO_POINTER, F.lit(1))).alias("n"),
+    )
+    bad_heads = stats.filter((F.col("m") > 0) & (F.col("n") != 1)).select(
+        F.lit("NEO_STORE").alias("record_type"),
+        F.lit("propertyChainHeadCount").alias("rule"),
+        F.lit(0).cast("long").alias("entity_id"),
+        F.col("n").cast("string").alias("detail"),
     )
     out.append(bad_heads)
-    # ownership: every record must belong to the graph singleton
-    out.append(
-        _violation(
-            live.filter((F.col("owner_kind") != "graph") | (F.col("owner_id") != 0)),
-            "NEO_STORE",
-            "propertyForOtherOwner",
-            "id",
-            F.col("owner_id"),
-        )
-    )
     # prev/next symmetry — same unpivoted one-join shape as check_properties
     target = live.select(
         F.col("id").alias("t_id"),
@@ -396,16 +475,14 @@ def check_graph_props(g: PropertyGraph) -> DataFrame:
             F.col("ptr").cast("string").alias("detail"),
         )
     )
-    # key validity against the dictionary
-    live_keys = g.property_keys.filter(F.col("in_use")).select(F.col("id").alias("key_id"))
-    out.append(
-        _violation(
-            live.join(F.broadcast(live_keys), "key_id", "left_anti"),
-            "NEO_STORE",
-            "keyNotInUse",
-            "id",
-            F.col("key_id"),
-        )
+    # graph ownership + key validity + typed-value shape: ONE scan (r13,
+    # guide §2.4) — same fused broadcast-left-join + exploded-entries
+    # shape as check_properties. NOTE the keyNotInUse guard here is
+    # __key_live.isNull() with NO key_id >= 0 pre-filter, exactly
+    # mirroring the r12 left_anti (a NULL key_id never matches the
+    # dictionary and IS reported, unlike the property-store rule).
+    live_keys = g.property_keys.filter(F.col("in_use")).select(
+        F.col("id").alias("key_id"), F.lit(True).alias("__key_live")
     )
     # typed-value shape (same invariant as check_properties)
     bad_value = (
@@ -418,8 +495,39 @@ def check_graph_props(g: PropertyGraph) -> DataFrame:
         (F.col("vtype") == "ARRAY")
         & (F.col("value_array").isNull() | F.col("value_long").isNotNull() | F.col("value_string").isNotNull())
     )
+    entries = F.array(
+        F.when(
+            (F.col("owner_kind") != "graph") | (F.col("owner_id") != 0),
+            F.struct(
+                F.lit("propertyForOtherOwner").alias("r"),
+                F.col("owner_id").cast("string").alias("d"),
+            ),
+        ),
+        F.when(
+            F.col("__key_live").isNull(),
+            F.struct(
+                F.lit("keyNotInUse").alias("r"),
+                F.col("key_id").cast("string").alias("d"),
+            ),
+        ),
+        F.when(
+            bad_value,
+            F.struct(
+                F.lit("invalidPropertyValue").alias("r"),
+                F.col("vtype").cast("string").alias("d"),
+            ),
+        ),
+    )
     out.append(
-        _violation(live.filter(bad_value), "NEO_STORE", "invalidPropertyValue", "id", F.col("vtype"))
+        live.join(F.broadcast(live_keys), "key_id", "left")
+        .select(F.col("id"), F.explode(entries).alias("e"))
+        .filter(F.col("e").isNotNull())
+        .select(
+            F.lit("NEO_STORE").alias("record_type"),
+            F.col("e.r").alias("rule"),
+            F.col("id").cast("long").alias("entity_id"),
+            F.col("e.d").alias("detail"),
+        )
     )
     return reduce(DataFrame.unionByName, out)
 

@@ -551,6 +551,13 @@ def lsh_ann_topk(
     scales with collision rate, not corpus². Output schema matches the
     brute-force operator (recall measured against it in tests).
 
+    CONTRACT: ``seeds`` must be planner-sized (same bound as the
+    codebook collects — thousands of rows, not a second corpus): its id
+    set is force-broadcast into the bucket join and its quantized
+    vectors broadcast into the scoring join, so a corpus-sized seed
+    frame would OOM the driver instead of degrading to a shuffle. Every
+    caller in this engine passes a LIMIT-bounded seed set.
+
     ``max_bucket_size`` drops oversized (band, bucket) groups before the
     candidate join (same guard as ``embedding_near_dup_lsh``): a hot
     bucket contributes |seeds_in_bucket| x |bucket| candidate rows, and

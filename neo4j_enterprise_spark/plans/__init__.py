@@ -191,223 +191,113 @@ def register(
 #          NEXT round, no exceptions.
 # bench.py and the local parity tests are order-independent.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ================= r12 window =================
-    # Stale-green detection is now MECHANIZED (VERDICT r11 ask #2):
-    # plans/_query_hashes.json snapshots sha256(plan source + oracle)
-    # per query — self hash (registered fn) and deep hash (transitive
-    # package-function closure incl. in-body imports). Regenerate ONLY
-    # at window rotation: `python tools/window_manifest.py --write`.
-    # tests/test_window_staleness.py goes red if a changed/new query is
-    # missing from this window (deep-only changes may instead be named
-    # in _DEEP_CHANGE_ACK below with a reason).
-    #
-    # -- the r11 stale green leads (VERDICT r11 "what's wrong" #1): its
-    #    NULL-ts plan+oracle change missed the r11 window and the old
-    #    comment here wrongly claimed it sat in the rotation ------------
-    "events_path_trigrams",
-    # -- r12 NULL-contract sweeps (tests/test_null_contract_sweep.py:
-    #    NULL/empty text, NULL user_id, NULL value; VERDICT r11 ask #4)
-    #    found 10 real divergences — every fixed plan/oracle re-earns:
-    "docs_bigram_counts",          # CRASH: sequence(1,0) is DESCENDING on 1-token docs
-    "events_asof_attribution",     # asof_join: struct forward-fill (NULL payload row-mixing) + NULL keys never match
-    "events_equidepth_histogram",  # NTILE NULL order differs across engines; NULLs excluded by contract
-    "docs_bloom_contamination",    # DuckDB greatest() NULL-skip manufactured ''-shingles
-    "docs_train_eval_contamination",
-    "docs_chunk_windows",          # Spark greatest(NULL-1,0) emitted a garbage chunk per NULL doc
-    "docs_incremental_dedup",      # NOT IN + one NULL md5 = 0-row oracle (3-valued logic)
-    "docs_span_dedup",             # _spanify emitted an empty block per NULL doc
-    "docs_bm25_search",            # corpus stats counted NULL docs (prior green was VACUOUS on fixture vocab)
-    "docs_rrf_fusion",             # same idf drift through the shared bm25_rank
-    "media_decode_pipeline",       # CRASH: bytes(None) in the Arrow worker; NULL payloads filtered JVM-side
-    # -- LSH-cap consistency (ADVICE r11): lsh_ann_topk gained the same
-    #    oversized-bucket guard as the rest of the family; the md5 twin's
-    #    oracle mirrors it via QUALIFY (cap never fires on shipped data:
-    #    <=2000 embeddings) ---------------------------------------------
-    "ann_lsh_md5_top5",
-    # -- r12 NULL-embedding / NULL-grouping-key sweeps (the sweep's
-    #    second wave: 10%-NULL embedding+label with zero vectors, and
-    #    NULL lang/source keys) found 12 more divergences, two of them
-    #    crash classes: Arrow matmuls die on a None row
-    #    (np.array inhomogeneous), and ANSI-mode cosine division
-    #    throws DIVIDE_BY_ZERO on quantized-zero-norm vectors.
-    #    Contract (similarity.drop_unsearchable): search/index-class
-    #    embedding ops drop NULL + zero-norm vectors at entry, oracles
-    #    mirror; aggregate-class ops (label_centroids, sq8) keep SQL
-    #    NULL-skip semantics. NULL sampling keys: no quota match /
-    #    no rotation slot (sampling.token_budget_sample,
-    #    source_interleave) --------------------------------------------
-    "ann_cosine_top5",
-    "ann_ivf_fixed_top5",
-    "ann_ivf_pq_fixed_top5",
-    "ann_pq_fixed_top5",
-    "docs_embedding_near_dup",
-    "emb_hard_negatives",          # + NULL labels crash the int64 label array
-    "emb_norm_outliers",           # NULL-only drop: norm 0 IS the outlier it screens
-    "emb_semdedup",
-    "emb_semdedup_greedy",
-    "docs_source_interleave",      # NULL src_idx ordered FIRST on Spark, LAST on DuckDB
-    "docs_token_budget_sample",    # NULL stratum matches no budget key; oracle kept the group
-    # -- oracle now interpolates dedup.MAX_BUCKET_DEFAULT instead of a
-    #    literal 1024 (ADVICE r11; SQL byte-identical, decorator changed)
-    "docs_simhash_neardup_pairs",
-    # -- deep-hash catch: _release_checkpoint_blocks gained a warn-once
-    #    canary (ADVICE r11); behavior-equivalent, re-earned anyway -----
-    "docs_bpe_merges",
-    # -- the three _ensure_symlink-refactored streaming twins re-certify
-    #    (VERDICT r11 ask #6) -------------------------------------------
-    "events_stream_dedup_rollup",
-    "events_stream_hourly_rollup",
-    "events_stream_pushk_parity",
-    # -- oldest evidence: last checked r6 (VERDICT r11 ask #3) ----------
-    "node_point_lookup",
-    "orders_cube_pricing",
-    "pattern_2hop_paths",
-    "priority_take_k",
-    "property_projection_default",
-    "q10_returned_items",
-    "q1_pricing_summary",
-    "record_counts_per_table",
+    # ================= r13 window =================
+    # Composition rules this round:
+    #   1. Every oracle-bearing query whose PLAN changed in the r13 b1
+    #      optimization leads (record_checks.py branch fusion — all 8
+    #      re-earn their green ON the fused plans; rows proven
+    #      identical on the corrupted checker fixture, tools/ab_b1_r13.py):
+    #      the 7 check_fixture twins of the fused families + summary,
+    #      and record_model_validation (runs check_relationships on the
+    #      derived record-model graph).
+    #   2. ZERO rows-only queries in the head (VERDICT r12 ask #3: the
+    #      r12 window wasted one slot on docs_bpe_merges / no_oracle).
+    #      The two rows-only queries the b1 change touches
+    #      (graph_validation_suite_100k, graph_full_validation) carry
+    #      _DEEP_CHANGE_ACK receipts instead.
+    #   3. Remaining 42 slots: oldest evidence first — the r7-evidenced
+    #      cohort in name order (45 names; the last 3 — row_checksums,
+    #      snapshot_diff_added, txlog_replay_lww — rotate in r14).
+    # -- r13 b1 plan changes re-earn (OPTIMIZATION_r13.md §1) ----------
+    "check_fixture_nodes",
+    "check_fixture_relationships",
+    "check_fixture_first_property",
+    "check_fixture_properties",
+    "check_fixture_ownership",
+    "check_fixture_graph_props",
+    "check_fixture_summary",
     "record_model_validation",
-    "rel_counts_by_type",
-    "round_robin_assignment",
-    "snapshot_branch_divergence",
-    "top_orders_per_customer",
-    "traverse_dfs_preorder",
-    "traverse_pruned_2hop",
-    "violations_summary",
-    # -- r12 sweep wave 3 (non-finite / ragged / NULL-component
-    #    vectors): a NaN or Inf component crashes the quantize cast on
-    #    BOTH engines (ANSI CAST(NaN AS BIGINT) throws; DuckDB
-    #    conversion error), so even the aggregate-class embedding ops
-    #    need the finite guard (`drop_nonfinite_embeddings`; NULL and
-    #    ragged rows still pass through there per the wave-2 contract) -
-    "emb_label_centroids",
-    "emb_centroid_similarity",
-    "emb_sq8_error",
-    # -- oldest evidence: last checked r7, name order (window filler;
-    #    the remaining r7 cohort — incl. cypher_optional_match, displaced
-    #    by the endpoints re-earn below — rotates in r13) ---------------
-    "bfs_shortest_hops",
-    # -- r12 OPTIMIZATION: endpoints_not_in_use (= entry()) restructured
-    #    from two per-side anti-joins to ONE anti-join over the stacked
-    #    (src, dst) endpoint set (validation.py; OPTIMIZATION_r12.md §3)
-    #    — rows proven bit-identical (23 761 at sf0.1) but the flagship
-    #    re-earns its green in-window on the new plan -------------------
-    "endpoints_not_in_use",
+    # -- oldest evidence: last checked r7, name order ------------------
+    "cypher_optional_match",
+    "cypher_property_map_match",
+    "cypher_return_distinct",
+    "cypher_skip_page",
+    "cypher_string_predicates",
+    "cypher_where_aggregate",
+    "docs_bigram_fluency",
+    "docs_collocations",
+    "docs_dsir_importance",
+    "docs_exact_dup_groups",
+    "docs_lang_source_rollup",
+    "docs_nb_lang_classifier",
+    "docs_repetition_stats",
+    "docs_winnow_overlap",
+    "graph_kcore_summary",
+    "graph_label_propagation",
+    "index_lookup_materialized",
+    "index_put_if_absent",
+    "parts_copurchase_top20",
+    "parts_triangle_clustering",
+    "parts_weighted_distances",
+    "property_stats_histogram",
+    "property_store_scan",
+    "property_upsert_projection",
+    "q11_part_value_threshold",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_parts_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_supplier_part_share",
+    "q21_sole_late_supplier",
+    "q22_global_sales_opportunity",
+    "q2_best_supplier_per_part",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
 )
+
 
 # Deep-only changes (shared-helper edits) acknowledged OUT of the window,
 # with the evidence that stands in for a driver slot — audited by
 # tests/test_window_staleness.py (a reason string is REQUIRED).
+#
+# The r12 ACK set (LSH single-pass, traversal cadence, guard no-ops) was
+# retired at this rotation: the r12 driver run certified those plans
+# (CORRECTNESS_r12: 49/50 hash-green on the optimized tree) and the
+# manifest was re-snapshotted on the r13 head, so no flags remain.
 _DEEP_CHANGE_ACK: dict[str, str] = {
-    "ann_lsh_top5": (
-        "rows-only query (no oracle); lsh_ann_topk gained the family "
-        "bucket cap but the cap cannot fire on shipped data (<=2000 "
-        "embeddings vs cap 4096) so output is bit-identical; the cap "
-        "semantics are tested at tests/test_lsh_bucket_cap.py::"
-        "test_ann_lsh_cap and the md5 oracle twin ann_lsh_md5_top5 "
-        "re-earns in this window on the capped plan; additionally the "
-        "r12 physical-plan optimization (single materialized signature "
-        "pass, asNondeterministic matmul UDF, broadcast seed ids — "
-        "OPTIMIZATION_r12.md §1) is proven output-identical by golden "
-        "row-compare at sf0.1 and sf0.001 (tools/golden_r12.py)"
+    "graph_validation_suite_100k": (
+        "rows-only query (no oracle); executes the r13-fused "
+        "record_checks plans over the 100k fixture (now persisted with "
+        "size-derived partitioning — a layout-only change). Evidence in "
+        "place of a driver slot: all 7 fused families proven "
+        "row-IDENTICAL against the r12 implementation on the corrupted "
+        "checker fixture (tools/ab_b1_r13.py, old-only=0/new-only=0 per "
+        "family), the clean fixture still validates to 0 violations "
+        "(tests/test_record_checks.py), and the 7 oracle-bearing "
+        "check_fixture twins + check_fixture_summary + "
+        "record_model_validation re-earn driver greens on the fused "
+        "plans IN this window"
     ),
-    "docs_embedding_near_dup_lsh": (
-        "rows-only query (no oracle); same cap-cannot-fire argument "
-        "(<=2000 embeddings vs cap 4096, unchanged output) and the "
-        "capped path is tested at tests/test_lsh_bucket_cap.py::"
-        "test_embedding_lsh_cap; local rows/schema evidence recorded "
-        "in COVERAGE.md; the r12 single-signature-pass optimization "
-        "(OPTIMIZATION_r12.md §1) is proven output-identical by golden "
-        "row-compare at sf0.1 (853 rows) and sf0.001 (62 rows)"
-    ),
-    "ann_ivf_top5": (
-        "rows-only production IVF (xxhash centroids, no SQL twin); the "
-        "r12 drop_unsearchable entry guard (NULL / zero-norm / "
-        "non-finite / ragged) is a provable no-op on shipped data (0 "
-        "such vectors at every sf, DuckDB-verified) so output is "
-        "bit-identical; the "
-        "guard's semantics are driver-checked via the fixed twin "
-        "ann_ivf_fixed_top5 in this window and the NULL sweep "
-        "(tests/test_null_contract_sweep.py) covers the family"
-    ),
-    "ann_pq_top5": (
-        "rows-only production PQ (Lloyd-trained float codebook); same "
-        "no-op-guard argument as ann_ivf_top5 (0 invalid vectors on "
-        "shipped data); fixed twin ann_pq_fixed_top5 "
-        "re-earns in this window on the guarded plan"
-    ),
-    "ann_ivf_pq_top5": (
-        "rows-only production IVF-PQ; same no-op-guard argument; fixed "
-        "twin ann_ivf_pq_fixed_top5 re-earns in this window on the "
-        "guarded plan"
-    ),
-    "media_feature_neighbors": (
-        "rows-only query (no oracle); reaches the r12 multimodal "
-        "NULL-payload contract through attach_media/extract_features — "
-        "shipped testdata has no NULL text so output is bit-identical; "
-        "the contract itself is driver-checked via media_decode_pipeline "
-        "(in this window) and the NULL sweep covers the family; local "
-        "rows/schema evidence recorded in COVERAGE.md"
+    "graph_full_validation": (
+        "rows-only query (no oracle); runs rc.validate() on a corrupted "
+        "500-node graph — same fused plans, same evidence as "
+        "graph_validation_suite_100k (corrupted-fixture row-compare "
+        "identical per family; corruption matrix green; oracle twins "
+        "lead this window)"
     ),
 }
 
-# r12 OPTIMIZATION round: traversal.bfs_reachable/traverse now cut the
-# frontier's lineage EVERY round instead of every third round
-# (OPTIMIZATION_r12.md §2) — a checkpoint-cadence-only change;
-# localCheckpoint is semantically transparent, so no query's output can
-# move. Receipts: golden row-compare identical at sf0.1 AND sf0.001 for
-# every query that executes the changed functions (bfs_2hop_reach 21
-# rows, traverse_pruned_2hop 520/413, bfs_shortest_hops 1013/978,
-# graph_harmonic_centrality 21, cypher_shortest_path 1000/10 —
-# tools/golden_r12.py). The cypher_* names below never call the changed
-# functions at all (only shortestPath compiles to bfs_reachable); they
-# are flagged because the deep hash folds the pattern module's import
-# graph three levels down.
-_TRAVERSAL_CADENCE_ACK = (
-    "r12 optimization: every-round lineage cut in traversal.bfs_reachable/"
-    "traverse (checkpoint cadence only — semantically transparent); golden "
-    "row-compare identical at sf0.1+sf0.001 for all executors of the "
-    "changed code (OPTIMIZATION_r12.md §2); this query reaches traversal "
-    "only through the pattern-module import graph or is itself "
-    "golden-verified"
-)
-_DEEP_CHANGE_ACK.update(
-    {
-        name: _TRAVERSAL_CADENCE_ACK
-        for name in (
-            "bfs_2hop_reach",
-            "graph_harmonic_centrality",
-            "cypher_shortest_path",
-            "cypher_case_classify",
-            "cypher_collect_unwind",
-            "cypher_exists_inactive",
-            "cypher_rel_var_counts",
-            "cypher_return_distinct",
-            "cypher_set_tier",
-            "cypher_skip_page",
-            "cypher_string_predicates",
-            "cypher_type_alternation",
-            "cypher_union_dedup",
-            "cypher_where_aggregate",
-            "cypher_where_or",
-            "cypher_with_collect",
-            "cypher_with_having",
-            "cypher_with_topk_expand",
-            # displaced from the window by the endpoints re-earn; same
-            # import-graph-only reach as the other cypher_* names
-            "cypher_optional_match",
-        )
-    }
-)
-
-# r12 OPTIMIZATION note: a ktruss_peel wedge-join auto-broadcast was
-# tried, golden-verified, measured at sf0.1 (apparent −0.4 s) — and
-# REVERTED when the sf10 rung showed a stable +0.6 s regression (the
-# extra count/broadcast jobs cost more than the SortMergeJoin they
-# replaced; the isolated join was a wash to begin with). The shipped
-# code is byte-identical to the pre-round state; receipt in
-# OPTIMIZATION_r12.md §4.
+# r12 OPTIMIZATION note (kept for history): a ktruss_peel wedge-join
+# auto-broadcast was tried, golden-verified, measured at sf0.1
+# (apparent −0.4 s) — and REVERTED when the sf10 rung showed a stable
+# +0.6 s regression. Receipt in OPTIMIZATION_r12.md §4.
 
 
 def all_queries() -> dict[str, Query]:

@@ -252,8 +252,11 @@ def test_bfs_frontier_lineage_is_cut_every_round(spark, sf_dir):
     assert "Scan ExistingRDD" in plan
     # the full 5-branch edge-union cache is scanned by the final
     # union-aggregate only; the checkpointed frontiers must not
-    # re-derive it per round (297 scans before the fix)
-    assert plan.count("InMemoryTableScan") <= 30, plan.count("InMemoryTableScan")
+    # re-derive it per round. Measured after the r12 fix: 10 scans in
+    # the committed dump (plans/r12/bfs_2hop_reach_after.txt), 120
+    # before; bound at 2x the observed value so a partial regression
+    # trips the pin without flaking on minor plan drift.
+    assert plan.count("InMemoryTableScan") <= 20, plan.count("InMemoryTableScan")
 
 
 def test_lsh_signature_runs_once(spark, sf_dir):

@@ -39,11 +39,7 @@ def main() -> None:
         joins = re.findall(
             r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin)"
             r"\s+(\w+)",
-            df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
-            if False
-            else _explain(df),
+            _explain(df),
         )
         from collections import Counter
 
