@@ -205,9 +205,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     #      The two rows-only queries the b1 change touches
     #      (graph_validation_suite_100k, graph_full_validation) carry
     #      _DEEP_CHANGE_ACK receipts instead.
-    #   3. Remaining 42 slots: oldest evidence first — the r7-evidenced
-    #      cohort in name order (45 names; the last 3 — row_checksums,
+    #   3. Remaining slots: oldest evidence first — the r7-evidenced
+    #      cohort in name order (45 names; the last 4 — q9, row_checksums,
     #      snapshot_diff_added, txlog_replay_lww — rotate in r14).
+    # -- r13 in-round plan change re-earns (standing rule; OPTIMIZATION_
+    #    r13.md §5): prefix marginal as a window over the pair table,
+    #    rows proven identical at two scales before the edit ----------
+    "docs_bigram_counts",
     # -- r13 b1 plan changes re-earn (OPTIMIZATION_r13.md §1) ----------
     "check_fixture_nodes",
     "check_fixture_relationships",

@@ -2068,9 +2068,19 @@ def docs_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ENTIRE token stream by doc — kept zero-shuffle deliberately: "
     "local mode underprices shuffles, and at cluster scale the "
     "struct-ref lambda's per-row CPU is embarrassingly parallel while "
-    "a 100 TB token shuffle is not.",
+    "a 100 TB token shuffle is not. r13 (guide §2.4): the prefix "
+    "marginal is a SUM window over the pair table partitioned by w1, "
+    "not a second aggregate joined back — the r12 'AQE exchange reuse "
+    "dedupes the explode subtree' claim was FALSE (checkpointing the "
+    "pair table beat the lazy join form 0.525s vs 0.600s at sf0.1, so "
+    "the subtree WAS re-executed); the window form evaluates the "
+    "explode once BY CONSTRUCTION and drops the join outright "
+    "(receipts: tools/profile_r13_ops.py bigram — sf0.1 0.600→0.483s, "
+    "sf10 interleaved 5.563→5.383s, rows IDENTICAL both scales).",
 )
 def docs_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     docs = load_table(spark, sf_dir, "documents")
     bg = (
         docs.select(
@@ -2094,9 +2104,10 @@ def docs_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("w1") != "") & (F.col("w2") != ""))
     )
     pair = bg.groupBy("w1", "w2").agg(F.count("*").alias("pair_n"))
-    pre = pair.groupBy("w1").agg(F.sum("pair_n").alias("prefix_n"))
     return (
-        pair.join(pre, "w1")
+        pair.withColumn(
+            "prefix_n", F.sum("pair_n").over(Window.partitionBy("w1"))
+        )
         .select("w1", "w2", "pair_n", "prefix_n")
         .orderBy(F.desc("pair_n"), "w1", "w2")
         .limit(30)

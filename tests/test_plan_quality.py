@@ -270,3 +270,18 @@ def test_lsh_signature_runs_once(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ann_lsh_top5")
     assert "ArrowEvalPython" not in plan
     assert "Scan ExistingRDD" in plan
+
+
+def test_bigram_counts_single_explode_no_join(spark, sf_dir):
+    """r13 optimization pinned (OPTIMIZATION_r13.md §5): the prefix
+    marginal is a SUM window over the pair-count table, not a second
+    aggregate joined back — the join form re-executed the whole
+    tokenize+explode subtree (the r12 'AQE exchange reuse' claim was
+    disproved by a checkpoint A/B: 0.525s vs 0.600s lazy at sf0.1).
+    Exactly ONE Generate (explode) node and ZERO joins may appear."""
+    import re
+
+    plan = _plan(spark, sf_dir, "docs_bigram_counts")
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
+    assert "Join" not in plan
+    assert "Window" in plan
