@@ -246,8 +246,10 @@ def test_bfs_frontier_lineage_is_cut_every_round(spark, sf_dir):
     """r12 optimization pinned (OPTIMIZATION_r12.md §2): each BFS
     round's frontier has three consumers, so it must be materialized
     (Scan ExistingRDD) rather than re-derived — without the per-round
-    cut the k=2 plan carried 297 InMemoryTableScans (O(k²)
-    recomputation of the frontier cascade)."""
+    cut the k=2 plan carried 120 InMemoryTableScans (O(k²)
+    recomputation of the frontier cascade; the r12 doc's "297" was an
+    overstatement the r12 verdict corrected against the committed
+    dumps — 120→10 is the real count)."""
     plan = _plan(spark, sf_dir, "bfs_2hop_reach")
     assert "Scan ExistingRDD" in plan
     # the full 5-branch edge-union cache is scanned by the final
