@@ -19,6 +19,7 @@ the dictionary sides are broadcast (the reference pre-caches them,
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from functools import reduce
 
 from pyspark.sql import DataFrame
@@ -538,15 +539,21 @@ def check_families(g: PropertyGraph) -> dict[str, DataFrame]:
     carries one phase per task with elementCount/time/recordsPerSecond
     (`JsonReportWriter.java:106-131`). bench.py times each family
     separately to produce the same per-phase metric shape."""
-    return {
-        "nodes": check_nodes(g),
-        "relationships": check_relationships(g),
-        "first_property": check_primitive_first_property(g),
-        "properties": check_properties(g),
-        "ownership": check_ownership(g),
-        "dictionaries": check_dictionaries(g),
-        "graph_props": check_graph_props(g),
-    }
+    return {name: build(g) for name, build in _FAMILY_BUILDERS.items()}
+
+
+# family name -> builder; the single source of truth for the checker's
+# task list (check_families materializes it per graph; validate(eager)
+# defers each build into its pool thread so analysis overlaps execution)
+_FAMILY_BUILDERS: dict[str, Callable[[PropertyGraph], DataFrame]] = {
+    "nodes": check_nodes,
+    "relationships": check_relationships,
+    "first_property": check_primitive_first_property,
+    "properties": check_properties,
+    "ownership": check_ownership,
+    "dictionaries": check_dictionaries,
+    "graph_props": check_graph_props,
+}
 
 
 def family_element_counts(g: PropertyGraph) -> dict[str, int]:
@@ -584,19 +591,30 @@ def validate(g: PropertyGraph, eager: bool = True) -> DataFrame:
     all-in-one union (~35 branches sharing deep window subtrees) chokes
     the optimizer at scale, while the per-family plans each run in
     seconds — the same bounded-lineage principle the iterative operators
-    follow. Families materialize CONCURRENTLY (one thread per family;
-    Spark schedules jobs from concurrent threads onto idle cores) — the
-    reference's MULTI_THREADED task-execution axis
-    (`TaskExecutionOrder.java:29-110`, pool = #cores). ``eager=False``
+    follow. Each family CONSTRUCTS AND materializes inside its own pool
+    thread (r13, guide §2.6 applied to the driver side too): building a
+    family frame is ~0.15 s of Catalyst analysis / py4j round-trips that
+    release the GIL, so serial construction added ~1.1 s of driver time
+    in FRONT of the concurrent jobs — decomposed construct/pool/count =
+    1.15/1.30/0.16 s, and moving construction into the threads took the
+    warm 100 k suite 2.37 → 1.64 s (interleaved medians,
+    OPTIMIZATION_r13.md §11). This is the reference's MULTI_THREADED
+    task-execution axis (`TaskExecutionOrder.java:29-110`, pool =
+    #cores) covering analysis as well as execution. ``eager=False``
     keeps the fully-lazy single plan (fine for small fixtures, composes
     with further transformations).
     """
-    families = list(check_families(g).values())
     if eager:
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=len(families)) as pool:
+        builders = list(_FAMILY_BUILDERS.values())
+        with ThreadPoolExecutor(max_workers=len(builders)) as pool:
             families = list(
-                pool.map(lambda f: f.localCheckpoint(eager=True), families)
+                pool.map(
+                    lambda build: build(g).localCheckpoint(eager=True),
+                    builders,
+                )
             )
+    else:
+        families = list(check_families(g).values())
     return reduce(DataFrame.unionByName, families)

@@ -287,7 +287,13 @@ _DEEP_CHANGE_ACK: dict[str, str] = {
         "(tests/test_record_checks.py), and the 7 oracle-bearing "
         "check_fixture twins + check_fixture_summary + "
         "record_model_validation re-earn driver greens on the fused "
-        "plans IN this window"
+        "plans IN this window. ALSO covers the r13 validate() "
+        "construct-in-thread change (OPTIMIZATION_r13.md §11): each "
+        "family frame is built inside its pool thread — same builders, "
+        "same checkpoint, same union order, so the output is "
+        "structurally unchanged; proven by eager-vs-lazy row-compare "
+        "on the corrupted checker fixture (33 rows, both-direction "
+        "exceptAll = 0) and the corruption-matrix tests"
     ),
     "graph_full_validation": (
         "rows-only query (no oracle); runs rc.validate() on a corrupted "
